@@ -1,0 +1,226 @@
+"""Readability-style HTML main-content extraction.
+
+The analog of the reference's document decomposition + candidate
+selection: ``dynamic_preprocess`` splits a page into a reading-order
+grid of regions (/root/reference/crates/infer-deepseek/src/vision/
+preprocess.rs:13-76) and greedy argmax picks the winning candidate
+(/root/reference/crates/core/src/sampling.rs:103-110). Here the regions
+are DOM blocks, the scoring is classic Readability heuristics (tag
+weights, class/id hints, comma + length content score, link-density
+discount), and the winner's block-level descendants are emitted in
+document order as cleaned text blocks.
+
+Everything is deterministic: ties in the candidate argmax are broken by
+document order (first strictly-greater wins), mirroring the reference's
+BTreeSet-ordered ratio search (vision/preprocess.rs:23-49).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Dict, List, Optional
+
+from .normalize import collapse_ws
+
+VOID_TAGS = frozenset(
+    {"br", "img", "hr", "meta", "link", "input", "area", "base", "col",
+     "embed", "source", "track", "wbr"}
+)
+# Tags whose content is never text content.
+SKIP_TAGS = frozenset({"script", "style", "noscript", "template", "head"})
+# Block-level elements emitted as output blocks (reading order = DFS order).
+BLOCK_TAGS = frozenset(
+    {"p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "pre", "blockquote", "td"}
+)
+# Elements that can win the candidate argmax.
+CANDIDATE_TAGS = frozenset({"div", "article", "section", "main", "td", "body"})
+
+TAG_WEIGHT: Dict[str, int] = {
+    "article": 8, "main": 8, "section": 5, "div": 5, "td": 3, "body": 0,
+}
+
+POSITIVE_RE = re.compile(
+    r"article|body|content|entry|main|page|post|text|blog|story", re.IGNORECASE
+)
+NEGATIVE_RE = re.compile(
+    r"combx|comment|com-|contact|foot|footer|footnote|masthead|media|meta"
+    r"|outbrain|promo|related|scroll|shoutbox|sidebar|sponsor|shopping"
+    r"|tags|tool|widget|nav|menu|header|banner|ad-|advert",
+    re.IGNORECASE,
+)
+
+MIN_PARA_CHARS = 25          # paragraph must be this long to add content score
+MAX_BLOCK_LINK_DENSITY = 0.66  # blocks denser in links than this are boilerplate
+
+
+class Node:
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs: Dict[str, str], parent: "Optional[Node]"):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list = []  # Node | str
+        self.parent = parent
+
+
+class _TreeBuilder(HTMLParser):
+    """Build a lightweight DOM; convert_charrefs=True unescapes entities."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#root", {}, None)
+        self.cur = self.root
+
+    def handle_starttag(self, tag, attrs):
+        if tag in VOID_TAGS:
+            self.cur.children.append(Node(tag, dict(attrs), self.cur))
+            return
+        node = Node(tag, dict(attrs), self.cur)
+        self.cur.children.append(node)
+        self.cur = node
+
+    def handle_startendtag(self, tag, attrs):
+        self.cur.children.append(Node(tag, dict(attrs), self.cur))
+
+    def handle_endtag(self, tag):
+        # Close the nearest open ancestor with this tag (tolerant of
+        # mis-nesting); otherwise ignore the stray end tag.
+        node = self.cur
+        while node is not self.root and node.tag != tag:
+            node = node.parent
+        if node is not self.root:
+            self.cur = node.parent
+
+    def handle_data(self, data):
+        if data:
+            self.cur.children.append(data)
+
+
+def parse_html(payload: str) -> Node:
+    builder = _TreeBuilder()
+    builder.feed(payload)
+    builder.close()
+    return builder.root
+
+
+def _iter_text(node: Node, out: List[str]) -> None:
+    for child in node.children:
+        if isinstance(child, str):
+            out.append(child)
+        elif child.tag not in SKIP_TAGS:
+            _iter_text(child, out)
+
+
+def node_text(node: Node) -> str:
+    parts: List[str] = []
+    _iter_text(node, parts)
+    return "".join(parts)
+
+
+def link_text_len(node: Node) -> int:
+    total = 0
+    for child in node.children:
+        if isinstance(child, str):
+            continue
+        if child.tag == "a":
+            total += len(node_text(child))
+        elif child.tag not in SKIP_TAGS:
+            total += link_text_len(child)
+    return total
+
+
+def link_density(node: Node) -> float:
+    text = node_text(node)
+    if not text:
+        return 0.0
+    return link_text_len(node) / len(text)
+
+
+def _class_id_weight(node: Node) -> int:
+    weight = 0
+    hint = " ".join(
+        v for k, v in node.attrs.items() if k in ("class", "id") and v
+    )
+    if hint:
+        if NEGATIVE_RE.search(hint):
+            weight -= 25
+        if POSITIVE_RE.search(hint):
+            weight += 25
+    return weight
+
+
+def _walk(node: Node):
+    """Pre-order DFS over element nodes."""
+    for child in node.children:
+        if isinstance(child, Node) and child.tag not in SKIP_TAGS:
+            yield child
+            yield from _walk(child)
+
+
+def _content_score(cand: Node) -> float:
+    score = 0.0
+    for el in _walk(cand):
+        if el.tag == "p":
+            text = collapse_ws(node_text(el))
+            if len(text) < MIN_PARA_CHARS:
+                continue
+            score += 1.0 + text.count(",") + min(len(text) // 100, 3)
+    return score
+
+
+def select_candidate(root: Node) -> Optional[Node]:
+    """Per-document top-1 by score — a local argmax, no shuffle (SURVEY A5)."""
+    best: Optional[Node] = None
+    best_score = float("-inf")
+    for el in _walk(root):
+        if el.tag not in CANDIDATE_TAGS:
+            continue
+        base = TAG_WEIGHT.get(el.tag, 0) + _class_id_weight(el)
+        score = (base + _content_score(el)) * (1.0 - link_density(el))
+        if score > best_score:  # strict > == first-in-document-order tiebreak
+            best, best_score = el, score
+    if best is None or best_score <= 0:
+        # Fallback: the <body> (or whole document) is the candidate, like the
+        # reference's missing-image fallback path (routes.rs:282-288).
+        for el in _walk(root):
+            if el.tag == "body":
+                return el
+        return root
+    return best
+
+
+def emit_blocks(candidate: Node) -> List[str]:
+    """Emit cleaned text blocks from the winning candidate in DFS order.
+
+    The first (outermost) BLOCK_TAG element encountered wins its subtree —
+    the row-major tile order analog (vision/preprocess.rs:60-65).
+    """
+    blocks: List[str] = []
+
+    def visit(node: Node) -> None:
+        for child in node.children:
+            if not isinstance(child, Node) or child.tag in SKIP_TAGS:
+                continue
+            if child.tag in BLOCK_TAGS:
+                text = collapse_ws(node_text(child))
+                if text and link_density(child) <= MAX_BLOCK_LINK_DENSITY:
+                    blocks.append(text)
+                continue  # do not descend into an emitted block
+            visit(child)
+
+    visit(candidate)
+    if not blocks:
+        text = collapse_ws(node_text(candidate))
+        if text:
+            blocks.append(text)
+    return blocks
+
+
+def extract_html(payload: str) -> List[str]:
+    """HTML payload -> ordered list of clean main-content text blocks."""
+    root = parse_html(payload)
+    candidate = select_candidate(root)
+    if candidate is None:
+        return []
+    return emit_blocks(candidate)

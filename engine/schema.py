@@ -1,0 +1,54 @@
+"""Arrow schemas for the engine's tables (FIXTURES.md SS1-3).
+
+Input shape per BASELINE.json ``input_hint``; output shape mirrors the
+reference's DecodeOutcome (normalized text + counters,
+/root/reference/crates/core/src/inference.rs:74-80) plus the span list
+(image_token_ranges analog, /root/reference/baselines/README.md:71-73).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+SCHEMA_VERSION = 1
+
+TRANSCRIPTS = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+SPAN_TYPE = pa.list_(pa.struct([("start", pa.int64()), ("end", pa.int64())]))
+
+EXTRACTED = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("extracted_text", pa.string()),
+        ("spans", SPAN_TYPE),
+        ("n_blocks", pa.int32()),
+        ("schema_version", pa.int32()),
+    ]
+)
+
+# Ordered output adds per-conversation fields computed in the grouped stage.
+EXTRACTED_ORDERED = pa.schema(
+    list(EXTRACTED) + [("conv_n_turns", pa.int32())]
+)
+
+LINEAGE = pa.schema(
+    [
+        ("partition_id", pa.int32()),
+        ("input_fingerprint", pa.string()),
+        ("rows_in", pa.int64()),
+        ("rows_out", pa.int64()),
+        ("extraction_ms", pa.float64()),
+        ("status", pa.string()),
+    ]
+)

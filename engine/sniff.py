@@ -1,0 +1,85 @@
+"""Payload-kind detection and turn-text segmentation.
+
+Analog of the reference's ``flatten_content`` / ``prompt.split("<image>")``
+slot discipline (/root/reference/crates/server/src/generation.rs:238-261,
+/root/reference/crates/infer-deepseek/src/model/mod.rs:2154-2222): a turn's
+``text`` is an interleaving of literal text and embedded payloads; the
+payloads are detected by content sniffing rather than explicit markers.
+
+Payload kinds (FIXTURES.md SS1):
+
+- ``html``   — ``<!DOCTYPE html> ... </html>`` documents
+- ``pdfish`` — ``%PDF-LITE ... %%EOF`` synthetic page layouts
+- ``tool``   — a turn whose ``role`` is ``"tool"`` is one whole tool-output
+  payload (role/tool-aware dispatch, the analog of history compaction's
+  role awareness at /root/reference/crates/server/src/generation.rs:192-236)
+- everything else is literal text.
+
+The cheap marker predicates (``HTML_MARKER`` / ``PDF_MARKER``) exist so the
+Ray pipeline can vectorize the "no payload at all" fast path with
+``pyarrow.compute.match_substring`` and only run the Python segmenting
+parser on rows that actually contain a payload.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+HTML_MARKER = "<!DOCTYPE html>"
+PDF_MARKER = "%PDF-LITE"
+
+_HTML_RE = re.compile(r"<!DOCTYPE html>.*?</html\s*>", re.DOTALL | re.IGNORECASE)
+_PDF_RE = re.compile(r"%PDF-LITE.*?%%EOF", re.DOTALL)
+
+# A payload larger than this is truncated before parsing — the analog of
+# the reference's smart_resize pixel budget bounding per-record work
+# (/root/reference/crates/infer-paddleocr/src/vision/preprocess.rs:261-300).
+MAX_PAYLOAD_CHARS = 2_000_000
+
+Segment = Tuple[str, str]  # (kind, text); kind in {"literal","html","pdfish","tool"}
+
+
+def has_payload(text: str, role: str) -> bool:
+    """Cheap predicate mirrored vectorized in the pipeline fast path."""
+    return role == "tool" or HTML_MARKER in text or PDF_MARKER in text
+
+
+def clamp_payload(payload: str) -> str:
+    """Deterministic size-budget clamp (M9 analog)."""
+    if len(payload) > MAX_PAYLOAD_CHARS:
+        return payload[:MAX_PAYLOAD_CHARS]
+    return payload
+
+
+def segment_turn(text: str, role: str) -> List[Segment]:
+    """Split a turn's text into ordered literal / payload segments.
+
+    Non-overlapping payload matches are taken in document order (first
+    match wins on overlap), mirroring the slot-order-defines-output-order
+    invariant of the reference's prompt splicing
+    (/root/reference/crates/infer-deepseek/src/model/mod.rs:2169-2210).
+    """
+    if role == "tool":
+        return [("tool", clamp_payload(text))] if text else []
+
+    matches = []
+    for kind, rx in (("html", _HTML_RE), ("pdfish", _PDF_RE)):
+        for m in rx.finditer(text):
+            matches.append((m.start(), m.end(), kind))
+    matches.sort()
+
+    segments: List[Segment] = []
+    pos = 0
+    last_end = 0
+    for start, end, kind in matches:
+        if start < last_end:  # overlap with an earlier match: first wins
+            continue
+        if start > pos:
+            segments.append(("literal", text[pos:start]))
+        segments.append((kind, clamp_payload(text[start:end])))
+        pos = end
+        last_end = end
+    if pos < len(text):
+        segments.append(("literal", text[pos:]))
+    return segments

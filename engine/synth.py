@@ -1,0 +1,335 @@
+"""Deterministic synthetic transcript generator (seed=42, FIXTURES.md SS1).
+
+Plays the role of the reference's fixture capture script
+(/root/reference/scripts/capture_baseline.py): a seeded single process
+materializes the golden inputs; everything downstream is replayed
+against them. No external data; all content is synthesized.
+
+Design notes for speed at bench scale (~600k turns): payloads are drawn
+from seeded POOLS of pre-generated HTML / PDF-lite / tool documents, so
+the per-turn loop is cheap; the pools are large enough (hundreds of
+distinct documents) to exercise every extraction rule. Rows are written
+globally shuffled across conversations into multiple Parquet files so
+tests exercise order restoration (arrival order never defines output
+order — the reference's placeholder-order invariant,
+/root/reference/crates/infer-deepseek/src/model/mod.rs:2169-2210).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .schema import TRANSCRIPTS
+
+SEED = 42
+CACHE_ROOT = "/tmp/ray_transcripts"
+
+_WORDS = (
+    "the quick brown fox jumps over a lazy dog while seventeen analysts "
+    "review quarterly merger filings before the deadline and the committee "
+    "votes on revised guidance for supply chain resilience across regional "
+    "markets with moderate confidence in updated projections about energy "
+    "storage deployment throughout winter operations planning cycles"
+).split()
+
+_CJK = "数据处理引擎按批次流式执行并保持回压"
+_EMOJI = "🚀📊✨"
+
+
+def _sentence(rng: np.random.Generator, lo: int = 8, hi: int = 22) -> str:
+    n = int(rng.integers(lo, hi))
+    words = [_WORDS[int(i)] for i in rng.integers(0, len(_WORDS), n)]
+    # sprinkle commas so Readability content scoring has signal
+    for k in range(3, n - 1, 5):
+        if rng.random() < 0.5:
+            words[k] = words[k] + ","
+    s = " ".join(words)
+    return s[0].upper() + s[1:] + "."
+
+
+def _paragraph(rng: np.random.Generator, n_sent: int = 3) -> str:
+    return " ".join(_sentence(rng) for _ in range(n_sent))
+
+
+def _links(rng: np.random.Generator, n: int) -> str:
+    return " ".join(
+        f'<a href="/x{int(rng.integers(0, 999))}">{_WORDS[int(rng.integers(0, len(_WORDS)))]}</a>'
+        for _ in range(n)
+    )
+
+
+def gen_html(rng: np.random.Generator) -> str:
+    """Nav/header/footer boilerplate + scored article body (FIXTURES SS1)."""
+    n_paras = int(rng.integers(2, 6))
+    paras = []
+    for _ in range(n_paras):
+        p = _paragraph(rng, int(rng.integers(1, 4)))
+        if rng.random() < 0.3:
+            p = p.replace(" and ", " &amp; ", 1)
+        if rng.random() < 0.2:
+            p = p + " It&#x27;s final."
+        if rng.random() < 0.25:
+            p += f' See {_links(rng, 1)} for details.'
+        paras.append(f"<p>{p}</p>")
+    items = "".join(
+        f"<li>{_sentence(rng, 4, 9)}</li>" for _ in range(int(rng.integers(0, 4)))
+    )
+    lst = f"<ul>{items}</ul>" if items else ""
+    heading = f"<h2>{_sentence(rng, 3, 7)}</h2>" if rng.random() < 0.6 else ""
+    content_cls = ["content", "article-body", "main-text", "post entry"][
+        int(rng.integers(0, 4))
+    ]
+    return (
+        "<!DOCTYPE html><html><head><title>Page</title>"
+        "<style>.x{color:red}</style><script>var t=1;</script></head><body>"
+        f'<div class="nav">{_links(rng, int(rng.integers(4, 9)))}</div>'
+        f'<div id="header"><h1>{_sentence(rng, 3, 6)}</h1></div>'
+        f'<div class="{content_cls}">{heading}{paras[0]}{lst}'
+        + "".join(paras[1:])
+        + "</div>"
+        f'<div class="sidebar">{_links(rng, int(rng.integers(3, 7)))}</div>'
+        f'<div class="footer">Copyright {_links(rng, 2)}</div>'
+        "</body></html>"
+    )
+
+
+def _wrap_hyphen(rng: np.random.Generator, text: str, width: int = 42) -> str:
+    """Hard-wrap with occasional mid-word hyphen breaks."""
+    lines: List[str] = []
+    cur = ""
+    for word in text.split(" "):
+        if len(cur) + len(word) + 1 <= width or not cur:
+            cur = f"{cur} {word}".strip()
+            continue
+        if len(word) > 6 and rng.random() < 0.3 and word[1:-2].isalpha():
+            cut = int(rng.integers(2, len(word) - 2))
+            head, tail = word[:cut], word[cut:]
+            if tail[:1].islower():
+                lines.append(f"{cur} {head}-".strip())
+                cur = tail
+                continue
+        lines.append(cur)
+        cur = word
+    if cur:
+        lines.append(cur)
+    return "\n".join(lines)
+
+
+def gen_pdfish(rng: np.random.Generator) -> str:
+    n_pages = int(rng.integers(1, 4))
+    header = _sentence(rng, 3, 6)
+    footer = f"Page footer {int(rng.integers(1, 99))}"
+    parts = ["%PDF-LITE 1.0"]
+    for page in range(1, n_pages + 1):
+        blocks = []
+        if n_pages > 1:  # running header/footer only repeat on multi-page docs
+            blocks.append((40, 36, header))
+            blocks.append((900, 36, footer))
+        n_body = int(rng.integers(1, 4))
+        ys = sorted(int(y) for y in rng.integers(100, 800, n_body))
+        for y in ys:
+            blocks.append((y, int(rng.integers(30, 60)), _wrap_hyphen(rng, _paragraph(rng, 2))))
+        order = rng.permutation(len(blocks))  # payload order != reading order
+        for i in order:
+            y, x, text = blocks[int(i)]
+            parts.append(f"@block page={page} y={y} x={x}\n{text}\n@endblock")
+    parts.append("%%EOF")
+    return "\n".join(parts)
+
+
+def gen_tool(rng: np.random.Generator) -> str:
+    lines: List[str] = []
+    n = int(rng.integers(3, 10))
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.25:
+            lines.append(f"{int(rng.integers(1, 100))}%|{'█' * int(rng.integers(2, 20))}| downloading")
+        elif r < 0.35:
+            lines.append(f"Downloading shard-{int(rng.integers(0, 99))} ... {int(rng.integers(0, 100))}%")
+        elif r < 0.45:
+            lines.append(f"\x1b[32mOK\x1b[0m step {int(rng.integers(0, 50))} finished in {rng.integers(1, 900) / 10:.1f}s")
+        elif r < 0.55:
+            lines.append("")
+        else:
+            lines.append(f"result[{int(rng.integers(0, 9))}]: {_sentence(rng, 4, 10)}")
+    if rng.random() < 0.3:
+        lines += [
+            "Traceback (most recent call last):",
+            '  File "job.py", line 10, in <module>',
+            "    run()",
+            '  File "job.py", line 7, in run',
+            "    raise ValueError('bad shard')",
+            "ValueError: bad shard",
+        ]
+    return "\n".join(lines)
+
+
+class PayloadPools:
+    """Seeded pools of pre-generated payloads (speed at bench scale)."""
+
+    def __init__(self, seed: int = SEED, n_html: int = 400, n_pdf: int = 250, n_tool: int = 250):
+        rng = np.random.default_rng(seed + 1000)
+        self.html = [gen_html(rng) for _ in range(n_html)]
+        self.pdf = [gen_pdfish(rng) for _ in range(n_pdf)]
+        self.tool = [gen_tool(rng) for _ in range(n_tool)]
+
+
+def _conv_lengths(rng: np.random.Generator, n_convs: int) -> np.ndarray:
+    """Zipf-skewed: mostly 2-20 turns, some 50-200, every 500th is 1000+."""
+    lens = np.where(
+        rng.random(n_convs) < 0.9,
+        rng.integers(2, 21, n_convs),
+        rng.integers(50, 201, n_convs),
+    ).astype(np.int64)
+    for i in range(250, n_convs, 500):
+        lens[i] = int(rng.integers(1000, 2500))
+    return lens
+
+
+_EDGE_TEXTS = [
+    "",                                     # empty
+    "   \t  ",                              # whitespace-only
+    "line one\r\nline two\r\nend",          # CRLF
+    f"{_CJK} {_EMOJI} café naïve",          # non-ASCII
+    "trailing sentinel <|end_of_text|>",    # sentinel strip
+]
+
+
+def generate_rows(n_convs: int, seed: int = SEED, pools: PayloadPools | None = None) -> Dict[str, list]:
+    """Generate all turn rows (conversation-ordered; caller shuffles)."""
+    pools = pools or PayloadPools(seed)
+    rng = np.random.default_rng(seed)
+    lens = _conv_lengths(rng, n_convs)
+    cols: Dict[str, list] = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
+    base_ts = 1_700_000_000_000_000  # us epoch
+    for c in range(n_convs):
+        conv_id = f"conv-{c:07d}"
+        n_turns = int(lens[c])
+        has_system = rng.random() < 0.2
+        for t in range(n_turns):
+            if t == 0 and has_system:
+                role = "system"
+            elif rng.random() < 0.12 and t > 0:
+                role = "tool"
+            else:
+                role = "user" if t % 2 == (0 if not has_system else 1) else "assistant"
+            tool = ""
+            if role == "tool":
+                tool = ["search", "shell", "browser"][int(rng.integers(0, 3))]
+                text = pools.tool[int(rng.integers(0, len(pools.tool)))]
+            else:
+                r = rng.random()
+                if r < 0.12:
+                    payload = pools.html[int(rng.integers(0, len(pools.html)))]
+                    text = _place_payload(rng, payload)
+                elif r < 0.20:
+                    payload = pools.pdf[int(rng.integers(0, len(pools.pdf)))]
+                    text = _place_payload(rng, payload)
+                elif r < 0.215:
+                    # adjacent payloads edge case
+                    text = (
+                        pools.html[int(rng.integers(0, len(pools.html)))]
+                        + pools.pdf[int(rng.integers(0, len(pools.pdf)))]
+                    )
+                elif r < 0.23:
+                    text = _EDGE_TEXTS[int(rng.integers(0, len(_EDGE_TEXTS)))]
+                else:
+                    text = _paragraph(rng, int(rng.integers(1, 3)))
+            cols["conv_id"].append(conv_id)
+            cols["turn_idx"].append(t)
+            cols["role"].append(role)
+            cols["text"].append(text)
+            cols["tool"].append(tool)
+            cols["ts"].append(base_ts + c * 1_000_000_000 + t * 7_000_000)
+    return cols
+
+
+def _place_payload(rng: np.random.Generator, payload: str) -> str:
+    """Embed a payload at start / middle / end of literal text."""
+    pre = _sentence(rng, 4, 10)
+    post = _sentence(rng, 4, 10)
+    r = rng.random()
+    if r < 0.25:
+        return f"{payload}\n{post}"
+    if r < 0.5:
+        return f"{pre}\n{payload}"
+    if r < 0.9:
+        return f"{pre}\n{payload}\n{post}"
+    return payload
+
+
+def rows_to_table(cols: Dict[str, list]) -> pa.Table:
+    return pa.Table.from_pydict(
+        {
+            "conv_id": pa.array(cols["conv_id"], pa.string()),
+            "turn_idx": pa.array(cols["turn_idx"], pa.int32()),
+            "role": pa.array(cols["role"], pa.string()),
+            "text": pa.array(cols["text"], pa.string()),
+            "tool": pa.array(cols["tool"], pa.string()),
+            "ts": pa.array(cols["ts"], pa.timestamp("us")),
+        },
+        schema=TRANSCRIPTS,
+    )
+
+
+def write_transcripts(out_dir: str, n_convs: int, n_files: int, seed: int = SEED) -> List[str]:
+    """Synthesize, globally shuffle rows across conversations, write N files.
+
+    Idempotent: a ``_COMPLETE`` marker with matching params short-circuits
+    (the atomic-finalize discipline of the reference's DSQ writer,
+    /root/reference/crates/dsq-writer/src/lib.rs:410+).
+    """
+    params = {"n_convs": n_convs, "n_files": n_files, "seed": seed, "v": 3}
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f) == params:
+                return sorted(
+                    os.path.join(out_dir, p)
+                    for p in os.listdir(out_dir)
+                    if p.endswith(".parquet")
+                )
+    os.makedirs(out_dir, exist_ok=True)
+    for p in os.listdir(out_dir):
+        if p.endswith(".parquet"):
+            os.remove(os.path.join(out_dir, p))
+    table = rows_to_table(generate_rows(n_convs, seed))
+    perm = np.random.default_rng(seed + 7).permutation(table.num_rows)
+    table = table.take(pa.array(perm))
+    paths = []
+    rows_per = (table.num_rows + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = table.slice(i * rows_per, rows_per)
+        path = os.path.join(out_dir, f"transcripts-{i:04d}.parquet")
+        pq.write_table(chunk, path)
+        paths.append(path)
+    with open(marker, "w") as f:
+        json.dump(params, f)
+    return paths
+
+
+# Fixture tiers (FIXTURES.md SS4): conv counts tuned to the turn targets.
+TIERS = {
+    "t1": {"n_convs": 50, "n_files": 2},        # ~1k turns
+    "t2": {"n_convs": 2000, "n_files": 8},      # ~60k turns
+    "bench": {"n_convs": 20000, "n_files": 32}, # ~600k turns
+}
+
+
+def tier_for_sf_dir(sf_dir: str) -> str:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return {"sf0.001": "t1", "sf0.01": "t2", "sf0.1": "bench"}.get(name, "t2")
+
+
+def fixture_dir(tier: str) -> str:
+    """Materialize (once) and return the cached fixture dir for a tier."""
+    cfg = TIERS[tier]
+    out = os.path.join(CACHE_ROOT, tier)
+    write_transcripts(out, cfg["n_convs"], cfg["n_files"], SEED)
+    return out
