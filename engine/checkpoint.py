@@ -1,0 +1,162 @@
+"""Per-partition checkpointed execution with lineage manifests.
+
+The resumability surface required by the north rule, modeled on the
+reference's finalize discipline (the DSQ writer streams blocks into a
+temp layout and backpatches the header only on ``finalize()``, making
+completion atomic-ish — /root/reference/crates/dsq-writer/src/lib.rs:410+):
+
+- the input file list is split into P partitions (one output directory
+  per input shard — a failed run skips finished partitions);
+- each partition runs the streaming extraction plan end-to-end and
+  writes to ``<out>/.tmp-part=<pid>``, atomically renamed to
+  ``<out>/part=<pid>`` on success;
+- a lineage manifest line (partition id, input fingerprint, rows in/out,
+  extraction latency, status) is appended per completed partition
+  (FIXTURES.md SS3);
+- the input fingerprint covers file identity (path, size, mtime) AND the
+  extractor-config hash, so a rule change can never silently mix old and
+  new outputs (SURVEY SS7.6; the reference versions its fixture schema
+  for the same reason, baselines/README.md:62-63).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from typing import Dict, List, Optional, Sequence
+
+import pyarrow.parquet as pq
+
+from . import __version__ as ENGINE_VERSION
+from .schema import SCHEMA_VERSION
+from .pipeline import extraction_plan
+
+MANIFEST_NAME = "_manifest.jsonl"
+
+
+def config_hash(extra: Optional[Dict] = None) -> str:
+    """Hash of everything that affects extraction semantics."""
+    payload = {
+        "engine_version": ENGINE_VERSION,
+        "schema_version": SCHEMA_VERSION,
+        **(extra or {}),
+    }
+    return hashlib.sha256(
+        json.dumps(payload, sort_keys=True).encode()
+    ).hexdigest()[:16]
+
+
+def input_fingerprint(files: Sequence[str], cfg_hash: str) -> str:
+    h = hashlib.sha256()
+    for path in sorted(files):
+        st = os.stat(path)
+        h.update(f"{path}|{st.st_size}|{int(st.st_mtime)}\n".encode())
+    h.update(cfg_hash.encode())
+    return h.hexdigest()[:16]
+
+
+def partition_files(files: Sequence[str], num_partitions: int) -> List[List[str]]:
+    files = sorted(files)
+    num_partitions = min(num_partitions, len(files))
+    out: List[List[str]] = [[] for _ in range(num_partitions)]
+    for i, f in enumerate(files):
+        out[i % num_partitions].append(f)
+    return out
+
+
+def read_manifest(out_dir: str) -> Dict[int, Dict]:
+    path = os.path.join(out_dir, MANIFEST_NAME)
+    done: Dict[int, Dict] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    rec = json.loads(line)
+                    done[rec["partition_id"]] = rec
+    return done
+
+
+def _append_manifest(out_dir: str, rec: Dict) -> None:
+    with open(os.path.join(out_dir, MANIFEST_NAME), "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def _count_parquet_rows(directory: str) -> int:
+    total = 0
+    for root, _dirs, names in os.walk(directory):
+        for name in names:
+            if name.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, name)).metadata.num_rows
+    return total
+
+
+def run_partitioned(
+    in_files: Sequence[str],
+    out_dir: str,
+    *,
+    num_partitions: int = 8,
+    config_extra: Optional[Dict] = None,
+    salt_block: Optional[int] = None,
+    batch_size: int = 2048,
+    concurrency=None,
+) -> List[Dict]:
+    """Run extraction per input partition with resume-on-restart.
+
+    Returns the list of lineage records (completed prior + this run).
+    Partitions whose manifest entry matches (id, fingerprint, complete)
+    are skipped at plan time; a fingerprint mismatch (input or extractor
+    config changed) forces reprocessing of that partition only.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    cfg = config_hash(config_extra)
+    parts = partition_files(in_files, num_partitions)
+    done = read_manifest(out_dir)
+    records: List[Dict] = []
+
+    for pid, files in enumerate(parts):
+        fp = input_fingerprint(files, cfg)
+        final = os.path.join(out_dir, f"part={pid}")
+        prior = done.get(pid)
+        if (
+            prior
+            and prior.get("input_fingerprint") == fp
+            and prior.get("status") == "complete"
+            and os.path.isdir(final)
+        ):
+            records.append(prior)
+            continue
+
+        tmp = os.path.join(out_dir, f".tmp-part={pid}")
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+
+        rows_in = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        start = time.perf_counter()
+        ds = extraction_plan(
+            files,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            salt_block=salt_block,
+        )
+        ds.write_parquet(tmp)
+        elapsed_ms = (time.perf_counter() - start) * 1000.0
+        rows_out = _count_parquet_rows(tmp)
+        os.rename(tmp, final)  # atomic finalize
+
+        rec = {
+            "partition_id": pid,
+            "input_fingerprint": fp,
+            "rows_in": rows_in,
+            "rows_out": rows_out,
+            "extraction_ms": round(elapsed_ms, 3),
+            "status": "complete",
+        }
+        _append_manifest(out_dir, rec)
+        records.append(rec)
+    return records

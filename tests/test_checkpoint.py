@@ -1,0 +1,109 @@
+"""Checkpoint / lineage / resume semantics (north rule; SURVEY SS4)."""
+
+import json
+import os
+import shutil
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from engine.checkpoint import (
+    config_hash,
+    input_fingerprint,
+    partition_files,
+    read_manifest,
+    run_partitioned,
+)
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    return str(tmp_path / "out")
+
+
+def _read_all(out_dir):
+    frames = []
+    for name in sorted(os.listdir(out_dir)):
+        if name.startswith("part="):
+            for f in os.listdir(os.path.join(out_dir, name)):
+                if f.endswith(".parquet"):
+                    frames.append(
+                        pq.read_table(os.path.join(out_dir, name, f)).to_pandas()
+                    )
+    return (
+        pd.concat(frames).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+
+
+def test_full_run_matches_oracle(t1_files, t1_expected, out_dir):
+    recs = run_partitioned(t1_files, out_dir, num_partitions=2, batch_size=256)
+    assert all(r["status"] == "complete" for r in recs)
+    assert sum(r["rows_in"] for r in recs) == t1_expected.num_rows
+    assert sum(r["rows_out"] for r in recs) == t1_expected.num_rows
+    got = _read_all(out_dir)
+    want = t1_expected.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert (got["extracted_text"] == want["extracted_text"]).all()
+
+
+def test_resume_skips_complete_partitions(t1_files, out_dir):
+    run_partitioned(t1_files, out_dir, num_partitions=2, batch_size=256)
+    mtimes = {
+        name: os.path.getmtime(os.path.join(out_dir, name))
+        for name in os.listdir(out_dir)
+        if name.startswith("part=")
+    }
+    # Simulate a crash that lost partition 1.
+    shutil.rmtree(os.path.join(out_dir, "part=1"))
+    recs = run_partitioned(t1_files, out_dir, num_partitions=2, batch_size=256)
+    assert {r["partition_id"] for r in recs} == {0, 1}
+    # Partition 0 untouched (resume skipped it) ...
+    assert os.path.getmtime(os.path.join(out_dir, "part=0")) == mtimes["part=0"]
+    # ... partition 1 rebuilt.
+    assert os.path.isdir(os.path.join(out_dir, "part=1"))
+    # Manifest now holds two entries for pid 1 (old + new), latest wins.
+    done = read_manifest(out_dir)
+    assert done[1]["status"] == "complete"
+
+
+def test_config_change_invalidates_fingerprint(t1_files, out_dir):
+    run_partitioned(t1_files, out_dir, num_partitions=2, batch_size=256)
+    before = read_manifest(out_dir)
+    recs = run_partitioned(
+        t1_files, out_dir, num_partitions=2, batch_size=256,
+        config_extra={"rule_family": "v2"},
+    )
+    after = read_manifest(out_dir)
+    assert all(
+        after[p]["input_fingerprint"] != before[p]["input_fingerprint"]
+        for p in before
+    )
+    assert all(r["status"] == "complete" for r in recs)
+
+
+def test_fingerprint_covers_config_and_files(t1_files):
+    a = input_fingerprint(t1_files, config_hash())
+    b = input_fingerprint(t1_files, config_hash({"x": 1}))
+    assert a != b
+    assert input_fingerprint(t1_files, config_hash()) == a  # deterministic
+
+
+def test_partition_files_round_robin():
+    files = [f"f{i}" for i in range(5)]
+    parts = partition_files(files, 2)
+    assert sorted(sum(parts, [])) == files
+    assert len(parts) == 2
+    parts1 = partition_files(files, 10)  # more partitions than files
+    assert len(parts1) == 5
+
+
+def test_manifest_lines_are_lineage_records(t1_files, out_dir):
+    run_partitioned(t1_files, out_dir, num_partitions=2, batch_size=256)
+    with open(os.path.join(out_dir, "_manifest.jsonl")) as f:
+        recs = [json.loads(line) for line in f if line.strip()]
+    for rec in recs:
+        assert set(rec) == {
+            "partition_id", "input_fingerprint", "rows_in", "rows_out",
+            "extraction_ms", "status",
+        }
+        assert rec["extraction_ms"] > 0

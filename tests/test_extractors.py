@@ -1,0 +1,180 @@
+"""Unit tests for the three payload extractors (SURVEY SS2.3 analogs)."""
+
+from engine.html_extract import extract_html, link_density, parse_html
+from engine.noise import filter_tool_output, strip_ansi
+from engine.pdf_extract import dehyphenate, extract_pdfish
+from engine.sniff import MAX_PAYLOAD_CHARS, clamp_payload, segment_turn
+
+
+HTML_DOC = (
+    "<!DOCTYPE html><html><head><title>T</title>"
+    "<script>var x=1;</script><style>.a{}</style></head><body>"
+    '<div class="nav"><a href="/a">home</a> <a href="/b">about</a></div>'
+    '<div id="header"><h1>Site Title</h1></div>'
+    '<div class="content">'
+    "<p>This is the main article paragraph, with enough commas, text, and substance to score well.</p>"
+    "<p>A second paragraph, also long enough, with an &amp; entity and it&#x27;s fine.</p>"
+    "<ul><li>first item text here</li><li>second item text here</li></ul>"
+    "</div>"
+    '<div class="sidebar"><a href="/x">link</a> <a href="/y">link</a></div>'
+    '<div class="footer">Copyright 2026 <a href="/z">terms</a></div>'
+    "</body></html>"
+)
+
+
+class TestHtml:
+    def test_main_content_selected(self):
+        blocks = extract_html(HTML_DOC)
+        assert any("main article paragraph" in b for b in blocks)
+        joined = " ".join(blocks)
+        assert "home" not in joined and "Copyright" not in joined
+        assert "Site Title" not in joined  # header div is boilerplate
+
+    def test_entities_unescaped(self):
+        blocks = extract_html(HTML_DOC)
+        joined = " ".join(blocks)
+        assert "&" in joined and "&amp;" not in joined
+        assert "it's fine" in joined
+
+    def test_list_items_are_blocks(self):
+        blocks = extract_html(HTML_DOC)
+        assert "first item text here" in blocks
+        assert "second item text here" in blocks
+
+    def test_script_style_skipped(self):
+        assert "var x" not in " ".join(extract_html(HTML_DOC))
+
+    def test_link_dense_block_dropped(self):
+        doc = (
+            "<!DOCTYPE html><html><body><div class='content'>"
+            "<p>Real paragraph with plenty of genuine text, commas, and length to be the candidate.</p>"
+            "<p><a href='/1'>one</a> <a href='/2'>two</a> <a href='/3'>three</a></p>"
+            "</div></body></html>"
+        )
+        blocks = extract_html(doc)
+        assert len(blocks) == 1 and "Real paragraph" in blocks[0]
+
+    def test_no_body_fallback(self):
+        doc = "<!DOCTYPE html><html><p>just a bare paragraph of text</p></html>"
+        blocks = extract_html(doc)
+        assert blocks == ["just a bare paragraph of text"]
+
+    def test_empty_doc(self):
+        assert extract_html("<!DOCTYPE html><html></html>") == []
+
+    def test_link_density(self):
+        node = parse_html("<div><a>abc</a>def</div>")
+        assert abs(link_density(node) - 0.5) < 1e-9
+
+    def test_malformed_html_no_crash(self):
+        blocks = extract_html(
+            "<!DOCTYPE html><html><body><div><p>unclosed everywhere"
+        )
+        assert blocks == ["unclosed everywhere"]
+
+
+PDF_DOC = """%PDF-LITE 1.0
+@block page=1 y=500 x=10
+later block on page one
+@endblock
+@block page=1 y=40 x=10
+Running Header
+@endblock
+@block page=1 y=100 x=10
+first body text with a hyphen-
+ated continuation line
+@endblock
+@block page=2 y=40 x=10
+Running Header
+@endblock
+@block page=2 y=100 x=10
+page two body text
+@endblock
+%%EOF"""
+
+
+class TestPdf:
+    def test_reading_order(self):
+        blocks = extract_pdfish(PDF_DOC)
+        assert blocks == [
+            "first body text with a hyphenated continuation line",
+            "later block on page one",
+            "page two body text",
+        ]
+
+    def test_header_removed_everywhere(self):
+        assert "Running Header" not in extract_pdfish(PDF_DOC)
+
+    def test_dehyphenate(self):
+        assert dehyphenate("hyphen-\nated word") == "hyphenated word"
+        assert dehyphenate("dash-\nCapital stays") == "dash- Capital stays"
+        assert dehyphenate("one\ntwo\nthree") == "one two three"
+
+    def test_single_page_header_kept(self):
+        doc = "%PDF-LITE 1.0\n@block page=1 y=40 x=10\nHead\n@endblock\n%%EOF"
+        assert extract_pdfish(doc) == ["Head"]
+
+    def test_empty(self):
+        assert extract_pdfish("%PDF-LITE 1.0\n%%EOF") == []
+
+    def test_stable_tie_order(self):
+        doc = (
+            "%PDF-LITE 1.0\n"
+            "@block page=1 y=100 x=10\nfirst\n@endblock\n"
+            "@block page=1 y=100 x=10\nsecond\n@endblock\n%%EOF"
+        )
+        assert extract_pdfish(doc) == ["first", "second"]
+
+
+class TestTool:
+    def test_ansi_and_progress_dropped(self):
+        out = filter_tool_output(
+            "\x1b[32mOK\x1b[0m built target\n45%|████████| downloading\nresult: done"
+        )
+        assert out == ["OK built target"] or out == ["OK built target", "result: done"]
+
+    def test_paragraph_split_on_noise(self):
+        out = filter_tool_output("alpha\n55%|██| x\nbeta")
+        assert out == ["alpha", "beta"]
+
+    def test_traceback_collapsed(self):
+        payload = (
+            "before\n"
+            "Traceback (most recent call last):\n"
+            '  File "a.py", line 1, in <module>\n'
+            "    boom()\n"
+            "ValueError: boom\n"
+            "after"
+        )
+        out = filter_tool_output(payload)
+        joined = "\n".join(out)
+        assert "boom()" not in joined
+        assert "ValueError: boom" in joined
+        assert "Traceback (most recent call last):" in joined
+
+    def test_strip_ansi(self):
+        assert strip_ansi("\x1b[1;31mred\x1b[0m") == "red"
+
+    def test_empty(self):
+        assert filter_tool_output("") == []
+        assert filter_tool_output("\n\n42%|█| x\n\n") == []
+
+
+class TestSniff:
+    def test_literal_only(self):
+        assert segment_turn("plain text", "user") == [("literal", "plain text")]
+
+    def test_tool_role_is_one_payload(self):
+        assert segment_turn("any output", "tool") == [("tool", "any output")]
+
+    def test_interleaving_order(self):
+        text = f"before {HTML_DOC} middle {PDF_DOC} after"
+        kinds = [k for k, _ in segment_turn(text, "user")]
+        assert kinds == ["literal", "html", "literal", "pdfish", "literal"]
+
+    def test_adjacent_payloads(self):
+        kinds = [k for k, _ in segment_turn(HTML_DOC + PDF_DOC, "user")]
+        assert kinds == ["html", "pdfish"]
+
+    def test_clamp(self):
+        assert len(clamp_payload("x" * (MAX_PAYLOAD_CHARS + 10))) == MAX_PAYLOAD_CHARS

@@ -1,0 +1,79 @@
+"""End-to-end per-turn equality of the Ray pipeline against the oracle —
+the engine's flagship parity test, mirroring the reference's
+baseline_generation_matches_reference
+(/root/reference/crates/infer-deepseek/tests/baseline.rs:481)."""
+
+import pandas as pd
+import pytest
+
+from engine.pipeline import extraction_plan
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(t1_files):
+    return _sorted(extraction_plan(t1_files, batch_size=256).to_pandas())
+
+
+@pytest.fixture(scope="module")
+def expected(t1_expected):
+    return _sorted(t1_expected.to_pandas())
+
+
+def test_row_count_and_no_dups(pipeline_out, expected):
+    assert len(pipeline_out) == len(expected)
+    keys = pipeline_out[["conv_id", "turn_idx"]].apply(tuple, axis=1)
+    assert keys.is_unique
+
+
+def test_per_turn_text_equality(pipeline_out, expected):
+    mism = (pipeline_out["extracted_text"] != expected["extracted_text"]).sum()
+    assert mism == 0, f"{mism} turns differ from oracle"
+
+
+def test_per_turn_span_equality(pipeline_out, expected):
+    for got, want in zip(pipeline_out["spans"], expected["spans"]):
+        assert list(got) == list(want)
+
+
+def test_n_blocks_matches_spans(pipeline_out):
+    for nb, spans in zip(pipeline_out["n_blocks"], pipeline_out["spans"]):
+        assert nb == len(spans)
+
+
+def test_spans_slice_back_to_blocks(pipeline_out):
+    for text, spans in zip(pipeline_out["extracted_text"], pipeline_out["spans"]):
+        prev_end = -1
+        for sp in spans:
+            assert 0 <= sp["start"] < sp["end"] <= len(text)
+            assert sp["start"] > prev_end  # non-overlapping, ascending
+            prev_end = sp["end"]
+
+
+def test_conv_n_turns(pipeline_out):
+    sizes = pipeline_out.groupby("conv_id")["turn_idx"].max() + 1
+    for conv_id, grp in pipeline_out.groupby("conv_id"):
+        assert (grp["conv_n_turns"] == sizes[conv_id]).all()
+
+
+def test_salted_equals_unsalted(t1_files, pipeline_out):
+    """Salting the group key must not change any output value (SURVEY SS7.6)."""
+    salted = _sorted(
+        extraction_plan(t1_files, batch_size=256, salt_block=8).to_pandas()
+    )
+    cols = ["conv_id", "turn_idx", "role", "extracted_text", "n_blocks", "conv_n_turns"]
+    pd.testing.assert_frame_equal(salted[cols], pipeline_out[cols])
+    for got, want in zip(salted["spans"], pipeline_out["spans"]):
+        assert list(got) == list(want)
+
+
+def test_groups_emitted_ordered(t1_files):
+    """Within each output block, a conversation's turns appear sorted —
+    the stable-turn-ordering contract of the grouped emission stage."""
+    ds = extraction_plan(t1_files, batch_size=256)
+    for batch in ds.iter_batches(batch_size=None, batch_format="pandas"):
+        for _conv, grp in batch.groupby("conv_id"):
+            assert grp["turn_idx"].is_monotonic_increasing
