@@ -1,44 +1,262 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the ``engine`` package) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``    — flagship transcript-extraction pipeline on a
+  deterministic fixture derived from sf0.001 scale (the transcript table
+  per BASELINE.json input_hint is synthesized, seed=42 — no external data).
+- ``queries()``  — one entry per implemented operator (SURVEY.md SS2 +
+  the training-data operator set); each takes ``sf_dir``.
+- ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
+  query, with matching column names. Extraction / sketch / ANN operators
+  are non-SQL-expressible and get rows-only checks.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_SENTINEL = "<|end_of_text|>"
+
+
+# ---------------------------------------------------------------------------
+# transcript fixtures (synthesized per BASELINE.json input_hint)
+# ---------------------------------------------------------------------------
+
+def _transcript_files(sf_dir: str):
+    from engine import synth
+
+    tier = synth.tier_for_sf_dir(sf_dir)
+    d = synth.fixture_dir(tier)
+    return sorted(
+        os.path.join(d, p) for p in os.listdir(d) if p.endswith(".parquet")
+    )
+
+
+def _extraction_ds(sf_dir: str, **kwargs):
+    from engine.pipeline import extraction_plan
+
+    return extraction_plan(_transcript_files(sf_dir), **kwargs)
+
+
+def _spans_to_json(ds):
+    """Driver-friendly projection: the driver sorts/hashes result columns,
+    which a list<struct> column can break — serialize spans to JSON text.
+    The library surface (engine.pipeline) keeps the real Arrow list type."""
+    import json
+
+    import pyarrow as pa
+
+    def project(batch: pa.Table) -> pa.Table:
+        spans_json = pa.array(
+            [json.dumps(s) for s in batch["spans"].to_pylist()], pa.string()
+        )
+        idx = batch.schema.get_field_index("spans")
+        return batch.set_column(idx, "spans_json", spans_json)
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _extract_transcripts(sf_dir: str):
+    return _spans_to_json(_extraction_ds(sf_dir))
+
+
+def _extract_transcripts_salted(sf_dir: str):
+    return _spans_to_json(_extraction_ds(sf_dir, salt_block=64))
+
+
+def _extract_turn_stats(sf_dir: str):
+    """Per-role roll-up of the extraction output (bench-stage-totals shape,
+    SURVEY A1, applied to the flagship's own output)."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    ds = _extraction_ds(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"role": batch["role"], "n_blocks": batch["n_blocks"]})
+        return t.group_by(["role"]).aggregate(
+            [("n_blocks", "count"), ("n_blocks", "sum")]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("role")
+        .aggregate(
+            Sum("n_blocks_count", alias_name="n_turns"),
+            Sum("n_blocks_sum", alias_name="total_blocks"),
+        )
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001 scale; driver smoke-checks rows>=0."""
+    return _extract_transcripts("/root/testdata/sf0.001")
 
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from engine.ops import dedup, multimodal, relational, similarity, textstats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship extraction family (non-SQL -> rows-only checks)
+        "extract_transcripts": _extract_transcripts,
+        "extract_transcripts_salted": _extract_transcripts_salted,
+        "extract_turn_stats": _extract_turn_stats,
+        # relational operators (SURVEY SS2.6-2.7)
+        "pricing_summary": relational.pricing_summary,
+        "stage_totals": relational.stage_totals,
+        "top_stages": relational.top_stages,
+        "distinct_event_types": relational.distinct_event_types,
+        "orders_by_segment": relational.orders_by_segment,
+        "windowed_events": relational.windowed_events,
+        # dedup family
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash": dedup.dedup_minhash,
+        "dedup_simhash": dedup.dedup_simhash,
+        # similarity search
+        "knn_bruteforce": similarity.knn_bruteforce,
+        "knn_ivf": similarity.knn_ivf,
+        # text analysis
+        "quality_score": textstats.quality_score,
+        "lang_id": textstats.lang_id,
+        "normalize_documents": textstats.normalize_documents,
+        "doc_fingerprint": textstats.doc_fingerprint,
+        "rolling_fingerprint": textstats.rolling_fingerprint,
+        # multimodal plumbing
+        "image_metadata": multimodal.image_metadata,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from engine.ops.textstats import (
+        CJK_PATTERN,
+        LANG_MARKERS,
+        PUNCT_PATTERN,
+        STOPWORDS,
+        TOKEN_PATTERN,
+    )
+
+    def marker_score(lang: str) -> str:
+        return " + ".join(
+            f"length(regexp_extract_all(lower(text), '\\b{w}\\b'))"
+            for w in LANG_MARKERS[lang]
+        )
+
+    stop_sql = " + ".join(
+        f"length(regexp_extract_all(text, '\\b{w}\\b'))" for w in STOPWORDS
+    )
+
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice) AS sum_base_price,
+                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+                   avg(l_quantity) AS avg_qty,
+                   avg(l_extendedprice) AS avg_price,
+                   avg(l_discount) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "stage_totals": """
+            SELECT event_type, count(*) AS n_events, sum(value) AS total_value,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events GROUP BY event_type
+        """,
+        "top_stages": """
+            SELECT * FROM (
+              SELECT event_type, count(*) AS n_events, sum(value) AS total_value,
+                     min(value) AS min_value, max(value) AS max_value
+              FROM events GROUP BY event_type)
+            ORDER BY total_value DESC LIMIT 3
+        """,
+        "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "orders_by_segment": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   sum(o_totalprice) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "windowed_events": """
+            SELECT user_id,
+                   (epoch_us(ts) // 3600000000) * 3600 AS window_start,
+                   count(*) AS n_events, sum(value) AS sum_value
+            FROM events GROUP BY user_id, window_start
+        """,
+        "dedup_exact": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 100000, text FROM documents
+              UNION ALL SELECT doc_id + 200000,
+                               regexp_replace(text, '\\s+\\S+$', '')
+                        FROM documents WHERE doc_id % 2 = 0
+            )
+            SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM corpus GROUP BY text
+        """,
+        "knn_bruteforce": """
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(
+                       CAST(q.embedding AS DOUBLE[]),
+                       CAST(e.embedding AS DOUBLE[])) AS raw_score
+              FROM embeddings q, embeddings e
+              WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+            SELECT query_id, neighbor_id, round(raw_score, 6) AS score
+            FROM scored
+            QUALIFY row_number() OVER (
+              PARTITION BY query_id ORDER BY raw_score DESC, neighbor_id) <= 10
+        """,
+        "quality_score": f"""
+            SELECT doc_id, n_chars, n_tokens, n_punct,
+                   round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+                   round(stop_hits / greatest(n_tokens, 1), 6) AS stopword_ratio
+            FROM (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     length(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens,
+                     length(regexp_extract_all(text, '{PUNCT_PATTERN.replace("'", "''")}')) AS n_punct,
+                     {stop_sql} AS stop_hits
+              FROM documents)
+        """,
+        "lang_id": f"""
+            SELECT doc_id,
+                   CASE WHEN score_zh > 0 THEN 'zh'
+                        WHEN score_de >= score_en AND score_de >= score_es
+                             AND score_de >= score_fr THEN 'de'
+                        WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                        WHEN score_es >= score_fr THEN 'es'
+                        ELSE 'fr' END AS pred_lang,
+                   score_de, score_en, score_es, score_fr, score_zh
+            FROM (
+              SELECT doc_id,
+                     {marker_score("de")} AS score_de,
+                     {marker_score("en")} AS score_en,
+                     {marker_score("es")} AS score_es,
+                     {marker_score("fr")} AS score_fr,
+                     length(regexp_extract_all(text, '{CJK_PATTERN}')) AS score_zh
+              FROM documents)
+        """,
+        "normalize_documents": f"""
+            SELECT doc_id,
+                   trim(replace(replace(replace(text,
+                          chr(13) || chr(10), chr(10)),
+                          chr(13), chr(10)),
+                          '{_SENTINEL}', ''),
+                        ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)
+                   ) AS normalized_text
+            FROM documents
+        """,
+        "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+    }

@@ -1,0 +1,332 @@
+"""Deduplication operators over the documents table.
+
+Training-data-pipeline operators (task brief): exact dedup, MinHash+LSH
+near-dup, SimHash near-dup — each expressed Ray-Data-first:
+
+- exact:   vectorized content-hash per batch -> groupby(hash) ->
+           per-group first (hash-partition + first pattern)
+- minhash: shingle -> minhash signature per batch (numpy vectorized)
+           -> explode to (band, band_hash, doc) rows -> groupby(band)
+           -> candidate pairs -> signature-estimated Jaccard filter
+- simhash: 64-bit simhash per batch -> band on 16-bit chunks ->
+           groupby -> candidate pairs -> hamming-distance filter
+
+All hashing is crc32/md5-based — deterministic across processes (never
+Python's salted hash()). The test corpus is the documents table with
+injected duplicates (exact copies and word-dropped near-copies at
+shifted doc_ids) so the operators have real work to find; the injection
+is itself expressible in SQL, keeping the exact-dedup oracle checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import zlib
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .._rayutil import ensure_serializable
+
+# ---------------------------------------------------------------------------
+# corpus with injected duplicates
+# ---------------------------------------------------------------------------
+
+EXACT_DUP_OFFSET = 100_000
+NEAR_DUP_OFFSET = 200_000
+
+
+def dup_corpus(sf_dir: str) -> ray.data.Dataset:
+    """documents UNION exact copies (every doc, id+100000) UNION word-dropped
+    near-copies (every 2nd doc, id+200000). Deterministic; SQL-expressible
+    for the exact part (see __ray_entry__.oracle_sql)."""
+    ensure_serializable()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def exact_copies(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.add(batch["doc_id"], EXACT_DUP_OFFSET),
+                "text": batch["text"],
+            }
+        )
+
+    def near_copies(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(batch["doc_id"], 1), 0)
+        batch = batch.filter(keep)
+        # drop the last whitespace-delimited token -> high-Jaccard near-dup
+        trimmed = pc.replace_substring_regex(batch["text"], r"\s+\S+$", "")
+        return pa.table(
+            {"doc_id": pc.add(batch["doc_id"], NEAR_DUP_OFFSET), "text": trimmed}
+        )
+
+    return ds.union(
+        ds.map_batches(exact_copies, batch_format="pyarrow", zero_copy_batch=True),
+        ds.map_batches(near_copies, batch_format="pyarrow", zero_copy_batch=True),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(sf_dir: str) -> ray.data.Dataset:
+    """Keep min doc_id per distinct text; emit (doc_id, n_dups).
+
+    Pattern: vectorized content hash in map_batches, hash-partitioned
+    groupby, per-group first (ray_guide 'Exact dedup'). The group key is
+    the 128-bit md5 (collision-safe at corpus scale), so the shuffle
+    moves (hash, doc_id) pairs — never the text itself."""
+    ds = dup_corpus(sf_dir)
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.md5(t.encode()).hexdigest() for t in batch["text"].to_pylist()
+        ]
+        return pa.table({"h": pa.array(hashes), "doc_id": batch["doc_id"]})
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+
+    def first_per_group(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"]
+        return pa.table(
+            {
+                "doc_id": pa.array([pc.min(ids).as_py()], pa.int64()),
+                "n_dups": pa.array([group.num_rows], pa.int64()),
+            }
+        )
+
+    return hashed.groupby("h").map_groups(first_per_group, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+N_PERM = 64
+N_BANDS = 16          # 16 bands x 4 rows
+ROWS_PER_BAND = N_PERM // N_BANDS
+SHINGLE_K = 3         # word 3-grams
+_MERSENNE = (1 << 61) - 1
+
+_rng = np.random.default_rng(12345)
+_A = _rng.integers(1, _MERSENNE, N_PERM, dtype=np.int64)
+_B = _rng.integers(0, _MERSENNE, N_PERM, dtype=np.int64)
+
+
+def shingles(text: str, k: int = SHINGLE_K) -> np.ndarray:
+    words = text.split()
+    if len(words) < k:
+        grams = [" ".join(words)] if words else [""]
+    else:
+        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    return np.unique(
+        np.fromiter((zlib.crc32(g.encode()) for g in grams), dtype=np.int64)
+    )
+
+
+def minhash_signature(text: str) -> np.ndarray:
+    sh = shingles(text)
+    # (a * x + b) mod p over all shingles, min per permutation — vectorized
+    vals = (_A[:, None] * sh[None, :] + _B[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+class MinHashStage:
+    """Actor-pool stage: signature per doc, exploded to band rows.
+
+    Emits (band, band_hash, doc_id, sig) — the signature rides along so
+    candidate verification needs no second pass over the texts. Cost:
+    N_PERM * 8 bytes per band row; drop the sig column and re-join if
+    signatures ever dominate the shuffle."""
+
+    def __init__(self) -> None:
+        self._sig = minhash_signature
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        bands, band_hashes, doc_ids, sigs = [], [], [], []
+        for doc_id, text in zip(ids, texts):
+            sig = self._sig(text)
+            for b in range(N_BANDS):
+                chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+                bands.append(b)
+                band_hashes.append(zlib.crc32(chunk.tobytes()))
+                doc_ids.append(int(doc_id))
+                sigs.append(sig.tolist())
+        return pa.table(
+            {
+                "band": pa.array(bands, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "sig": pa.array(sigs, pa.list_(pa.int64())),
+            }
+        )
+
+
+def _bucket_pairs(group: pa.Table) -> pa.Table:
+    """Candidate pairs within one (band, band_hash) bucket, with
+    signature-estimated Jaccard."""
+    ids = group["doc_id"].to_numpy(zero_copy_only=False)
+    if len(ids) < 2:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "est_jaccard": pa.array([], pa.float64()),
+            }
+        )
+    order = np.argsort(ids)
+    ids = ids[order]
+    sigs = np.asarray(group["sig"].to_pylist())[order]
+    doc_a, doc_b, est = [], [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if ids[i] == ids[j]:
+                continue
+            doc_a.append(int(ids[i]))
+            doc_b.append(int(ids[j]))
+            est.append(float((sigs[i] == sigs[j]).mean()))
+    return pa.table(
+        {
+            "doc_a": pa.array(doc_a, pa.int64()),
+            "doc_b": pa.array(doc_b, pa.int64()),
+            "est_jaccard": pa.array(est, pa.float64()),
+        }
+    )
+
+
+def dedup_minhash(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
+    """MinHash+LSH near-dup pairs: shingle -> minhash -> band -> bucket
+    groupby -> estimate -> threshold -> global pair dedup."""
+    ds = dup_corpus(sf_dir)
+    banded = ds.map_batches(
+        MinHashStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    pairs = banded.groupby(["band", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pyarrow"
+    )
+    # A pair can surface from several bands: dedup on (doc_a, doc_b).
+    thresholded = pairs.filter(expr=f"est_jaccard >= {threshold}")
+
+    def pair_first(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return thresholded.groupby(["doc_a", "doc_b"]).map_groups(
+        pair_first, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 4  # 4 x 16-bit chunks; hamming<=3 guarantees one equal chunk
+
+
+def simhash64(text: str) -> int:
+    words = text.split()
+    if not words:
+        return 0
+    hashes = np.fromiter(
+        (zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32) for w in words),
+        dtype=np.uint64,
+    )
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+        np.int64
+    )
+    vote = (2 * bits - 1).sum(axis=0)
+    return int(
+        np.bitwise_or.reduce(
+            (vote > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+        )
+    )
+
+
+class SimHashStage:
+    def __init__(self) -> None:
+        self._simhash = simhash64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        chunk_ids, chunk_vals, doc_ids, fps = [], [], [], []
+        for doc_id, text in zip(ids, texts):
+            fp = self._simhash(text)
+            for c in range(SIMHASH_CHUNKS):
+                chunk_ids.append(c)
+                chunk_vals.append((fp >> (16 * c)) & 0xFFFF)
+                doc_ids.append(int(doc_id))
+                fps.append(fp)
+        return pa.table(
+            {
+                "chunk": pa.array(chunk_ids, pa.int32()),
+                "chunk_val": pa.array(chunk_vals, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "fp": pa.array(np.array(fps, dtype=np.uint64).view(np.int64)),
+            }
+        )
+
+
+def _simhash_bucket_pairs(max_hamming: int):
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        fps = group["fp"].to_numpy(zero_copy_only=False).view(np.uint64)
+        doc_a, doc_b, dist = [], [], []
+        order = np.argsort(ids)
+        ids, fps = ids[order], fps[order]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                d = int(bin(int(fps[i]) ^ int(fps[j])).count("1"))
+                if d <= max_hamming:
+                    doc_a.append(int(ids[i]))
+                    doc_b.append(int(ids[j]))
+                    dist.append(d)
+        return pa.table(
+            {
+                "doc_a": pa.array(doc_a, pa.int64()),
+                "doc_b": pa.array(doc_b, pa.int64()),
+                "hamming": pa.array(dist, pa.int64()),
+            }
+        )
+
+    return bucket_pairs
+
+
+def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
+    """SimHash near-dup pairs via 16-bit-chunk banding (pigeonhole: any
+    pair within hamming<=3 of 64 bits shares at least one of 4 chunks)."""
+    ds = dup_corpus(sf_dir)
+    banded = ds.map_batches(
+        SimHashStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    pairs = banded.groupby(["chunk", "chunk_val"]).map_groups(
+        _simhash_bucket_pairs(max_hamming), batch_format="pyarrow"
+    )
+
+    def pair_first(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        pair_first, batch_format="pyarrow"
+    )

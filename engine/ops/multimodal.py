@@ -1,0 +1,137 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video at 100 TB are opaque ``binary`` columns with typed
+metadata, decoded/feature-extracted in actor-pool ``map_batches`` stages
+with SMALL batch sizes (a batch of binary payloads x concurrency must
+fit a worker heap). The decode libraries (PIL/ffmpeg) are not in this
+container, so the decode itself is stubbed behind an import-try with a
+deterministic fake — but the Ray-side plumbing (schema, batch sizing,
+actor signature, output layout) is real and tested.
+
+Fake container format (deterministic, synthesized from documents):
+``b"IMG1" + width:u16 + height:u16 + payload bytes``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .._rayutil import ensure_serializable
+
+MAGIC = b"IMG1"
+BINARY_BATCH_SIZE = 256  # small: payloads are wide rows
+
+
+def encode_fake_images(sf_dir: str) -> ray.data.Dataset:
+    """documents -> (doc_id, image: binary, mime, width, height).
+
+    Deterministic stand-in for an image-bearing table: dims derived from
+    doc_id, payload bytes from the text."""
+    ensure_serializable()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        widths, heights = [], []
+        for doc_id, text in zip(ids, batch["text"].to_pylist()):
+            w = 64 + int(doc_id) % 193
+            h = 64 + (int(doc_id) * 7) % 151
+            widths.append(w)
+            heights.append(h)
+            payloads.append(
+                MAGIC
+                + int(w).to_bytes(2, "big")
+                + int(h).to_bytes(2, "big")
+                + text.encode()[:256]
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "image": pa.array(payloads, pa.binary()),
+                "mime": pa.array(["image/fake"] * len(payloads)),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+            }
+        )
+
+    return ds.map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=BINARY_BATCH_SIZE,
+    )
+
+
+def _decode_real(payload: bytes):
+    """Real decode path — requires an image library absent here."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - always taken in container
+        raise NotImplementedError(
+            "real image decode needs PIL/ffmpeg (not in this container); "
+            "the deterministic fake decoder is used instead"
+        ) from exc
+
+
+class DecodeImageMeta:
+    """Actor-pool decode stage: parse the container header, emit metadata
+    + a tiny feature (byte-mean as a stand-in for pixel stats).
+
+    Swap ``_decode_fake`` for ``_decode_real`` when PIL exists; the
+    Ray-side signature and output schema do not change."""
+
+    def __init__(self) -> None:
+        self._magic = MAGIC
+
+    def _decode_fake(self, payload: bytes):
+        if payload[:4] != self._magic:
+            return None
+        w = int.from_bytes(payload[4:6], "big")
+        h = int.from_bytes(payload[6:8], "big")
+        body = np.frombuffer(payload[8:], dtype=np.uint8)
+        mean = float(body.mean()) if len(body) else 0.0
+        return w, h, round(mean, 6)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, widths, heights, pixels, means, ok = [], [], [], [], [], []
+        for doc_id, payload in zip(
+            batch["doc_id"].to_pylist(), batch["image"].to_pylist()
+        ):
+            decoded = self._decode_fake(payload)
+            ids.append(doc_id)
+            if decoded is None:
+                widths.append(0); heights.append(0); pixels.append(0)
+                means.append(0.0); ok.append(False)
+            else:
+                w, h, m = decoded
+                widths.append(w); heights.append(h); pixels.append(w * h)
+                means.append(m); ok.append(True)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "n_pixels": pa.array(pixels, pa.int64()),
+                "byte_mean": pa.array(means, pa.float64()),
+                "decode_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+
+def image_metadata(sf_dir: str) -> ray.data.Dataset:
+    """Full multimodal plumbing: encode -> actor-pool decode -> metadata."""
+    return encode_fake_images(sf_dir).map_batches(
+        DecodeImageMeta,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=BINARY_BATCH_SIZE,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )

@@ -1,0 +1,223 @@
+"""Text-analysis operators over the documents table.
+
+Language-ID (marker-word heuristic), quality scoring (length / token /
+punctuation / stopword ratios), token counting, normalization (the M5
+analog applied corpus-wide) and document fingerprinting.
+
+Parity discipline (SURVEY SS2.9): every regex used here is RE2-compatible
+and ASCII-\\S based, and the Python side compiles with ``re.ASCII``, so
+the DuckDB oracle (`regexp_extract_all`) counts the exact same matches.
+Ratios are rounded to 6 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .._rayutil import ensure_serializable
+from ..pipeline import normalize_arrow
+
+TOKEN_PATTERN = r"[^ \t\n\r\f\v]+"       # ASCII \S+, spelled out for RE2/DuckDB parity
+PUNCT_PATTERN = r"[!-/:-@\[-`{-~]"        # ASCII punctuation ranges
+ROUND_DECIMALS = 6
+
+# Marker-word profiles for the 5 corpus languages (FIXTURES-style
+# deterministic heuristic; real systems use char n-gram models).
+LANG_MARKERS = {
+    "de": ["der", "die", "das", "und", "nicht", "ist"],
+    "en": ["the", "and", "of", "to", "is", "that"],
+    "es": ["el", "la", "los", "que", "de", "es"],
+    "fr": ["le", "la", "les", "et", "est", "que"],
+}
+CJK_PATTERN = r"[一-鿿]"
+STOPWORDS = ["the", "and", "of", "a", "to", "in"]
+
+
+def _read_documents(sf_dir: str, columns):
+    ensure_serializable()
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
+
+
+def quality_score(sf_dir: str) -> ray.data.Dataset:
+    """Per-document quality features, fully vectorized with pyarrow."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_chars = pc.utf8_length(text)
+        n_tokens = pc.count_substring_regex(text, TOKEN_PATTERN)
+        n_punct = pc.count_substring_regex(text, PUNCT_PATTERN)
+        stop_hits = None
+        for w in STOPWORDS:
+            hits = pc.count_substring_regex(text, rf"\b{w}\b")
+            stop_hits = hits if stop_hits is None else pc.add(stop_hits, hits)
+        denom = pc.max_element_wise(
+            pc.cast(n_tokens, pa.float64()), pa.scalar(1.0)
+        )
+        denom_chars = pc.max_element_wise(
+            pc.cast(n_chars, pa.float64()), pa.scalar(1.0)
+        )
+        # round_mode matches DuckDB's round() (half away from zero): ratios
+        # like n/128 hit exact binary halves at 6 decimals, where numpy/
+        # Arrow's default half-to-even would diverge from the SQL oracle.
+        punct_ratio = pc.round(
+            pc.divide(pc.cast(n_punct, pa.float64()), denom_chars),
+            ndigits=ROUND_DECIMALS,
+            round_mode="half_towards_infinity",
+        )
+        stop_ratio = pc.round(
+            pc.divide(pc.cast(stop_hits, pa.float64()), denom),
+            ndigits=ROUND_DECIMALS,
+            round_mode="half_towards_infinity",
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": pc.cast(n_chars, pa.int64()),
+                "n_tokens": pc.cast(n_tokens, pa.int64()),
+                "n_punct": pc.cast(n_punct, pa.int64()),
+                "punct_ratio": punct_ratio,
+                "stopword_ratio": stop_ratio,
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def lang_id(sf_dir: str) -> ray.data.Dataset:
+    """Marker-word language ID. pred_lang = lexicographically-first language
+    among the max scorers ('zh' wins on any CJK presence)."""
+
+    def predict(batch: pa.Table) -> pa.Table:
+        text = pc.utf8_lower(batch["text"])
+        scores = {}
+        for lang, markers in LANG_MARKERS.items():
+            s = None
+            for w in markers:
+                hits = pc.count_substring_regex(text, rf"\b{w}\b")
+                s = hits if s is None else pc.add(s, hits)
+            scores[lang] = pc.cast(s, pa.int64())
+        cjk = pc.cast(pc.count_substring_regex(text, CJK_PATTERN), pa.int64())
+
+        score_mat = np.column_stack(
+            [scores[lang].to_numpy(zero_copy_only=False) for lang in sorted(scores)]
+        )
+        langs = np.array(sorted(scores))
+        best = langs[score_mat.argmax(axis=1)]  # argmax -> first max (lexicographic)
+        pred = np.where(
+            cjk.to_numpy(zero_copy_only=False) > 0, "zh", best
+        )
+        cols = {"doc_id": batch["doc_id"], "pred_lang": pa.array(pred, pa.string())}
+        for lang in sorted(scores):
+            cols[f"score_{lang}"] = scores[lang]
+        cols["score_zh"] = cjk
+        return pa.table(cols)
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        predict, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def lang_id_accuracy(sf_dir: str) -> ray.data.Dataset:
+    """Aggregate confusion counts of pred_lang vs the table's lang label."""
+    import pyarrow.parquet as pq
+
+    labels = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    label_ref = ray.put(
+        dict(zip(labels["doc_id"].to_pylist(), labels["lang"].to_pylist()))
+    )
+
+    def join_label(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(label_ref)
+        langs = [lookup[i] for i in batch["doc_id"].to_pylist()]
+        t = pa.table(
+            {"lang": pa.array(langs), "pred_lang": batch["pred_lang"]}
+        )
+        return t.group_by(["lang", "pred_lang"]).aggregate([("pred_lang", "count")])
+
+    partials = lang_id(sf_dir).map_batches(join_label, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    return partials.groupby(["lang", "pred_lang"]).aggregate(
+        Sum("pred_lang_count", alias_name="n_docs")
+    )
+
+
+def normalize_documents(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-wide normalize_text (M5 analog) using the pipeline's
+    vectorized Arrow fast path."""
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "normalized_text": normalize_arrow(batch["text"]),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        norm, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    """md5 content fingerprint per document (exact-dedup key; SQL: md5())."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.md5(t.encode()).hexdigest() for t in batch["text"].to_pylist()
+        ]
+        return pa.table({"doc_id": batch["doc_id"], "fp": pa.array(hashes)})
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+ROLL_WINDOW = 8
+_ROLL_BASE = 257
+_ROLL_MOD = (1 << 61) - 1
+
+
+def rolling_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    """Rolling-hash document fingerprint: min of Rabin-Karp hashes over
+    8-byte windows (a winnowing-style content signature; robust to
+    appends, unlike md5). Not SQL-expressible -> rows-only check."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch["text"].to_pylist():
+            data = t.encode()
+            if len(data) < ROLL_WINDOW:
+                out.append(int(int.from_bytes(data, "big") % _ROLL_MOD))
+                continue
+            arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+            powers = np.power(
+                np.int64(_ROLL_BASE),
+                np.arange(ROLL_WINDOW)[::-1],
+                dtype=np.int64,
+            ) % _ROLL_MOD
+            windows = np.lib.stride_tricks.sliding_window_view(arr, ROLL_WINDOW)
+            hashes = (windows * powers[None, :]).sum(axis=1) % _ROLL_MOD
+            out.append(int(hashes.min()))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "roll_fp": pa.array(out, pa.int64())}
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow", zero_copy_batch=True
+    )
