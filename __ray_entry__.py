@@ -93,6 +93,18 @@ def _extract_turn_stats(sf_dir: str):
     )
 
 
+def _render_conversations(sf_dir: str):
+    from engine.templates import render_conversations
+
+    return render_conversations(_transcript_files(sf_dir), template="plain")
+
+
+def _compact_history(sf_dir: str):
+    from engine.templates import compact_history
+
+    return compact_history(_transcript_files(sf_dir))
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale; driver smoke-checks rows>=0."""
     return _extract_transcripts("/root/testdata/sf0.001")
@@ -110,13 +122,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_transcripts": _extract_transcripts,
         "extract_transcripts_salted": _extract_transcripts_salted,
         "extract_turn_stats": _extract_turn_stats,
-        # relational operators (SURVEY SS2.6-2.7)
+        # conversation-template / history ops (SURVEY M1-M3)
+        "render_conversations": _render_conversations,
+        "compact_history": _compact_history,
+        # relational operators (SURVEY SS2.6-2.7, SS2.10)
         "pricing_summary": relational.pricing_summary,
         "stage_totals": relational.stage_totals,
         "top_stages": relational.top_stages,
         "distinct_event_types": relational.distinct_event_types,
         "orders_by_segment": relational.orders_by_segment,
         "windowed_events": relational.windowed_events,
+        "sessionized_events": relational.sessionized_events,
+        "top_event_per_user": relational.top_event_per_user,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -193,6 +210,29 @@ def oracle_sql() -> dict[str, str]:
                    (epoch_us(ts) // 3600000000) * 3600 AS window_start,
                    count(*) AS n_events, sum(value) AS sum_value
             FROM events GROUP BY user_id, window_start
+        """,
+        "sessionized_events": """
+            WITH flagged AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            numbered AS (
+              SELECT user_id, ts, value,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM flagged)
+            SELECT user_id, session_seq,
+                   min(epoch_us(ts)) AS session_start_us,
+                   count(*) AS n_events, sum(value) AS sum_value
+            FROM numbered GROUP BY user_id, session_seq
+        """,
+        "top_event_per_user": """
+            SELECT event_id, user_id, value FROM events
+            QUALIFY row_number() OVER (
+              PARTITION BY user_id ORDER BY value DESC, event_id) = 1
         """,
         "dedup_exact": """
             WITH corpus AS (

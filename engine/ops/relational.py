@@ -222,3 +222,103 @@ def windowed_events(sf_dir: str) -> ray.data.Dataset:
         Sum("value_count", alias_name="n_events"),
         Sum("value_sum", alias_name="sum_value"),
     )
+
+
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def sessionized_events(sf_dir: str, num_buckets: int = 64) -> ray.data.Dataset:
+    """Gap-based sessionization (the streaming-shaped workload pattern from
+    the Ray guide): events bucketed by hash(user_id), per-bucket vectorized
+    session assignment over (user_id, ts)-sorted rows. A new session starts
+    at the first event of a user or after a >30min gap.
+
+    Partitioning assumption: all of a user's events co-locate in one
+    bucket; session numbering is per user (1-based), matching the SQL
+    window-function oracle exactly."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from pandas.util import hash_array
+
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        bucket = (hash_array(uid) % num_buckets).astype(np.int32)
+        return batch.append_column("_ub", pa.array(bucket))
+
+    def sessionize(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending")]
+        ).combine_chunks()
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "session_seq": pa.array([], pa.int64()),
+                 "session_start_us": pa.array([], pa.int64()),
+                 "n_events": pa.array([], pa.int64()),
+                 "sum_value": pa.array([], pa.float64())}
+            )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(n, dtype=bool)
+        gap[0] = True
+        gap[1:] = (ts[1:] - ts[:-1]) > SESSION_GAP_US
+        is_new = new_user | gap
+        cum = np.cumsum(is_new)
+        user_starts = np.flatnonzero(new_user)
+        base = np.repeat(
+            cum[user_starts] - 1, np.diff(np.append(user_starts, n))
+        )
+        seq = cum - base  # per-user 1-based session number
+        sess_starts = np.flatnonzero(is_new)
+        sess_ends = np.append(sess_starts[1:], n)
+        lens = sess_ends - sess_starts
+        sums = np.add.reduceat(val, sess_starts)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[sess_starts], pa.int64()),
+                "session_seq": pa.array(seq[sess_starts], pa.int64()),
+                "session_start_us": pa.array(ts[sess_starts], pa.int64()),
+                "n_events": pa.array(lens, pa.int64()),
+                "sum_value": pa.array(sums, pa.float64()),
+            }
+        )
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed.groupby("_ub").map_groups(
+        lambda g: sessionize(g.drop_columns(["_ub"])), batch_format="pyarrow"
+    )
+
+
+def top_event_per_user(sf_dir: str) -> ray.data.Dataset:
+    """Per-user argmax by value (SURVEY A5's greedy-argmax as a grouped
+    operator): per-batch partial argmax, then a tiny per-user reduce.
+    Tie-break: lowest event_id (deterministic, matches the SQL oracle)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def partial_argmax(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, -val, uid))  # by user, value desc, event asc
+        u_sorted = uid[order]
+        first = np.empty(len(order), dtype=bool)
+        if len(order):
+            first[0] = True
+            first[1:] = u_sorted[1:] != u_sorted[:-1]
+        return batch.take(pa.array(order[first]))
+
+    partials = ds.map_batches(
+        partial_argmax, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def final_argmax(group: pa.Table) -> pa.Table:
+        return partial_argmax(group)
+
+    return partials.groupby("user_id").map_groups(
+        final_argmax, batch_format="pyarrow"
+    )

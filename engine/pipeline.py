@@ -59,7 +59,8 @@ class ExtractTurns:
     ``__call__`` handles one zero-copy Arrow batch.
     """
 
-    def __init__(self) -> None:
+    def __init__(self, num_buckets: Optional[int] = None,
+                 salt_block: Optional[int] = None) -> None:
         # Bind the per-turn extractor once per actor. The compiled state
         # (regex/selector tables in the extractor modules) travels with the
         # function via by-value serialization (_rayutil.ensure_serializable)
@@ -67,6 +68,10 @@ class ExtractTurns:
         # model-load-once analog
         # (/root/reference/crates/infer-deepseek/src/model/mod.rs:857-860).
         self._extract_turn = extract_turn
+        # When set, the ordering-shuffle partition key is computed here —
+        # fused into this stage so the plan has no extra map operator.
+        self._num_buckets = num_buckets
+        self._salt_block = salt_block
         # Warm the dispatch path so first-batch latency excludes setup.
         self._extract_turn("warmup", "user")
 
@@ -108,7 +113,7 @@ class ExtractTurns:
         else:
             extracted_text = norm
 
-        return pa.table(
+        out = pa.table(
             {
                 "conv_id": batch.column("conv_id"),
                 "turn_idx": batch.column("turn_idx"),
@@ -121,81 +126,150 @@ class ExtractTurns:
                 ),
             }
         )
+        if self._num_buckets is not None:
+            conv = batch.column("conv_id").to_numpy(zero_copy_only=False)
+            h = _hash_conv_ids(conv)
+            if self._salt_block is not None:
+                salt = (
+                    batch.column("turn_idx").to_numpy(zero_copy_only=False)
+                    // self._salt_block
+                ).astype(np.uint64)
+                h = h ^ (salt * np.uint64(0x9E3779B97F4A7C15))
+            bucket = (h % self._num_buckets).astype(np.int32)
+            out = out.append_column("_bucket", pa.array(bucket))
+        return out
 
 
-def _order_group(group: pa.Table) -> pa.Table:
-    """Sort one conversation's turns; enforce the ordering invariant loudly."""
-    group = group.sort_by([("turn_idx", "ascending")])
-    idx = group.column("turn_idx").to_numpy(zero_copy_only=False)
-    if len(idx) > 1 and not (np.diff(idx) > 0).all():
-        conv = group.column("conv_id")[0].as_py()
-        raise ValueError(f"duplicate turn_idx within conversation {conv!r}")
-    n_turns = np.full(len(idx), int(idx[-1]) + 1 if len(idx) else 0, dtype=np.int32)
-    return group.append_column("conv_n_turns", pa.array(n_turns))
+DEFAULT_NUM_BUCKETS = 64  # partitions of the ordering shuffle; O(cores x 2-4)
 
 
-def _make_salted_order_group(salt_block: int, conv_sizes_ref):
-    """Group fn for salted mode: group key is (conv_id, salt); conversation
-    size comes from the broadcast skew-tail aggregate for salted convs."""
+def _hash_conv_ids(conv_ids: np.ndarray) -> np.ndarray:
+    """Deterministic cross-process 64-bit hash of the conv_id strings
+    (pandas' fixed-key siphash; NEVER Python's salted hash())."""
+    from pandas.util import hash_array
 
-    def order_group(group: pa.Table) -> pa.Table:
-        group = group.sort_by([("turn_idx", "ascending")])
-        idx = group.column("turn_idx").to_numpy(zero_copy_only=False)
-        if len(idx) > 1 and not (np.diff(idx) > 0).all():
-            conv = group.column("conv_id")[0].as_py()
-            raise ValueError(f"duplicate turn_idx within conversation {conv!r}")
-        conv = group.column("conv_id")[0].as_py() if len(idx) else ""
-        sizes = ray.get(conv_sizes_ref)
-        n = sizes.get(conv, int(idx[-1]) + 1 if len(idx) else 0)
-        out = group.append_column(
-            "conv_n_turns", pa.array(np.full(len(idx), n, dtype=np.int32))
+    return hash_array(conv_ids)
+
+
+def _add_bucket(num_buckets: int, salt_block: Optional[int]):
+    """Vectorized repartition key: hash(conv_id) [+ salt for skewed tails]
+    mod num_buckets. The explicit partitioning step of the north rule — the
+    shuffle moves an int32 key, not the conv_id string."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        conv = batch.column("conv_id").to_numpy(zero_copy_only=False)
+        h = _hash_conv_ids(conv)
+        if salt_block is not None:
+            salt = (
+                batch.column("turn_idx").to_numpy(zero_copy_only=False)
+                // salt_block
+            ).astype(np.uint64)
+            h = h ^ (salt * np.uint64(0x9E3779B97F4A7C15))
+        bucket = (h % num_buckets).astype(np.int32)
+        return batch.append_column("_bucket", pa.array(bucket))
+
+    return add_bucket
+
+
+def _order_bucket_fn(conv_sizes_ref=None):
+    """Per-bucket ordering: sort by (conv_id, turn_idx), enforce the
+    duplicate-turn invariant, compute conv_n_turns by run-length — all
+    vectorized (no per-conversation Python calls).
+
+    ``conv_sizes_ref`` (salted mode) is a broadcast {conv_id: n_turns}
+    for conversations split across buckets by salting; everyone else's
+    size comes from the local run."""
+
+    def order_bucket(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")]
+        ).combine_chunks()
+        n = t.num_rows
+        if n == 0:
+            return t.drop_columns(["_bucket"]).append_column(
+                "conv_n_turns", pa.array([], pa.int32())
+            )
+        ids = t.column("conv_id").to_numpy(zero_copy_only=False)
+        turn = t.column("turn_idx").to_numpy(zero_copy_only=False)
+        new_conv = np.empty(n, dtype=bool)
+        new_conv[0] = True
+        if n > 1:
+            new_conv[1:] = ids[1:] != ids[:-1]
+            dup = (~new_conv[1:]) & (np.diff(turn) <= 0)
+            if dup.any():
+                bad = ids[1 + int(np.flatnonzero(dup)[0])]
+                raise ValueError(
+                    f"duplicate turn_idx within conversation {bad!r}"
+                )
+        starts = np.flatnonzero(new_conv)
+        ends = np.append(starts[1:], n)
+        sizes = turn[ends - 1].astype(np.int64) + 1
+        if conv_sizes_ref is not None:
+            lookup = ray.get(conv_sizes_ref)
+            if lookup:
+                run_ids = ids[starts]
+                for k, conv in enumerate(run_ids):
+                    if conv in lookup:
+                        sizes[k] = lookup[conv]
+        conv_n = np.repeat(sizes, ends - starts).astype(np.int32)
+        return t.drop_columns(["_bucket"]).append_column(
+            "conv_n_turns", pa.array(conv_n)
         )
-        return out.drop_columns(["salt"])
 
-    return order_group
+    return order_bucket
 
 
 def order_stage(
-    ds: ray.data.Dataset, salt_block: Optional[int] = None
+    ds: ray.data.Dataset,
+    salt_block: Optional[int] = None,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    conv_sizes_ref=None,
+    pre_bucketed: bool = False,
 ) -> ray.data.Dataset:
     """Restore stable per-conversation turn order (the only shuffle).
 
-    Unsalted (default): ``groupby(conv_id)`` — one group per conversation.
+    Keyed on ``hash(conv_id) % num_buckets`` — an int32 key, so the
+    sort-based exchange samples/partitions cheap integers and the grouped
+    stage runs once per bucket (vectorized over many conversations), not
+    once per conversation.
 
-    Salted (``salt_block=S``): group key is ``(conv_id, turn_idx // S)`` so
-    a skewed 10^6-turn conversation spreads over many reducers; ordering
-    composes because salt blocks are contiguous turn ranges. Conversation
-    sizes for salted convs come from a pre-aggregated count over ONLY the
-    skew tail (rows with ``turn_idx >= S``), broadcast via ``ray.put``.
+    Salted (``salt_block=S``): the bucket key also mixes
+    ``turn_idx // S``, so a skewed 10^6-turn conversation spreads over
+    many reducers; ordering composes because salt blocks are contiguous
+    turn ranges. Conversation sizes for salted conversations come from a
+    pre-aggregated max over ONLY the skew tail (rows with
+    ``turn_idx >= S``), broadcast via ``ray.put`` — the extra pass
+    touches only the skewed-tail rows, never the full corpus.
     """
-    if salt_block is None:
-        return ds.groupby("conv_id").map_groups(
-            _order_group, batch_format="pyarrow"
+    if salt_block is not None and conv_sizes_ref is None:
+        conv_sizes_ref = ray.put(_skew_tail_sizes(ds, int(salt_block)))
+
+    if pre_bucketed:
+        bucketed = ds
+    else:
+        bucketed = ds.map_batches(
+            _add_bucket(num_buckets, salt_block),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
+    return bucketed.groupby("_bucket").map_groups(
+        _order_bucket_fn(conv_sizes_ref), batch_format="pyarrow"
+    )
 
-    s = int(salt_block)
 
-    # Skew-tail size aggregate: tiny by construction (only oversized convs).
+def _skew_tail_sizes(ds: ray.data.Dataset, salt_block: int) -> dict:
+    """{conv_id: n_turns} for conversations in the skew tail (any row with
+    turn_idx >= salt_block) — tiny by construction."""
     tail_max = (
-        ds.filter(expr=f"turn_idx >= {s}")
+        ds.filter(expr=f"turn_idx >= {salt_block}")
         .groupby("conv_id")
         .max("turn_idx")
         .to_pandas()
     )
-    conv_sizes = {
+    return {
         row["conv_id"]: int(row["max(turn_idx)"]) + 1
         for _, row in tail_max.iterrows()
     }
-    conv_sizes_ref = ray.put(conv_sizes)
-
-    def add_salt(batch: pa.Table) -> pa.Table:
-        salt = pc.divide(batch.column("turn_idx"), s)
-        return batch.append_column("salt", pc.cast(salt, pa.int32()))
-
-    salted = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
-    return salted.groupby(["conv_id", "salt"]).map_groups(
-        _make_salted_order_group(s, conv_sizes_ref), batch_format="pyarrow"
-    )
 
 
 def extraction_plan(
@@ -205,14 +279,37 @@ def extraction_plan(
     concurrency=None,
     salt_block: Optional[int] = None,
     ordered: bool = True,
+    num_blocks: Optional[int] = None,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
 ) -> ray.data.Dataset:
-    """Build the full lazy extraction plan over transcript Parquet paths."""
+    """Build the full lazy extraction plan over transcript Parquet paths.
+
+    ``num_blocks``: read parallelism. Default lets Ray choose; the bench
+    pins it to ~#cores — hundreds of tiny blocks make the ordering
+    shuffle coordination-bound (224-block sort cost ~16s wall at 1.25s
+    CPU before this was tuned)."""
     from ._rayutil import ensure_serializable
 
     ensure_serializable()
-    ds = ray.data.read_parquet(paths, columns=READ_COLUMNS)
+    read_kwargs = {}
+    if num_blocks is not None:
+        read_kwargs["override_num_blocks"] = num_blocks
+
+    conv_sizes_ref = None
+    if ordered and salt_block is not None:
+        # Conversation sizes for the skew tail come from a column-pruned
+        # read of the RAW input (conv_id, turn_idx only) — never a second
+        # pass through extraction.
+        raw = ray.data.read_parquet(paths, columns=["conv_id", "turn_idx"])
+        conv_sizes_ref = ray.put(_skew_tail_sizes(raw, int(salt_block)))
+
+    ds = ray.data.read_parquet(paths, columns=READ_COLUMNS, **read_kwargs)
     ds = ds.map_batches(
         ExtractTurns,
+        fn_constructor_kwargs={
+            "num_buckets": num_buckets if ordered else None,
+            "salt_block": salt_block,
+        },
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
@@ -220,5 +317,11 @@ def extraction_plan(
         num_cpus=1,
     )
     if ordered:
-        ds = order_stage(ds, salt_block=salt_block)
+        ds = order_stage(
+            ds,
+            salt_block=salt_block,
+            num_buckets=num_buckets,
+            conv_sizes_ref=conv_sizes_ref,
+            pre_bucketed=True,
+        )
     return ds

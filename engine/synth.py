@@ -64,9 +64,9 @@ def _links(rng: np.random.Generator, n: int) -> str:
     )
 
 
-def gen_html(rng: np.random.Generator) -> str:
+def gen_html(rng: np.random.Generator, n_paras_lo: int = 2, n_paras_hi: int = 6) -> str:
     """Nav/header/footer boilerplate + scored article body (FIXTURES SS1)."""
-    n_paras = int(rng.integers(2, 6))
+    n_paras = int(rng.integers(n_paras_lo, n_paras_hi))
     paras = []
     for _ in range(n_paras):
         p = _paragraph(rng, int(rng.integers(1, 4)))
@@ -121,8 +121,8 @@ def _wrap_hyphen(rng: np.random.Generator, text: str, width: int = 42) -> str:
     return "\n".join(lines)
 
 
-def gen_pdfish(rng: np.random.Generator) -> str:
-    n_pages = int(rng.integers(1, 4))
+def gen_pdfish(rng: np.random.Generator, n_pages_hi: int = 4, n_body_hi: int = 4) -> str:
+    n_pages = int(rng.integers(1, n_pages_hi))
     header = _sentence(rng, 3, 6)
     footer = f"Page footer {int(rng.integers(1, 99))}"
     parts = ["%PDF-LITE 1.0"]
@@ -131,7 +131,7 @@ def gen_pdfish(rng: np.random.Generator) -> str:
         if n_pages > 1:  # running header/footer only repeat on multi-page docs
             blocks.append((40, 36, header))
             blocks.append((900, 36, footer))
-        n_body = int(rng.integers(1, 4))
+        n_body = int(rng.integers(1, n_body_hi))
         ys = sorted(int(y) for y in rng.integers(100, 800, n_body))
         for y in ys:
             blocks.append((y, int(rng.integers(30, 60)), _wrap_hyphen(rng, _paragraph(rng, 2))))
@@ -171,12 +171,21 @@ def gen_tool(rng: np.random.Generator) -> str:
 
 
 class PayloadPools:
-    """Seeded pools of pre-generated payloads (speed at bench scale)."""
+    """Seeded pools of pre-generated payloads (speed at bench scale).
 
-    def __init__(self, seed: int = SEED, n_html: int = 400, n_pdf: int = 250, n_tool: int = 250):
+    ``heavy=True`` (bench tier) generates article-sized HTML and multi-page
+    PDF-lite documents so the benchmark's per-turn extraction cost is
+    representative of real web pages, not toy snippets."""
+
+    def __init__(self, seed: int = SEED, n_html: int = 400, n_pdf: int = 250,
+                 n_tool: int = 250, heavy: bool = False):
         rng = np.random.default_rng(seed + 1000)
-        self.html = [gen_html(rng) for _ in range(n_html)]
-        self.pdf = [gen_pdfish(rng) for _ in range(n_pdf)]
+        if heavy:
+            self.html = [gen_html(rng, 18, 42) for _ in range(n_html)]
+            self.pdf = [gen_pdfish(rng, 7, 10) for _ in range(n_pdf)]
+        else:
+            self.html = [gen_html(rng) for _ in range(n_html)]
+            self.pdf = [gen_pdfish(rng) for _ in range(n_pdf)]
         self.tool = [gen_tool(rng) for _ in range(n_tool)]
 
 
@@ -201,9 +210,19 @@ _EDGE_TEXTS = [
 ]
 
 
-def generate_rows(n_convs: int, seed: int = SEED, pools: PayloadPools | None = None) -> Dict[str, list]:
+def generate_rows(
+    n_convs: int,
+    seed: int = SEED,
+    pools: PayloadPools | None = None,
+    html_p: float = 0.12,
+    pdf_p: float = 0.08,
+) -> Dict[str, list]:
     """Generate all turn rows (conversation-ordered; caller shuffles)."""
     pools = pools or PayloadPools(seed)
+    t_html = html_p
+    t_pdf = html_p + pdf_p
+    t_adj = t_pdf + 0.015
+    t_edge = t_adj + 0.015
     rng = np.random.default_rng(seed)
     lens = _conv_lengths(rng, n_convs)
     cols: Dict[str, list] = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
@@ -225,19 +244,19 @@ def generate_rows(n_convs: int, seed: int = SEED, pools: PayloadPools | None = N
                 text = pools.tool[int(rng.integers(0, len(pools.tool)))]
             else:
                 r = rng.random()
-                if r < 0.12:
+                if r < t_html:
                     payload = pools.html[int(rng.integers(0, len(pools.html)))]
                     text = _place_payload(rng, payload)
-                elif r < 0.20:
+                elif r < t_pdf:
                     payload = pools.pdf[int(rng.integers(0, len(pools.pdf)))]
                     text = _place_payload(rng, payload)
-                elif r < 0.215:
+                elif r < t_adj:
                     # adjacent payloads edge case
                     text = (
                         pools.html[int(rng.integers(0, len(pools.html)))]
                         + pools.pdf[int(rng.integers(0, len(pools.pdf)))]
                     )
-                elif r < 0.23:
+                elif r < t_edge:
                     text = _EDGE_TEXTS[int(rng.integers(0, len(_EDGE_TEXTS)))]
                 else:
                     text = _paragraph(rng, int(rng.integers(1, 3)))
@@ -278,14 +297,25 @@ def rows_to_table(cols: Dict[str, list]) -> pa.Table:
     )
 
 
-def write_transcripts(out_dir: str, n_convs: int, n_files: int, seed: int = SEED) -> List[str]:
+def write_transcripts(
+    out_dir: str,
+    n_convs: int,
+    n_files: int,
+    seed: int = SEED,
+    heavy: bool = False,
+    html_p: float = 0.12,
+    pdf_p: float = 0.08,
+) -> List[str]:
     """Synthesize, globally shuffle rows across conversations, write N files.
 
     Idempotent: a ``_COMPLETE`` marker with matching params short-circuits
     (the atomic-finalize discipline of the reference's DSQ writer,
     /root/reference/crates/dsq-writer/src/lib.rs:410+).
     """
-    params = {"n_convs": n_convs, "n_files": n_files, "seed": seed, "v": 3}
+    params = {
+        "n_convs": n_convs, "n_files": n_files, "seed": seed, "v": 3,
+        "heavy": heavy, "html_p": html_p, "pdf_p": pdf_p,
+    }
     marker = os.path.join(out_dir, "_COMPLETE")
     if os.path.exists(marker):
         with open(marker) as f:
@@ -299,7 +329,10 @@ def write_transcripts(out_dir: str, n_convs: int, n_files: int, seed: int = SEED
     for p in os.listdir(out_dir):
         if p.endswith(".parquet"):
             os.remove(os.path.join(out_dir, p))
-    table = rows_to_table(generate_rows(n_convs, seed))
+    pools = PayloadPools(seed, heavy=heavy)
+    table = rows_to_table(
+        generate_rows(n_convs, seed, pools=pools, html_p=html_p, pdf_p=pdf_p)
+    )
     perm = np.random.default_rng(seed + 7).permutation(table.num_rows)
     table = table.take(pa.array(perm))
     paths = []
@@ -315,10 +348,16 @@ def write_transcripts(out_dir: str, n_convs: int, n_files: int, seed: int = SEED
 
 
 # Fixture tiers (FIXTURES.md SS4): conv counts tuned to the turn targets.
+# The bench tier uses heavy (article-sized) payloads at a higher payload
+# fraction so the scaling measurement is compute-dominated like the real
+# 100TB workload, not startup/coordination-dominated like a toy corpus.
 TIERS = {
     "t1": {"n_convs": 50, "n_files": 2},        # ~1k turns
     "t2": {"n_convs": 2000, "n_files": 8},      # ~60k turns
-    "bench": {"n_convs": 20000, "n_files": 32}, # ~600k turns
+    "bench": {
+        "n_convs": 24000, "n_files": 32,        # ~620k turns
+        "heavy": True, "html_p": 0.32, "pdf_p": 0.15,
+    },
 }
 
 
@@ -329,7 +368,7 @@ def tier_for_sf_dir(sf_dir: str) -> str:
 
 def fixture_dir(tier: str) -> str:
     """Materialize (once) and return the cached fixture dir for a tier."""
-    cfg = TIERS[tier]
+    cfg = dict(TIERS[tier])
     out = os.path.join(CACHE_ROOT, tier)
-    write_transcripts(out, cfg["n_convs"], cfg["n_files"], SEED)
+    write_transcripts(out, seed=SEED, **cfg)
     return out

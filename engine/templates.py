@@ -1,0 +1,172 @@
+"""Conversation-template rendering (SURVEY M1/M2 analog).
+
+The reference renders (role, message) lists through a registry of named
+separator-style templates with override semantics
+(/root/reference/crates/core/src/conversation/mod.rs:53-145,166-191).
+Here the registry is a module-level dict of pure functions; rendering is
+a per-conversation grouped stage over the transcript table using the
+same bucketed shuffle as the flagship ordering stage.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+Turn = Tuple[str, str]  # (role, text)
+
+
+def _render_plain(turns: List[Turn]) -> str:
+    return "\n".join(f"{role}: {text}" for role, text in turns if text.strip())
+
+
+def _render_chatml(turns: List[Turn]) -> str:
+    return "".join(
+        f"<|im_start|>{role}\n{text}<|im_end|>\n"
+        for role, text in turns
+        if text.strip()
+    )
+
+
+def _render_compact(turns: List[Turn]) -> str:
+    """System + latest-user render — the history-compaction template
+    (generation.rs:192-236: 'OCR models aren't conversation-trained')."""
+    kept = compact_turns(turns)
+    return "\n".join(f"{role}: {text}" for role, text in kept)
+
+
+def compact_turns(turns: List[Turn]) -> List[Turn]:
+    """Keep system turns before, and the latest user turn (M3 semantics)."""
+    last_user = None
+    for i, (role, _text) in enumerate(turns):
+        if role == "user":
+            last_user = i
+    if last_user is None:
+        return [t for t in turns if t[0] == "system"]
+    return [
+        t for i, t in enumerate(turns)
+        if (t[0] == "system" and i < last_user) or i == last_user
+    ]
+
+
+TEMPLATES: Dict[str, Callable[[List[Turn]], str]] = {
+    "plain": _render_plain,
+    "chatml": _render_chatml,
+    "compact": _render_compact,
+}
+
+
+def register_template(name: str, fn: Callable[[List[Turn]], str],
+                      override: bool = False) -> None:
+    """Registry with override semantics (conversation/mod.rs:176-184)."""
+    if name in TEMPLATES and not override:
+        raise ValueError(f"template {name!r} already registered")
+    TEMPLATES[name] = fn
+
+
+def _bucketed(ds: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset:
+    from .pipeline import _hash_conv_ids
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        conv = batch.column("conv_id").to_numpy(zero_copy_only=False)
+        bucket = (_hash_conv_ids(conv) % num_buckets).astype(np.int32)
+        return batch.append_column("_bucket", pa.array(bucket))
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def render_conversations(
+    transcript_paths, template: str = "plain", num_buckets: int = 64
+) -> ray.data.Dataset:
+    """One rendered prompt string per conversation.
+
+    Same partitioning contract as the flagship ordering stage: bucketed
+    by hash(conv_id), turns sorted within conversation before rendering.
+    """
+    from ._rayutil import ensure_serializable
+
+    ensure_serializable()
+    render = TEMPLATES[template]
+    ds = ray.data.read_parquet(
+        transcript_paths, columns=["conv_id", "turn_idx", "role", "text"]
+    )
+
+    def render_bucket(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")]
+        ).combine_chunks()
+        ids = t.column("conv_id").to_numpy(zero_copy_only=False)
+        roles = t.column("role").to_pylist()
+        texts = t.column("text").to_pylist()
+        n = len(ids)
+        if n == 0:
+            return pa.table(
+                {"conv_id": pa.array([], pa.string()),
+                 "rendered": pa.array([], pa.string()),
+                 "n_turns": pa.array([], pa.int32())}
+            )
+        new_conv = np.empty(n, dtype=bool)
+        new_conv[0] = True
+        new_conv[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(new_conv)
+        ends = np.append(starts[1:], n)
+        out_ids, out_text, out_n = [], [], []
+        for s, e in zip(starts, ends):
+            out_ids.append(ids[s])
+            out_text.append(render(list(zip(roles[s:e], texts[s:e]))))
+            out_n.append(e - s)
+        return pa.table(
+            {"conv_id": pa.array(out_ids, pa.string()),
+             "rendered": pa.array(out_text, pa.string()),
+             "n_turns": pa.array(out_n, pa.int32())}
+        )
+
+    return _bucketed(ds, num_buckets).groupby("_bucket").map_groups(
+        lambda g: render_bucket(g.drop_columns(["_bucket"])),
+        batch_format="pyarrow",
+    )
+
+
+def compact_history(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
+    """M3 as a standalone operator: per conversation emit only the system
+    turns preceding the latest user turn, plus that user turn."""
+    from ._rayutil import ensure_serializable
+
+    ensure_serializable()
+    ds = ray.data.read_parquet(
+        transcript_paths, columns=["conv_id", "turn_idx", "role", "text"]
+    )
+
+    def compact_bucket(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")]
+        ).combine_chunks()
+        ids = t.column("conv_id").to_numpy(zero_copy_only=False)
+        roles = np.asarray(t.column("role").to_pylist())
+        n = len(ids)
+        keep = np.zeros(n, dtype=bool)
+        if n:
+            new_conv = np.empty(n, dtype=bool)
+            new_conv[0] = True
+            new_conv[1:] = ids[1:] != ids[:-1]
+            starts = np.flatnonzero(new_conv)
+            ends = np.append(starts[1:], n)
+            is_user = roles == "user"
+            is_system = roles == "system"
+            for s, e in zip(starts, ends):
+                user_idx = np.flatnonzero(is_user[s:e])
+                if len(user_idx):
+                    last = s + user_idx[-1]
+                    keep[last] = True
+                    keep[s:last] |= is_system[s:last]
+                else:
+                    keep[s:e] = is_system[s:e]
+        return t.drop_columns(["_bucket"]).filter(pa.array(keep))
+
+    return _bucketed(ds, num_buckets).groupby("_bucket").map_groups(
+        compact_bucket, batch_format="pyarrow"
+    )

@@ -33,7 +33,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 SQL_CHECKED = [
     "pricing_summary", "stage_totals", "top_stages", "distinct_event_types",
-    "orders_by_segment", "windowed_events", "dedup_exact", "knn_bruteforce",
+    "orders_by_segment", "windowed_events", "sessionized_events",
+    "top_event_per_user", "dedup_exact", "knn_bruteforce",
     "quality_score", "lang_id", "normalize_documents", "doc_fingerprint",
 ]
 
@@ -56,6 +57,7 @@ def test_all_queries_have_oracle_or_are_documented():
     # every rows-only query is one of the documented non-SQL-expressible ops
     assert rows_only == {
         "extract_transcripts", "extract_transcripts_salted", "extract_turn_stats",
+        "render_conversations", "compact_history",
         "dedup_minhash", "dedup_simhash", "knn_ivf", "rolling_fingerprint",
         "image_metadata",
     }
