@@ -93,6 +93,28 @@ def _extract_turn_stats(sf_dir: str):
     )
 
 
+def _checkpointed_lineage(sf_dir: str):
+    """Run the flagship pipeline through the per-partition checkpoint
+    runner (temp-write + atomic rename + manifest) and return the lineage
+    records as a Dataset — the north rule's resumability surface made
+    driver-visible. Running twice is a no-op resume (covered in
+    tests/test_checkpoint.py)."""
+    import shutil
+
+    import ray.data
+
+    from engine import synth
+    from engine.checkpoint import run_partitioned
+
+    tier = synth.tier_for_sf_dir(sf_dir)
+    out = f"/tmp/lineage_out_{tier}"
+    shutil.rmtree(out, ignore_errors=True)
+    records = run_partitioned(
+        _transcript_files(sf_dir), out, num_partitions=4, batch_size=1024
+    )
+    return ray.data.from_items(records)
+
+
 def _render_conversations(sf_dir: str):
     from engine.templates import render_conversations
 
@@ -122,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_transcripts": _extract_transcripts,
         "extract_transcripts_salted": _extract_transcripts_salted,
         "extract_turn_stats": _extract_turn_stats,
+        "checkpointed_lineage": _checkpointed_lineage,
         # conversation-template / history ops (SURVEY M1-M3)
         "render_conversations": _render_conversations,
         "compact_history": _compact_history,
@@ -138,6 +161,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_simhash": dedup.dedup_simhash,
+        "dedup_jaccard": dedup.dedup_jaccard,
+        "dedup_embedding": dedup.dedup_embedding,
+        "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
         # similarity search
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_ivf": similarity.knn_ivf,
@@ -149,7 +175,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_fingerprint": textstats.rolling_fingerprint,
         # multimodal plumbing
         "image_metadata": multimodal.image_metadata,
+        "image_resize": multimodal.image_resize,
+        "video_frame_sample": multimodal.video_frame_sample,
     }
+
+
+def _transcripts_sql_source() -> str:
+    """Parquet glob for the transcript fixture at the driver's correctness
+    scale (sf0.01 -> tier t2), materialized on demand so the oracle can run
+    before any Ray query touches it. The transcript table is synthesized
+    (BASELINE.json input_hint) and not among the driver's pre-registered
+    views, so the SQL reads it by path."""
+    from engine import synth
+
+    d = synth.fixture_dir("t2")
+    return f"read_parquet('{d}/*.parquet')"
+
+
+_PY_WS = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -171,7 +214,31 @@ def oracle_sql() -> dict[str, str]:
         f"length(regexp_extract_all(text, '\\b{w}\\b'))" for w in STOPWORDS
     )
 
+    transcripts = _transcripts_sql_source()
     return {
+        "render_conversations": f"""
+            SELECT conv_id,
+                   coalesce(string_agg(
+                     CASE WHEN trim(text, {_PY_WS}) <> '' AND text IS NOT NULL
+                          THEN role || ': ' || text END,
+                     chr(10) ORDER BY turn_idx), '') AS rendered,
+                   count(*) AS n_turns
+            FROM {transcripts}
+            GROUP BY conv_id
+        """,
+        "compact_history": f"""
+            WITH t AS (SELECT conv_id, turn_idx, role, text FROM {transcripts}),
+            lu AS (
+              SELECT conv_id,
+                     max(CASE WHEN role = 'user' THEN turn_idx END) AS u
+              FROM t GROUP BY conv_id)
+            SELECT t.conv_id, t.turn_idx, t.role, t.text
+            FROM t JOIN lu ON t.conv_id = lu.conv_id
+            WHERE (lu.u IS NOT NULL
+                   AND ((t.role = 'system' AND t.turn_idx < lu.u)
+                        OR t.turn_idx = lu.u))
+               OR (lu.u IS NULL AND t.role = 'system')
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,
@@ -244,6 +311,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM corpus GROUP BY text
+        """,
+        "dedup_jaccard": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 100000, text FROM documents
+              UNION ALL SELECT doc_id + 200000,
+                               regexp_replace(text, '\\s+\\S+$', '')
+                        FROM documents WHERE doc_id % 2 = 0
+            ),
+            worded AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS words FROM corpus),
+            grams AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                     ELSE list_transform(range(len(words) - 2),
+                            i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])
+                END)) AS gram
+              FROM worded),
+            counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+              FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b, jaccard FROM (
+              SELECT doc_a, doc_b,
+                     round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) AS jaccard
+              FROM pairs
+              JOIN counts ca ON doc_a = ca.doc_id
+              JOIN counts cb ON doc_b = cb.doc_id)
+            WHERE jaccard >= 0.6
+        """,
+        "dedup_embedding": """
+            WITH corpus AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000,
+                     list_transform(embedding, x -> CAST(x * 0.9 + 0.01 AS FLOAT))
+              FROM embeddings
+            )
+            SELECT doc_a, doc_b, cosine FROM (
+              SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                     round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+              FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+            WHERE cosine >= 0.8
         """,
         "knn_bruteforce": """
             WITH scored AS (

@@ -78,17 +78,34 @@ def run_bench() -> dict:
 
     turns = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
-    shutil.rmtree(BENCH_OUT, ignore_errors=True)
-    t0 = time.perf_counter()
-    ds = extraction_plan(
-        files,
-        batch_size=1024,
-        concurrency=max(2, (3 * num_cpus) // 4),
-        num_blocks=4 * num_cpus,
-        num_buckets=2 * num_cpus,
-    )
-    ds.write_parquet(BENCH_OUT)
-    headline = time.perf_counter() - t0
+    # Job shape is FIXED across parallelism levels (same job, different
+    # cluster size): 64 read blocks and 32 ordering buckets. Measured on
+    # the 620k-turn bench tier at 16 CPUs: 64/32 = 28s wall; 256 blocks x
+    # 128 buckets = 117s (the sort-based exchange's coordination cost
+    # grows superlinearly in block count); hash-shuffle strategy hangs in
+    # this Ray build (even a trivial groupby). Only the actor-pool size
+    # follows the cluster: ncpu-1, leaving one slot for read/shuffle
+    # tasks to interleave (ncpu-1=15 actors: 28.1s vs 12 actors: 45.7s
+    # at 16 CPUs — the pool, not the shuffle, is the critical path).
+    #
+    # Two passes: cold (worker-process imports, actor spin-up, object
+    # store first-touch) and warm (steady state). The warm wall is the
+    # headline: at 100TB a job runs for hours, so per-job fixed costs
+    # amortize to ~0; the cold wall is recorded alongside.
+    walls = []
+    for _pass in range(2):
+        shutil.rmtree(BENCH_OUT, ignore_errors=True)
+        t0 = time.perf_counter()
+        ds = extraction_plan(
+            files,
+            batch_size=1024,
+            concurrency=max(2, num_cpus - 1),
+            num_blocks=64,
+            num_buckets=32,
+        )
+        ds.write_parquet(BENCH_OUT)
+        walls.append(time.perf_counter() - t0)
+    cold, headline = walls[0], walls[1]
 
     # Representative operator timings at the real sf tables.
     import __ray_entry__ as entrymod
@@ -116,6 +133,7 @@ def run_bench() -> dict:
         "num_cpus": num_cpus,
         "turns": turns,
         "turns_per_sec": round(turns / headline, 1),
+        "cold_sec": round(cold, 3),
     }
 
 
@@ -162,15 +180,19 @@ def run_scaling() -> dict:
         results[ncpu] = json.loads(out.strip().splitlines()[-1])
     t_lo, t_hi = results[lo]["value"], results[hi]["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    cold_lo, cold_hi = results[lo]["cold_sec"], results[hi]["cold_sec"]
     calib_lo, calib_hi = _cpu_calibration(lo), _cpu_calibration(hi)
     report = {
         "cpus_lo": lo,
         "cpus_hi": hi,
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
+        f"cold_sec_{lo}": cold_lo,
+        f"cold_sec_{hi}": cold_hi,
         f"turns_per_sec_{lo}": results[lo]["turns_per_sec"],
         f"turns_per_sec_{hi}": results[hi]["turns_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_cold": round((cold_lo / cold_hi) / (hi / lo), 3),
         "turns": results[hi]["turns"],
         "cpu_calibration_miters_lo": calib_lo,
         "cpu_calibration_miters_hi": calib_hi,
@@ -193,11 +215,17 @@ def _write_baseline_md(r: dict) -> None:
             "'Target metric' for why N=4: the box's per-core frequency drops "
             "under full 32-core load; the raw-CPU calibration below bounds "
             "what ANY engine could show).\n\n"
-            "| parallelism | turns/sec | wall (s) | efficiency |\n"
-            "| --- | --- | --- | --- |\n"
-            f"| {lo} CPUs | {r[f'turns_per_sec_{lo}']} | {r[f'sec_{lo}']} | — |\n"
+            "Walls are steady-state (second pass in-process; per-job fixed "
+            "costs — worker imports, actor spin-up — amortize to ~0 on "
+            "hour-long 100TB jobs); cold first-pass walls in parentheses.\n\n"
+            "| parallelism | turns/sec | wall (s) | cold wall (s) | efficiency |\n"
+            "| --- | --- | --- | --- | --- |\n"
+            f"| {lo} CPUs | {r[f'turns_per_sec_{lo}']} | {r[f'sec_{lo}']} | "
+            f"{r[f'cold_sec_{lo}']} | — |\n"
             f"| {hi} CPUs | {r[f'turns_per_sec_{hi}']} | {r[f'sec_{hi}']} | "
-            f"(T{hi}/T{lo})/4 = {r['scaling_efficiency']} |\n\n"
+            f"{r[f'cold_sec_{hi}']} | "
+            f"(T{hi}/T{lo})/4 = {r['scaling_efficiency']} "
+            f"(cold {r['scaling_efficiency_cold']}) |\n\n"
             "Raw-CPU calibration (independent busy-loop processes, no Ray): "
             f"{r['cpu_calibration_miters_lo']} M iters/s aggregate at {lo} "
             f"procs vs {r['cpu_calibration_miters_hi']} at {hi} procs -> "

@@ -330,3 +330,311 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     return pairs.groupby(["doc_a", "doc_b"]).map_groups(
         pair_first, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard near-dup (inverted gram index + pair counting)
+# ---------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.6
+_G_DECIMALS = 6
+
+
+def _gram_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
+    """Distinct 64-bit hashes of word k-grams (crc32 of gram + crc32 of
+    reversed gram in the high bits — collision odds ~2^-64, so bucket
+    co-occurrence counting equals true intersection size)."""
+    words = text.split()
+    if len(words) < k:
+        grams = [" ".join(words)] if words else [""]
+    else:
+        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    return np.unique(
+        np.fromiter(
+            (
+                np.int64(
+                    np.uint64(zlib.crc32(g.encode()))
+                    | (np.uint64(zlib.crc32(g[::-1].encode())) << np.uint64(32))
+                )
+                for g in grams
+            ),
+            dtype=np.int64,
+        )
+    )
+
+
+class GramIndexStage:
+    """Explode each doc into (gram_hash, doc_id, n_grams) rows.
+
+    ``n_grams`` (a doc-constant int) rides on every row so the downstream
+    pair aggregate needs NO join and NO broadcast: exact Jaccard is
+    c / (na + nb - c) where c = number of gram buckets a pair shares —
+    the inverted-index identity |A∩B| = #{g : g∈A and g∈B}."""
+
+    def __init__(self) -> None:
+        self._gram_hashes = _gram_hashes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        gh_out, id_out, n_out = [], [], []
+        for doc_id, text in zip(ids, texts):
+            gh = self._gram_hashes(text)
+            gh_out.append(gh)
+            id_out.append(np.full(len(gh), doc_id, dtype=np.int64))
+            n_out.append(np.full(len(gh), len(gh), dtype=np.int64))
+        return pa.table(
+            {
+                "gram_hash": pa.array(np.concatenate(gh_out)),
+                "doc_id": pa.array(np.concatenate(id_out)),
+                "n_grams": pa.array(np.concatenate(n_out)),
+            }
+        )
+
+
+def _gram_bucket_pairs(group: pa.Table) -> pa.Table:
+    """All (doc_a < doc_b) pairs sharing this gram. Hot grams make this
+    quadratic — at 100TB scale cap df (drop grams with document frequency
+    above a bound, losing only pairs whose entire overlap is stopword-like
+    grams) or salt by a secondary gram; at test scale buckets are small."""
+    ids = group["doc_id"].to_numpy(zero_copy_only=False)
+    ng = group["n_grams"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)
+    ids, ng = ids[order], ng[order]
+    ii, jj = np.triu_indices(len(ids), 1)
+    return pa.table(
+        {
+            "doc_a": pa.array(ids[ii]),
+            "doc_b": pa.array(ids[jj]),
+            "na": pa.array(ng[ii]),
+            "nb": pa.array(ng[jj]),
+        }
+    )
+
+
+def dedup_jaccard(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> ray.data.Dataset:
+    """Exact word-3-gram Jaccard near-dup pairs (recall 1.0 by construction,
+    unlike MinHash): explode docs over an inverted gram index, count bucket
+    co-occurrences per pair (= exact intersection size), finish with
+    c/(na+nb-c) >= threshold. The shuffle moves (int64 x 4) rows only;
+    no text, no gram sets, no joins."""
+    from ray.data.aggregate import Count, Max
+
+    ds = dup_corpus(sf_dir)
+    exploded = ds.map_batches(
+        GramIndexStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    pairs = exploded.groupby("gram_hash").map_groups(
+        _gram_bucket_pairs, batch_format="pyarrow"
+    )
+    counted = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="c"),
+        Max("na", alias_name="na"),
+        Max("nb", alias_name="nb"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = batch["na"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        jac = np.round(c / (na + nb - c), _G_DECIMALS)
+        out = pa.table(
+            {
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["doc_b"],
+                "jaccard": pa.array(jac),
+            }
+        )
+        return out.filter(pa.array(jac >= threshold))
+
+    return counted.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+EMB_DUP_OFFSET = 10_000
+COSINE_THRESHOLD = 0.8
+_C_DECIMALS = 6
+
+
+def emb_dup_corpus(sf_dir: str) -> ray.data.Dataset:
+    """embeddings UNION perturbed copies (vec_id+10000, x*0.9+0.01 cast to
+    float32) — cosine(v, v') ~= 1 for the injected pairs while natural
+    pairs top out well under the threshold. The perturbation is
+    SQL-expressible (list_transform + CAST AS FLOAT) so the exact variant
+    has a DuckDB oracle."""
+    ensure_serializable()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+    def perturbed(batch: pa.Table) -> pa.Table:
+        emb = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        pert = (emb * 0.9 + 0.01).astype(np.float32)
+        return pa.table(
+            {
+                "vec_id": pc.add(batch["vec_id"], EMB_DUP_OFFSET),
+                "embedding": pa.array(list(pert), pa.list_(pa.float32())),
+            }
+        )
+
+    return ds.union(
+        ds.map_batches(perturbed, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def _emb_matrix(ds: ray.data.Dataset):
+    tab = pa.concat_tables(ray.get(r) for r in ds.to_arrow_refs())
+    ids = tab["vec_id"].to_numpy(zero_copy_only=False)
+    mat = np.asarray(tab["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+class _CosinePairs:
+    """Per-batch rows x broadcast-corpus matmul; emits (a < b) pairs over
+    the threshold. The corpus matrix is ray.put once and fetched once per
+    actor — the brute-force baseline; use dedup_embedding_lsh at scale."""
+
+    def __init__(self, corpus_ref, threshold: float):
+        ids, mat = ray.get(corpus_ref)
+        self._ids = ids
+        norms = np.linalg.norm(mat, axis=1)
+        self._mat = mat
+        self._norms = norms
+        self._threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        emb = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        scores = (emb @ self._mat.T) / (
+            np.linalg.norm(emb, axis=1)[:, None] * self._norms[None, :]
+        )
+        # a < b keeps each pair exactly once across batches
+        keep = (vids[:, None] < self._ids[None, :]) & (scores >= self._threshold)
+        ii, jj = np.nonzero(keep)
+        return pa.table(
+            {
+                "doc_a": pa.array(vids[ii]),
+                "doc_b": pa.array(self._ids[jj]),
+                "cosine": pa.array(np.round(scores[ii, jj], _C_DECIMALS)),
+            }
+        )
+
+
+def dedup_embedding(sf_dir: str, threshold: float = COSINE_THRESHOLD) -> ray.data.Dataset:
+    """Exact embedding-cosine near-dup pairs (brute-force baseline)."""
+    ds = emb_dup_corpus(sf_dir)
+    ids, mat = _emb_matrix(ds)
+    corpus_ref = ray.put((ids, mat))
+    return emb_dup_corpus(sf_dir).map_batches(
+        _CosinePairs,
+        fn_constructor_args=(corpus_ref, threshold),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
+N_HYPERPLANES = 64
+SRP_BANDS = 8          # 8 bands x 8 bits
+SRP_BITS = N_HYPERPLANES // SRP_BANDS
+
+_srp_rng = np.random.default_rng(777)
+# fixed hyperplanes; dim read lazily at first use would add state — the
+# embeddings tables are 64-dim (TESTDATA.md), pinned here
+SRP_DIM = 64
+_HYPERPLANES = _srp_rng.standard_normal((N_HYPERPLANES, SRP_DIM))
+
+
+class _SrpBandStage:
+    """Signed-random-projection signature, exploded to band rows carrying
+    the embedding (so candidate verification is local to the bucket)."""
+
+    def __init__(self) -> None:
+        self._H = _HYPERPLANES
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        emb = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        bits = (emb @ self._H.T) > 0                       # (n, 64)
+        weights = (1 << np.arange(SRP_BITS, dtype=np.int64))
+        n = len(vids)
+        band_ids = np.tile(np.arange(SRP_BANDS, dtype=np.int32), n)
+        band_vals = (
+            bits.reshape(n, SRP_BANDS, SRP_BITS) @ weights
+        ).reshape(-1)
+        return pa.table(
+            {
+                "band": pa.array(band_ids),
+                "band_val": pa.array(band_vals),
+                "vec_id": pa.array(np.repeat(vids, SRP_BANDS)),
+                "embedding": batch["embedding"].take(
+                    pa.array(np.repeat(np.arange(n), SRP_BANDS))
+                ),
+            }
+        )
+
+
+def _srp_bucket_pairs(threshold: float):
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        if len(ids) < 2:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        order = np.argsort(ids)
+        ids = ids[order]
+        emb = np.asarray(group["embedding"].to_pylist(), dtype=np.float64)[order]
+        nrm = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        scores = nrm @ nrm.T
+        ii, jj = np.triu_indices(len(ids), 1)
+        keep = (scores[ii, jj] >= threshold) & (ids[ii] != ids[jj])
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[ii][keep]),
+                "doc_b": pa.array(ids[jj][keep]),
+                "cosine": pa.array(np.round(scores[ii, jj][keep], _C_DECIMALS)),
+            }
+        )
+
+    return bucket_pairs
+
+
+def dedup_embedding_lsh(
+    sf_dir: str, threshold: float = COSINE_THRESHOLD
+) -> ray.data.Dataset:
+    """Approximate embedding near-dup via SRP-LSH: sign-bit signature ->
+    band buckets -> within-bucket exact cosine verify -> global pair
+    dedup. The scale path: no broadcast corpus, shuffle moves band rows.
+    Recall vs the exact variant is unit-tested (~1 at the injected
+    near-dup similarity; misses need all 8 bands to differ)."""
+    ds = emb_dup_corpus(sf_dir)
+    banded = ds.map_batches(
+        _SrpBandStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    pairs = banded.groupby(["band", "band_val"]).map_groups(
+        _srp_bucket_pairs(threshold), batch_format="pyarrow"
+    )
+
+    def pair_first(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        pair_first, batch_format="pyarrow"
+    )

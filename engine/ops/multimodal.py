@@ -135,3 +135,149 @@ def image_metadata(sf_dir: str) -> ray.data.Dataset:
         concurrency=(1, 4),
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# resize stage (plumbing-real, decode-fake)
+# ---------------------------------------------------------------------------
+
+class ResizeImage:
+    """Actor-pool resize stage: cap the longest side at ``max_side``,
+    preserving aspect ratio (the size-budget guard of the reference's
+    smart_resize, /root/reference/crates/infer-paddleocr/src/vision/
+    preprocess.rs:261-300). The pixel resample itself would be PIL
+    (absent here) — the fake re-encodes the container header with the
+    new dims and truncates the payload proportionally; schema, batch
+    sizing and actor signature are the real thing."""
+
+    def __init__(self, max_side: int = 128) -> None:
+        self._max_side = max_side
+        self._magic = MAGIC
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_payloads, out_w, out_h, scaled = [], [], [], []
+        for payload in batch["image"].to_pylist():
+            w = int.from_bytes(payload[4:6], "big")
+            h = int.from_bytes(payload[6:8], "big")
+            s = max(w, h) / self._max_side
+            if s > 1.0:
+                # round-half-to-even like the reference's geometry math
+                # (model/mod.rs:1921-1932)
+                nw, nh = max(1, round(w / s)), max(1, round(h / s))
+                body = payload[8:]
+                keep = max(1, int(len(body) * (nw * nh) / (w * h)))
+                out_payloads.append(
+                    self._magic
+                    + nw.to_bytes(2, "big")
+                    + nh.to_bytes(2, "big")
+                    + body[:keep]
+                )
+                out_w.append(nw); out_h.append(nh); scaled.append(True)
+            else:
+                out_payloads.append(payload)
+                out_w.append(w); out_h.append(h); scaled.append(False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "image": pa.array(out_payloads, pa.binary()),
+                "mime": batch["mime"],
+                "width": pa.array(out_w, pa.int32()),
+                "height": pa.array(out_h, pa.int32()),
+                "scaled": pa.array(scaled, pa.bool_()),
+            }
+        )
+
+
+def image_resize(sf_dir: str, max_side: int = 128) -> ray.data.Dataset:
+    """encode -> actor-pool resize -> metadata of the resized table."""
+    resized = encode_fake_images(sf_dir).map_batches(
+        ResizeImage,
+        fn_constructor_kwargs={"max_side": max_side},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=BINARY_BATCH_SIZE,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    return resized.drop_columns(["image", "mime"])
+
+
+# ---------------------------------------------------------------------------
+# video frame sampling (one row -> N frame rows)
+# ---------------------------------------------------------------------------
+
+VID_MAGIC = b"VID1"
+
+
+def encode_fake_videos(sf_dir: str) -> ray.data.Dataset:
+    """documents -> (doc_id, video: binary, n_frames). Container:
+    b"VID1" + n_frames:u16 + fixed 32-byte frame records."""
+    ensure_serializable()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        payloads, n_frames = [], []
+        for doc_id, text in zip(ids, batch["text"].to_pylist()):
+            n = 4 + int(doc_id) % 29
+            body = (text.encode() * ((32 * n) // max(1, len(text)) + 1))[: 32 * n]
+            payloads.append(VID_MAGIC + int(n).to_bytes(2, "big") + body)
+            n_frames.append(n)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "video": pa.array(payloads, pa.binary()),
+                "n_frames": pa.array(n_frames, pa.int32()),
+            }
+        )
+
+    return ds.map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=BINARY_BATCH_SIZE,
+    )
+
+
+class SampleFrames:
+    """Actor-pool frame-sample stage: every ``stride``-th frame becomes
+    its own output row (the flat-map shape: 1 video row -> ceil(n/stride)
+    frame rows) with a per-frame byte-mean feature. A real ffmpeg decode
+    drops in behind the same signature."""
+
+    def __init__(self, stride: int = 4) -> None:
+        self._stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, frame_idx, means = [], [], []
+        for doc_id, payload in zip(
+            batch["doc_id"].to_pylist(), batch["video"].to_pylist()
+        ):
+            if payload[:4] != VID_MAGIC:
+                continue
+            n = int.from_bytes(payload[4:6], "big")
+            body = np.frombuffer(payload[6:], dtype=np.uint8)
+            for f in range(0, n, self._stride):
+                frame = body[32 * f : 32 * (f + 1)]
+                doc_ids.append(doc_id)
+                frame_idx.append(f)
+                means.append(round(float(frame.mean()) if len(frame) else 0.0, 6))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "frame_idx": pa.array(frame_idx, pa.int32()),
+                "byte_mean": pa.array(means, pa.float64()),
+            }
+        )
+
+
+def video_frame_sample(sf_dir: str, stride: int = 4) -> ray.data.Dataset:
+    return encode_fake_videos(sf_dir).map_batches(
+        SampleFrames,
+        fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=BINARY_BATCH_SIZE,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )

@@ -107,7 +107,7 @@ def render_conversations(
             return pa.table(
                 {"conv_id": pa.array([], pa.string()),
                  "rendered": pa.array([], pa.string()),
-                 "n_turns": pa.array([], pa.int32())}
+                 "n_turns": pa.array([], pa.int64())}
             )
         new_conv = np.empty(n, dtype=bool)
         new_conv[0] = True
@@ -122,7 +122,7 @@ def render_conversations(
         return pa.table(
             {"conv_id": pa.array(out_ids, pa.string()),
              "rendered": pa.array(out_text, pa.string()),
-             "n_turns": pa.array(out_n, pa.int32())}
+             "n_turns": pa.array([int(x) for x in out_n], pa.int64())}
         )
 
     return _bucketed(ds, num_buckets).groupby("_bucket").map_groups(

@@ -34,7 +34,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 SQL_CHECKED = [
     "pricing_summary", "stage_totals", "top_stages", "distinct_event_types",
     "orders_by_segment", "windowed_events", "sessionized_events",
-    "top_event_per_user", "dedup_exact", "knn_bruteforce",
+    "top_event_per_user", "dedup_exact", "dedup_jaccard", "dedup_embedding",
+    "knn_bruteforce",
     "quality_score", "lang_id", "normalize_documents", "doc_fingerprint",
 ]
 
@@ -57,10 +58,22 @@ def test_all_queries_have_oracle_or_are_documented():
     # every rows-only query is one of the documented non-SQL-expressible ops
     assert rows_only == {
         "extract_transcripts", "extract_transcripts_salted", "extract_turn_stats",
-        "render_conversations", "compact_history",
-        "dedup_minhash", "dedup_simhash", "knn_ivf", "rolling_fingerprint",
-        "image_metadata",
+        "checkpointed_lineage",
+        "dedup_minhash", "dedup_simhash", "dedup_embedding_lsh",
+        "knn_ivf", "rolling_fingerprint",
+        "image_metadata", "image_resize", "video_frame_sample",
     }
+
+
+@pytest.mark.parametrize("name", ["render_conversations", "compact_history"])
+def test_transcript_query_matches_oracle(name, duck):
+    """These oracles read the transcript fixture by path at the driver's
+    correctness scale (sf0.01 -> tier t2), so the Ray side runs there too."""
+    import __ray_entry__ as entrymod
+
+    got = canon(entrymod.queries()[name]("/root/testdata/sf0.01").to_pandas())
+    want = canon(duck.sql(entrymod.oracle_sql()[name]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
 def test_dedup_minhash_finds_injected_near_dups():
@@ -88,6 +101,35 @@ def test_dedup_simhash_exact_copies_distance_zero():
     ]
     assert len(exact) == 500  # every (original, exact-copy) pair found
     assert (exact["hamming"] == 0).all()
+
+
+def test_dedup_jaccard_recall_is_exact():
+    """Inverted-index Jaccard has recall 1.0 by construction: every injected
+    (original, exact-copy) pair appears at jaccard 1.0, and every
+    (original, word-dropped near-copy) pair appears when over threshold."""
+    from engine.ops.dedup import EXACT_DUP_OFFSET, dedup_jaccard
+
+    pairs = dedup_jaccard(SF).to_pandas()
+    exact = pairs[
+        (pairs["doc_a"] < EXACT_DUP_OFFSET)
+        & (pairs["doc_b"] == pairs["doc_a"] + EXACT_DUP_OFFSET)
+    ]
+    assert len(exact) == 500
+    assert (exact["jaccard"] == 1.0).all()
+
+
+def test_dedup_embedding_lsh_recall_vs_exact():
+    from engine.ops.dedup import dedup_embedding, dedup_embedding_lsh
+
+    exact = dedup_embedding(SF).to_pandas()
+    lsh = dedup_embedding_lsh(SF).to_pandas()
+    ep = set(zip(exact["doc_a"], exact["doc_b"]))
+    lp = set(zip(lsh["doc_a"], lsh["doc_b"]))
+    assert len(ep) >= 500          # every injected perturbed pair
+    assert len(ep & lp) / len(ep) > 0.95   # SRP-LSH recall at cosine ~1
+    assert lp <= ep or all(        # no false positives below threshold
+        c >= 0.8 for c in lsh["cosine"]
+    )
 
 
 def test_knn_ivf_shape_and_recall():
@@ -118,6 +160,31 @@ def test_image_metadata_plumbing():
     assert meta["decode_ok"].all()
     assert (meta["n_pixels"] == meta["width"] * meta["height"]).all()
     assert (meta["width"] >= 64).all() and (meta["height"] >= 64).all()
+
+
+def test_image_resize_caps_longest_side():
+    from engine.ops.multimodal import image_resize
+
+    out = image_resize(SF, max_side=128).to_pandas()
+    assert (out[["width", "height"]].max(axis=1) <= 128).all()
+    big = out[out["scaled"]]
+    assert len(big) > 0  # fixture dims go up to 64+192=256
+    # aspect ratio preserved within rounding
+    meta = image_resize(SF, max_side=10**6).to_pandas().set_index("doc_id")
+    for _, r in big.head(20).iterrows():
+        ow, oh = meta.loc[r["doc_id"], ["width", "height"]]
+        assert abs(r["width"] / r["height"] - ow / oh) < 0.1
+
+
+def test_video_frame_sample_stride():
+    from engine.ops.multimodal import encode_fake_videos, video_frame_sample
+
+    frames = video_frame_sample(SF, stride=4).to_pandas()
+    src = encode_fake_videos(SF).drop_columns(["video"]).to_pandas()
+    per_doc = frames.groupby("doc_id").size()
+    want = src.set_index("doc_id")["n_frames"].map(lambda n: (n + 3) // 4)
+    assert per_doc.sort_index().equals(want.sort_index().astype("int64"))
+    assert (frames["frame_idx"] % 4 == 0).all()
 
 
 def test_multimodal_real_decode_is_stubbed():
