@@ -240,42 +240,59 @@ def oracle_sql() -> dict[str, str]:
                OR (lu.u IS NULL AND t.role = 'system')
         """,
         "pricing_summary": """
+            -- exact-aggregate discipline (engine.ops.relational._fixed_point):
+            -- quantize PER ELEMENT to integers (qty integral, money 2dp,
+            -- discount/tax whole percents), aggregate in int64 — exact in
+            -- any accumulation order on both engines
+            WITH q AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(round(l_quantity) AS BIGINT) AS qty,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                     CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+                     CAST(round(l_tax * 100) AS BIGINT) AS tax_pct
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02')
             SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity) AS sum_qty,
-                   sum(l_extendedprice) AS sum_base_price,
-                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-                   sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
-                   avg(l_quantity) AS avg_qty,
-                   avg(l_extendedprice) AS avg_price,
-                   avg(l_discount) AS avg_disc,
+                   CAST(sum(qty) AS BIGINT) AS sum_qty,
+                   CAST(sum(cents) AS BIGINT) AS sum_base_price_cents,
+                   CAST(sum(cents * (100 - disc_pct)) AS BIGINT) AS sum_disc_price_e4,
+                   CAST(sum(cents * (100 - disc_pct) * (100 + tax_pct)) AS BIGINT) AS sum_charge_e6,
+                   CAST(sum(qty) * 1000000 // count(*) AS BIGINT) AS avg_qty_micro,
+                   CAST(sum(cents) * 10000 // count(*) AS BIGINT) AS avg_price_micro,
+                   CAST(sum(disc_pct) * 10000 // count(*) AS BIGINT) AS avg_disc_micro,
                    count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-            GROUP BY l_returnflag, l_linestatus
+            FROM q GROUP BY l_returnflag, l_linestatus
         """,
         "stage_totals": """
-            SELECT event_type, count(*) AS n_events, sum(value) AS total_value,
+            SELECT event_type, count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+                     AS total_value_micro,
                    min(value) AS min_value, max(value) AS max_value
             FROM events GROUP BY event_type
         """,
         "top_stages": """
             SELECT * FROM (
-              SELECT event_type, count(*) AS n_events, sum(value) AS total_value,
+              SELECT event_type, count(*) AS n_events,
+                     CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+                       AS total_value_micro,
                      min(value) AS min_value, max(value) AS max_value
               FROM events GROUP BY event_type)
-            ORDER BY total_value DESC LIMIT 3
+            ORDER BY total_value_micro DESC LIMIT 3
         """,
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
         "orders_by_segment": """
             SELECT c_mktsegment, count(*) AS n_orders,
-                   sum(o_totalprice) AS revenue
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     AS revenue_cents
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
         "windowed_events": """
             SELECT user_id,
                    (epoch_us(ts) // 3600000000) * 3600 AS window_start,
-                   count(*) AS n_events, sum(value) AS sum_value
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+                     AS sum_value_micro
             FROM events GROUP BY user_id, window_start
         """,
         "sessionized_events": """
@@ -293,7 +310,9 @@ def oracle_sql() -> dict[str, str]:
               FROM flagged)
             SELECT user_id, session_seq,
                    min(epoch_us(ts)) AS session_start_us,
-                   count(*) AS n_events, sum(value) AS sum_value
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+                     AS sum_value_micro
             FROM numbered GROUP BY user_id, session_seq
         """,
         "top_event_per_user": """

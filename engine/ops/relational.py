@@ -24,6 +24,20 @@ from ray.data.aggregate import Count, Max, Min, Sum
 from .._rayutil import ensure_serializable
 
 
+def _fixed_point(col, scale: int):
+    """Quantize a float column to int64 fixed point PER ELEMENT.
+
+    The engine's exact-aggregate discipline: distributed float sums drift
+    in the last bits with accumulation order (and even round(sum, 2)
+    yields engine-dependent doubles at 1e8 magnitude), so every
+    oracle-compared aggregate quantizes its INPUTS to integers — a
+    per-element round of the same double is deterministic on both
+    engines, and int64 sums are exact in any order. Never quantize after
+    summing: the float sum's error is at the same scale as the input's
+    decimal resolution, so round(sum * scale) is engine-dependent."""
+    return pc.cast(pc.round(pc.multiply(col, float(scale))), pa.int64())
+
+
 def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
     ensure_serializable()
     return ray.data.read_parquet(
@@ -34,6 +48,7 @@ def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
 def pricing_summary(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q1-shaped pricing summary over lineitem (usage-counter analog,
     SURVEY A2). Predicate pushed to the read; partial sums per batch."""
+    ensure_serializable()
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=[
@@ -44,51 +59,62 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        disc_price = pc.multiply(
-            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
-        )
-        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), batch["l_tax"]))
+        # Exact integer domain (see _fixed_point): qty is integral, money
+        # has 2 decimals, discount/tax are whole percents — so cents /
+        # percent units make every product and sum exact in int64
+        # (max charge_e6 term ~1.1e11/row; 9.2e18 headroom).
+        qty = _fixed_point(batch["l_quantity"], 1)
+        cents = _fixed_point(batch["l_extendedprice"], 100)
+        disc_pct = _fixed_point(batch["l_discount"], 100)
+        tax_pct = _fixed_point(batch["l_tax"], 100)
+        disc_e4 = pc.multiply(cents, pc.subtract(pa.scalar(100), disc_pct))
+        charge_e6 = pc.multiply(disc_e4, pc.add(pa.scalar(100), tax_pct))
         batch = pa.table(
             {
                 "l_returnflag": batch["l_returnflag"],
                 "l_linestatus": batch["l_linestatus"],
-                "qty": batch["l_quantity"],
-                "base_price": batch["l_extendedprice"],
-                "disc_price": disc_price,
-                "charge": charge,
-                "discount": batch["l_discount"],
+                "qty": qty,
+                "base_cents": cents,
+                "disc_e4": disc_e4,
+                "charge_e6": charge_e6,
+                "disc_pct": disc_pct,
             }
         )
         return batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [
-                ("qty", "sum"), ("base_price", "sum"), ("disc_price", "sum"),
-                ("charge", "sum"), ("discount", "sum"), ("qty", "count"),
+                ("qty", "sum"), ("base_cents", "sum"), ("disc_e4", "sum"),
+                ("charge_e6", "sum"), ("disc_pct", "sum"), ("qty", "count"),
             ]
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("qty_sum", alias_name="sum_qty"),
-        Sum("base_price_sum", alias_name="sum_base_price"),
-        Sum("disc_price_sum", alias_name="sum_disc_price"),
-        Sum("charge_sum", alias_name="sum_charge"),
-        Sum("discount_sum", alias_name="_sum_disc"),
+        Sum("base_cents_sum", alias_name="sum_base_price_cents"),
+        Sum("disc_e4_sum", alias_name="sum_disc_price_e4"),
+        Sum("charge_e6_sum", alias_name="sum_charge_e6"),
+        Sum("disc_pct_sum", alias_name="_sum_disc_pct"),
         Sum("qty_count", alias_name="count_order"),
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
-        n = pc.cast(batch["count_order"], pa.float64())
+        # Averages by INTEGER division of the exact integer sums — no
+        # float ever touches an oracle-compared column.
+        n = batch["count_order"].to_numpy(zero_copy_only=False)
+        i64 = lambda name: batch[name].to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "l_returnflag": batch["l_returnflag"],
                 "l_linestatus": batch["l_linestatus"],
                 "sum_qty": batch["sum_qty"],
-                "sum_base_price": batch["sum_base_price"],
-                "sum_disc_price": batch["sum_disc_price"],
-                "sum_charge": batch["sum_charge"],
-                "avg_qty": pc.divide(batch["sum_qty"], n),
-                "avg_price": pc.divide(batch["sum_base_price"], n),
-                "avg_disc": pc.divide(batch["_sum_disc"], n),
+                "sum_base_price_cents": batch["sum_base_price_cents"],
+                "sum_disc_price_e4": batch["sum_disc_price_e4"],
+                "sum_charge_e6": batch["sum_charge_e6"],
+                "avg_qty_micro": pa.array(i64("sum_qty") * 1_000_000 // n),
+                "avg_price_micro": pa.array(
+                    i64("sum_base_price_cents") * 10_000 // n
+                ),
+                "avg_disc_micro": pa.array(i64("_sum_disc_pct") * 10_000 // n),
                 "count_order": batch["count_order"],
             }
         )
@@ -98,10 +124,16 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
 
 def _stage_partials(batch: pa.Table) -> pa.Table:
     return (
-        pa.table({"event_type": batch["event_type"], "value": batch["value"]})
+        pa.table(
+            {
+                "event_type": batch["event_type"],
+                "value": batch["value"],
+                "v_micro": _fixed_point(batch["value"], 1_000_000),
+            }
+        )
         .group_by(["event_type"])
         .aggregate(
-            [("value", "count"), ("value", "sum"), ("value", "min"), ("value", "max")]
+            [("value", "count"), ("v_micro", "sum"), ("value", "min"), ("value", "max")]
         )
     )
 
@@ -111,17 +143,20 @@ def stage_totals(sf_dir: str) -> ray.data.Dataset:
     verbatim (SURVEY A1; /root/reference/crates/cli/src/bench.rs:139-172)."""
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
     partials = ds.map_batches(_stage_partials, batch_format="pyarrow", zero_copy_batch=True)
-    return partials.groupby("event_type").aggregate(
+    agg = partials.groupby("event_type").aggregate(
         Sum("value_count", alias_name="n_events"),
-        Sum("value_sum", alias_name="total_value"),
+        Sum("v_micro_sum", alias_name="total_value_micro"),
         Min("value_min", alias_name="min_value"),
         Max("value_max", alias_name="max_value"),
+    )
+    return agg.select_columns(
+        ["event_type", "n_events", "total_value_micro", "min_value", "max_value"]
     )
 
 
 def top_stages(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     """Top-k stages by total value desc (SURVEY O3: bench top-10)."""
-    return stage_totals(sf_dir).sort("total_value", descending=True).limit(k)
+    return stage_totals(sf_dir).sort("total_value_micro", descending=True).limit(k)
 
 
 def distinct_event_types(sf_dir: str) -> ray.data.Dataset:
@@ -158,12 +193,12 @@ class _SegmentLookup:
         out = pa.table(
             {
                 "c_mktsegment": pa.array(seg, pa.string()),
-                "o_totalprice": batch["o_totalprice"],
+                "price_cents": _fixed_point(batch["o_totalprice"], 100),
             }
         )
         return (
             out.group_by(["c_mktsegment"])
-            .aggregate([("o_totalprice", "count"), ("o_totalprice", "sum")])
+            .aggregate([("price_cents", "count"), ("price_cents", "sum")])
         )
 
 
@@ -190,8 +225,8 @@ def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
         num_cpus=1,
     )
     return partials.groupby("c_mktsegment").aggregate(
-        Sum("o_totalprice_count", alias_name="n_orders"),
-        Sum("o_totalprice_sum", alias_name="revenue"),
+        Sum("price_cents_count", alias_name="n_orders"),
+        Sum("price_cents_sum", alias_name="revenue_cents"),
     )
 
 
@@ -211,16 +246,20 @@ def windowed_events(sf_dir: str) -> ray.data.Dataset:
         ts_us = pc.cast(batch["ts"], pa.int64())
         window = pc.multiply(pc.divide(ts_us, WINDOW_US), pa.scalar(3600, pa.int64()))
         t = pa.table(
-            {"user_id": batch["user_id"], "window_start": window, "value": batch["value"]}
+            {
+                "user_id": batch["user_id"],
+                "window_start": window,
+                "v_micro": _fixed_point(batch["value"], 1_000_000),
+            }
         )
         return t.group_by(["user_id", "window_start"]).aggregate(
-            [("value", "count"), ("value", "sum")]
+            [("v_micro", "count"), ("v_micro", "sum")]
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return partials.groupby(["user_id", "window_start"]).aggregate(
-        Sum("value_count", alias_name="n_events"),
-        Sum("value_sum", alias_name="sum_value"),
+        Sum("v_micro_count", alias_name="n_events"),
+        Sum("v_micro_sum", alias_name="sum_value_micro"),
     )
 
 
@@ -256,11 +295,15 @@ def sessionized_events(sf_dir: str, num_buckets: int = 64) -> ray.data.Dataset:
                  "session_seq": pa.array([], pa.int64()),
                  "session_start_us": pa.array([], pa.int64()),
                  "n_events": pa.array([], pa.int64()),
-                 "sum_value": pa.array([], pa.float64())}
+                 "sum_value_micro": pa.array([], pa.int64())}
             )
         uid = t.column("user_id").to_numpy(zero_copy_only=False)
         ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        val = t.column("value").to_numpy(zero_copy_only=False)
+        val = (
+            _fixed_point(t.column("value"), 1_000_000)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
         new_user = np.empty(n, dtype=bool)
         new_user[0] = True
         new_user[1:] = uid[1:] != uid[:-1]
@@ -284,7 +327,7 @@ def sessionized_events(sf_dir: str, num_buckets: int = 64) -> ray.data.Dataset:
                 "session_seq": pa.array(seq[sess_starts], pa.int64()),
                 "session_start_us": pa.array(ts[sess_starts], pa.int64()),
                 "n_events": pa.array(lens, pa.int64()),
-                "sum_value": pa.array(sums, pa.float64()),
+                "sum_value_micro": pa.array(sums.astype(np.int64)),
             }
         )
 
