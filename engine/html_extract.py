@@ -217,10 +217,95 @@ def emit_blocks(candidate: Node) -> List[str]:
     return blocks
 
 
+# ---------------------------------------------------------------------------
+# fast path: one post-order pass computes per-node (text, link_len, p_score)
+# ---------------------------------------------------------------------------
+
+def _aggregate(node: Node, memo: Dict[int, tuple]) -> tuple:
+    """Bottom-up (raw_text, link_text_len, p_score_subtree) per element.
+
+    Semantically identical to node_text / link_text_len / _content_score
+    (the reference implementations above, kept for unit tests) but computed
+    in ONE pass instead of re-walking the tree per scoring call — the
+    profile showed 419k node_text calls over 90k nodes per document batch.
+    ``p_score_subtree`` includes the node's own <p> contribution; callers
+    subtract it when they need the descendants-only content score (for
+    candidates that's moot: candidate tags are never <p>)."""
+    parts: List[str] = []
+    llen = 0
+    psub = 0.0
+    for child in node.children:
+        if isinstance(child, str):
+            parts.append(child)
+        elif child.tag not in SKIP_TAGS:
+            ctext, cllen, cpsub = _aggregate(child, memo)
+            parts.append(ctext)
+            if child.tag == "a":
+                llen += len(ctext)
+            else:
+                llen += cllen
+            psub += cpsub
+    text = "".join(parts)
+    own = 0.0
+    if node.tag == "p":
+        collapsed = collapse_ws(text)
+        if len(collapsed) >= MIN_PARA_CHARS:
+            own = 1.0 + collapsed.count(",") + min(len(collapsed) // 100, 3)
+    entry = (text, llen, psub + own)
+    memo[id(node)] = entry
+    return entry
+
+
+def _select_candidate_fast(root: Node, memo: Dict[int, tuple]) -> Optional[Node]:
+    best: Optional[Node] = None
+    best_score = float("-inf")
+    for el in _walk(root):
+        if el.tag not in CANDIDATE_TAGS:
+            continue
+        text, llen, pscore = memo[id(el)]
+        density = (llen / len(text)) if text else 0.0
+        base = TAG_WEIGHT.get(el.tag, 0) + _class_id_weight(el)
+        score = (base + pscore) * (1.0 - density)
+        if score > best_score:  # strict > == first-in-document-order tiebreak
+            best, best_score = el, score
+    if best is None or best_score <= 0:
+        for el in _walk(root):
+            if el.tag == "body":
+                return el
+        return root
+    return best
+
+
+def _emit_blocks_fast(candidate: Node, memo: Dict[int, tuple]) -> List[str]:
+    blocks: List[str] = []
+
+    def visit(node: Node) -> None:
+        for child in node.children:
+            if not isinstance(child, Node) or child.tag in SKIP_TAGS:
+                continue
+            if child.tag in BLOCK_TAGS:
+                raw, llen, _ = memo[id(child)]
+                text = collapse_ws(raw)
+                density = (llen / len(raw)) if raw else 0.0
+                if text and density <= MAX_BLOCK_LINK_DENSITY:
+                    blocks.append(text)
+                continue  # do not descend into an emitted block
+            visit(child)
+
+    visit(candidate)
+    if not blocks:
+        text = collapse_ws(memo[id(candidate)][0])
+        if text:
+            blocks.append(text)
+    return blocks
+
+
 def extract_html(payload: str) -> List[str]:
     """HTML payload -> ordered list of clean main-content text blocks."""
     root = parse_html(payload)
-    candidate = select_candidate(root)
+    memo: Dict[int, tuple] = {}
+    _aggregate(root, memo)
+    candidate = _select_candidate_fast(root, memo)
     if candidate is None:
         return []
-    return emit_blocks(candidate)
+    return _emit_blocks_fast(candidate, memo)

@@ -95,31 +95,53 @@ class ExtractTurns:
         # overwritten below via if_else.
         norm = normalize_arrow(text)
 
-        spans_py: list = [[]] * n
         n_blocks = np.zeros(n, dtype=np.int32)
+        span_counts = np.zeros(n, dtype=np.int64)
         if len(payload_idx):
-            texts = text.combine_chunks()
-            roles = role.combine_chunks()
-            spans_py = [[] for _ in range(n)]
+            # Vectorized take of only the sniff-positive rows, then one
+            # Python loop over them. Spans go straight into flat int64
+            # buffers -> ListArray.from_arrays: building millions of
+            # per-span dicts made extraction DRAM-bandwidth-bound at high
+            # actor counts (per-core throughput dropped 1.38x from 3 to
+            # 15 actors on one node).
+            idx_pa = pa.array(payload_idx)
+            sub_texts = text.take(idx_pa).to_pylist()
+            sub_roles = role.take(idx_pa).to_pylist()
             py_text: list = [None] * n
+            row_spans: list = [None] * len(payload_idx)
             fn = self._extract_turn
-            for i in payload_idx:
-                i = int(i)
-                extracted, spans, nb = fn(texts[i].as_py(), roles[i].as_py())
+            for k, i in enumerate(payload_idx):
+                extracted, spans, nb = fn(sub_texts[k], sub_roles[k])
                 py_text[i] = extracted
-                spans_py[i] = [{"start": s, "end": e} for s, e in spans]
+                row_spans[k] = spans
+                span_counts[i] = len(spans)
                 n_blocks[i] = nb
+            flat_start = np.fromiter(
+                (s for sp in row_spans for s, _ in sp), dtype=np.int64
+            )
+            flat_end = np.fromiter(
+                (e for sp in row_spans for _, e in sp), dtype=np.int64
+            )
             extracted_text = pc.if_else(needs, pa.array(py_text, pa.string()), norm)
         else:
+            flat_start = flat_end = np.empty(0, dtype=np.int64)
             extracted_text = norm
 
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(span_counts, out=offsets[1:])
+        spans_arr = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pa.StructArray.from_arrays(
+                [pa.array(flat_start), pa.array(flat_end)], ["start", "end"]
+            ),
+        )
         out = pa.table(
             {
                 "conv_id": batch.column("conv_id"),
                 "turn_idx": batch.column("turn_idx"),
                 "role": role,
                 "extracted_text": extracted_text,
-                "spans": pa.array(spans_py, SPAN_TYPE),
+                "spans": spans_arr,
                 "n_blocks": pa.array(n_blocks),
                 "schema_version": pa.array(
                     np.full(n, SCHEMA_VERSION, dtype=np.int32)
