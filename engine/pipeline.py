@@ -77,8 +77,11 @@ class ExtractTurns:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        text = batch.column("text")
-        role = batch.column("role")
+        # Null text is legal input (treated as empty — the reference's
+        # missing-image fallback posture, SURVEY M15); null keys are not
+        # and abort in the ordering stage.
+        text = pc.fill_null(batch.column("text"), "")
+        role = pc.fill_null(batch.column("role"), "")
 
         # Vectorized payload sniff (mirrors sniff.has_payload).
         needs = pc.or_(
@@ -149,6 +152,14 @@ class ExtractTurns:
             }
         )
         if self._num_buckets is not None:
+            if (
+                batch.column("conv_id").null_count
+                or batch.column("turn_idx").null_count
+            ):
+                raise ValueError(
+                    "null conv_id/turn_idx in input — ordering keys must be "
+                    "non-null (null text is tolerated; null keys are not)"
+                )
             conv = batch.column("conv_id").to_numpy(zero_copy_only=False)
             h = _hash_conv_ids(conv)
             if self._salt_block is not None:

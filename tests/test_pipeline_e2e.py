@@ -70,6 +70,40 @@ def test_salted_equals_unsalted(t1_files, pipeline_out):
         assert list(got) == list(want)
 
 
+def test_null_text_tolerated_null_keys_abort(tmp_path):
+    """Null text extracts as empty (M15 fallback posture); a null ordering
+    key aborts loudly rather than silently mis-bucketing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ok = pa.table(
+        {
+            "conv_id": pa.array(["c1", "c1"]),
+            "turn_idx": pa.array([0, 1], pa.int32()),
+            "role": pa.array(["user", None]),
+            "text": pa.array(["hello", None]),
+        }
+    )
+    p = str(tmp_path / "ok.parquet")
+    pq.write_table(ok, p)
+    out = _sorted(extraction_plan([p], batch_size=64).to_pandas())
+    assert list(out["extracted_text"]) == ["hello", ""]
+    assert [len(s) for s in out["spans"]] == [0, 0]
+
+    bad = pa.table(
+        {
+            "conv_id": pa.array(["c1", None]),
+            "turn_idx": pa.array([0, 1], pa.int32()),
+            "role": pa.array(["user", "user"]),
+            "text": pa.array(["a", "b"]),
+        }
+    )
+    pb = str(tmp_path / "bad.parquet")
+    pq.write_table(bad, pb)
+    with pytest.raises(Exception, match="null conv_id"):
+        extraction_plan([pb], batch_size=64).materialize()
+
+
 def test_groups_emitted_ordered(t1_files):
     """Within each output block, a conversation's turns appear sorted —
     the stable-turn-ordering contract of the grouped emission stage."""
