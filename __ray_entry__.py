@@ -115,6 +115,18 @@ def _checkpointed_lineage(sf_dir: str):
     return ray.data.from_items(records)
 
 
+def _conv_stats(sf_dir: str):
+    from engine.ops.convstats import conv_stats
+
+    return conv_stats(_transcript_files(sf_dir))
+
+
+def _turn_token_counts(sf_dir: str):
+    from engine.ops.convstats import turn_token_counts
+
+    return turn_token_counts(_transcript_files(sf_dir))
+
+
 def _render_conversations(sf_dir: str):
     from engine.templates import render_conversations
 
@@ -148,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # conversation-template / history ops (SURVEY M1-M3)
         "render_conversations": _render_conversations,
         "compact_history": _compact_history,
+        "conv_stats": _conv_stats,
+        "turn_token_counts": _turn_token_counts,
         # relational operators (SURVEY SS2.6-2.7, SS2.10)
         "pricing_summary": relational.pricing_summary,
         "stage_totals": relational.stage_totals,
@@ -238,6 +252,24 @@ def oracle_sql() -> dict[str, str]:
                    AND ((t.role = 'system' AND t.turn_idx < lu.u)
                         OR t.turn_idx = lu.u))
                OR (lu.u IS NULL AND t.role = 'system')
+        """,
+        "conv_stats": f"""
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_tool_turns,
+                   CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS n_chars,
+                   min(epoch_us(ts)) AS first_ts_us,
+                   max(epoch_us(ts)) AS last_ts_us
+            FROM {transcripts}
+            GROUP BY conv_id
+        """,
+        "turn_token_counts": f"""
+            SELECT conv_id, turn_idx,
+                   CAST(length(regexp_extract_all(coalesce(text, ''), '\\S+')) AS BIGINT)
+                     AS n_tokens,
+                   CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
+            FROM {transcripts}
         """,
         "pricing_summary": """
             -- exact-aggregate discipline (engine.ops.relational._fixed_point):

@@ -65,7 +65,10 @@ def test_all_queries_have_oracle_or_are_documented():
     }
 
 
-@pytest.mark.parametrize("name", ["render_conversations", "compact_history"])
+@pytest.mark.parametrize(
+    "name",
+    ["render_conversations", "compact_history", "conv_stats", "turn_token_counts"],
+)
 def test_transcript_query_matches_oracle(name, duck):
     """These oracles read the transcript fixture by path at the driver's
     correctness scale (sf0.01 -> tier t2), so the Ray side runs there too."""
