@@ -1,0 +1,95 @@
+"""Property-based invariants of the extraction core (hypothesis).
+
+The reference ships no randomized testing (SURVEY SS5 item 5); these
+properties pin the invariants the pipeline's correctness rests on, over
+adversarial inputs no fixture would contain: arbitrary unicode, nested
+markers, truncated payloads, whitespace pathologies.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from engine.extract import extract_turn
+from engine.normalize import collapse_ws, normalize_text
+from engine.sniff import segment_turn
+from engine.spans import assemble
+
+# Text that may embed payload-ish fragments.
+_fragments = st.lists(
+    st.one_of(
+        st.text(max_size=80),
+        st.just("<!DOCTYPE html><html><body><p>x, y</p></body></html>"),
+        st.just("<!DOCTYPE html><html><div class='content'><p>"),  # truncated
+        st.just("%PDF-LITE 1.0\n@block page=1 y=5 x=1\nhi\n@endblock\n%%EOF"),
+        st.just("%PDF-LITE"),                                      # truncated
+        st.just("</html>"),
+        st.just("<|end_of_text|>"),
+        st.just("\r\n \t"),
+    ),
+    max_size=6,
+)
+_texts = _fragments.map("".join)
+_roles = st.sampled_from(["user", "assistant", "system", "tool"])
+
+
+@settings(max_examples=300, deadline=None)
+@given(_texts, _roles)
+def test_extract_turn_invariants(text, role):
+    extracted, spans, n_blocks = extract_turn(text, role)
+    # span discipline: char offsets, ascending, non-overlapping, in-bounds
+    prev_end = -1
+    for s, e in spans:
+        assert 0 <= s < e <= len(extracted)
+        assert s > prev_end
+        prev_end = e
+    assert n_blocks == len(spans)
+    # every span slices to non-empty text with no outer whitespace
+    for s, e in spans:
+        seg = extracted[s:e]
+        assert seg == seg.strip()
+        assert seg
+    # determinism
+    assert extract_turn(text, role) == (extracted, spans, n_blocks)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_texts, _roles)
+def test_segment_turn_partitions_text(text, role):
+    """Segments cover the turn text in order with no gaps or overlaps
+    (the slot-splicing invariant, reference model/mod.rs:2169-2210)."""
+    segs = segment_turn(text, role)
+    if role == "tool":
+        assert "".join(s for _, s in segs) == (text if text else "")
+        return
+    assert "".join(s for _, s in segs) == text
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=200))
+def test_normalize_idempotent(s):
+    once = normalize_text(s)
+    assert normalize_text(once) == once
+    c = collapse_ws(s)
+    assert collapse_ws(c) == c
+    assert "\r" not in once
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text(max_size=40), st.booleans()),
+        max_size=8,
+    )
+)
+def test_assemble_spans_slice_back(parts):
+    extracted, spans = assemble(parts)
+    blocks = [p for p, is_block in parts if is_block and p]
+    # one span per non-empty block, each slicing back to its block text
+    assert len(spans) <= len(blocks)
+    # ascending, in-bounds
+    prev = -1
+    for s, e in spans:
+        assert 0 <= s < e <= len(extracted)
+        assert s > prev
+        prev = e
