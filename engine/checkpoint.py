@@ -24,6 +24,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import shutil
 import time
 from typing import Dict, List, Optional, Sequence
@@ -83,6 +84,31 @@ def read_manifest(out_dir: str) -> Dict[int, Dict]:
 def _append_manifest(out_dir: str, rec: Dict) -> None:
     with open(os.path.join(out_dir, MANIFEST_NAME), "a") as f:
         f.write(json.dumps(rec) + "\n")
+
+
+_STAGE_KEYS = (
+    ("ReadParquet", "read_s"),
+    ("ExtractTurns", "extract_s"),
+    ("Sort", "order_s"),
+    ("Write", "write_s"),
+)
+
+
+def _stage_seconds(stats_text: str) -> Dict[str, float]:
+    """Per-operator wall seconds from ``Dataset.stats()`` — the SURVEY SS6
+    per-stage timing columns, so a scaling-efficiency regression is
+    attributable to read / extract / order / write rather than a single
+    opaque total. Operator wall spans overlap under streaming execution;
+    they locate the bottleneck, they do not sum to the job wall."""
+    out: Dict[str, float] = {}
+    for m in re.finditer(
+        r"Operator \d+ (.+?): (?:.*?in|executed in) ([0-9.]+)s", stats_text
+    ):
+        label, secs = m.group(1), float(m.group(2))
+        for needle, key in _STAGE_KEYS:
+            if needle in label:
+                out[key] = out.get(key, 0.0) + secs
+    return out
 
 
 def _count_parquet_rows(directory: str) -> int:
@@ -155,6 +181,9 @@ def run_partitioned(
             "rows_in": rows_in,
             "rows_out": rows_out,
             "extraction_ms": round(elapsed_ms, 3),
+            "stages": {
+                k: round(v, 3) for k, v in _stage_seconds(ds.stats()).items()
+            },
             "status": "complete",
         }
         _append_manifest(out_dir, rec)

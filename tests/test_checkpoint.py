@@ -104,6 +104,8 @@ def test_manifest_lines_are_lineage_records(t1_files, out_dir):
     for rec in recs:
         assert set(rec) == {
             "partition_id", "input_fingerprint", "rows_in", "rows_out",
-            "extraction_ms", "status",
+            "extraction_ms", "stages", "status",
         }
         assert rec["extraction_ms"] > 0
+        # per-stage attribution (SURVEY SS6): every pipeline stage timed
+        assert {"read_s", "extract_s", "order_s", "write_s"} <= set(rec["stages"])
