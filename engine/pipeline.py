@@ -103,10 +103,9 @@ class ExtractTurns:
         if len(payload_idx):
             # Vectorized take of only the sniff-positive rows, then one
             # Python loop over them. Spans go straight into flat int64
-            # buffers -> ListArray.from_arrays: building millions of
-            # per-span dicts made extraction DRAM-bandwidth-bound at high
-            # actor counts (per-core throughput dropped 1.38x from 3 to
-            # 15 actors on one node).
+            # buffers -> ListArray.from_arrays instead of millions of
+            # per-span Python dicts — allocation pressure in this loop
+            # showed up as per-core slowdown at high actor counts.
             idx_pa = pa.array(payload_idx)
             sub_texts = text.take(idx_pa).to_pylist()
             sub_roles = role.take(idx_pa).to_pylist()
