@@ -30,6 +30,26 @@ if _REPO_ROOT not in _pp.split(os.pathsep):
 _registered = False
 
 
+def pool_size(reserve: int = 1, floor: int = 1) -> tuple:
+    """Autoscaling actor-pool bounds sized to the CLUSTER, not a constant.
+
+    A hard-coded ``concurrency=(1, 4)`` caps a 256-node cluster at 4
+    actors; this returns ``(floor, cluster_CPUs - reserve)`` so pools
+    scale with wherever the job lands while leaving slots for
+    read/shuffle tasks. ``floor`` stays 1: a plan with several actor-pool
+    stages on a small cluster must not RESERVE all CPUs for actors up
+    front or the read tasks starve and the pipeline deadlocks. Falls back
+    to 8 when Ray is not yet initialized (plan built before init — the
+    driver contract initializes first)."""
+    try:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8) or 8)
+    except Exception:  # pragma: no cover - init race only
+        ncpu = 8
+    return (floor, max(floor + 1, ncpu - reserve))
+
+
 def ensure_serializable() -> None:
     """Register all loaded engine.* modules for by-value pickling."""
     global _registered

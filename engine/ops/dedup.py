@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from .._rayutil import ensure_serializable
+from .._rayutil import ensure_serializable, pool_size
 
 # ---------------------------------------------------------------------------
 # corpus with injected duplicates
@@ -213,7 +213,7 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
         MinHashStage,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=pool_size(),
         num_cpus=1,
     )
     pairs = banded.groupby(["band", "band_hash"]).map_groups(
@@ -317,7 +317,7 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
         SimHashStage,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=pool_size(),
         num_cpus=1,
     )
     pairs = banded.groupby(["chunk", "chunk_val"]).map_groups(
@@ -425,7 +425,7 @@ def dedup_jaccard(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> ray.data
         GramIndexStage,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=pool_size(),
         num_cpus=1,
     )
     pairs = exploded.groupby("gram_hash").map_groups(
@@ -538,7 +538,7 @@ def dedup_embedding(sf_dir: str, threshold: float = COSINE_THRESHOLD) -> ray.dat
         fn_constructor_args=(corpus_ref, threshold),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=pool_size(),
         num_cpus=1,
     )
 
@@ -625,7 +625,7 @@ def dedup_embedding_lsh(
         _SrpBandStage,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=pool_size(),
         num_cpus=1,
     )
     pairs = banded.groupby(["band", "band_val"]).map_groups(

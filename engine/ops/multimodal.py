@@ -22,7 +22,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .._rayutil import ensure_serializable
+from .._rayutil import ensure_serializable, pool_size
 
 MAGIC = b"IMG1"
 BINARY_BATCH_SIZE = 256  # small: payloads are wide rows
@@ -132,7 +132,7 @@ def image_metadata(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=BINARY_BATCH_SIZE,
-        concurrency=(1, 4),
+        concurrency=pool_size(),
         num_cpus=1,
     )
 
@@ -196,7 +196,7 @@ def image_resize(sf_dir: str, max_side: int = 128) -> ray.data.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=BINARY_BATCH_SIZE,
-        concurrency=(1, 4),
+        concurrency=pool_size(),
         num_cpus=1,
     )
     return resized.drop_columns(["image", "mime"])
@@ -278,6 +278,6 @@ def video_frame_sample(sf_dir: str, stride: int = 4) -> ray.data.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=BINARY_BATCH_SIZE,
-        concurrency=(1, 4),
+        concurrency=pool_size(),
         num_cpus=1,
     )

@@ -21,7 +21,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from .._rayutil import ensure_serializable
+from .._rayutil import ensure_serializable, pool_size
 
 
 def _fixed_point(col, scale: int):
@@ -221,7 +221,7 @@ def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
         fn_constructor_args=(lookup_ref,),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=pool_size(),
         num_cpus=1,
     )
     return partials.groupby("c_mktsegment").aggregate(

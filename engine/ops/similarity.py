@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from .._rayutil import ensure_serializable
+from .._rayutil import ensure_serializable, pool_size
 
 SCORE_DECIMALS = 6  # round so Ray/numpy and DuckDB double sums compare stably
 
@@ -109,7 +109,7 @@ def knn_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10) -> ray.data.Dat
         fn_constructor_args=(query_ref, k),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=pool_size(),
         num_cpus=1,
     )
     return partial.groupby("query_id").map_groups(
@@ -171,7 +171,7 @@ def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 10) -> ray.data.Dataset:
         fn_constructor_args=(centroid_ref,),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=pool_size(),
         num_cpus=1,
     )
     probe_set = pa.array(probe_buckets, pa.int32())
@@ -187,7 +187,7 @@ def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 10) -> ray.data.Dataset:
         fn_constructor_args=(query_ref, k),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=pool_size(),
         num_cpus=1,
     )
     return partial.groupby("query_id").map_groups(

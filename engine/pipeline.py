@@ -321,6 +321,7 @@ def extraction_plan(
     shuffle coordination-bound (224-block sort cost ~16s wall at 1.25s
     CPU before this was tuned)."""
     from ._rayutil import ensure_serializable
+    from ._rayutil import pool_size as _pool_size
 
     ensure_serializable()
     read_kwargs = {}
@@ -345,7 +346,9 @@ def extraction_plan(
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency if concurrency is not None else (1, 8),
+        # Default pool scales with the CLUSTER (ncpu-1 cap), never a
+        # constant — a hard-coded cap strangles a 256-node deployment.
+        concurrency=concurrency if concurrency is not None else _pool_size(),
         num_cpus=1,
     )
     if ordered:
