@@ -172,7 +172,20 @@ class ExtractTurns:
         return out
 
 
-DEFAULT_NUM_BUCKETS = 64  # partitions of the ordering shuffle; O(cores x 2-4)
+DEFAULT_NUM_BUCKETS = 64  # floor; default_num_buckets() scales with cluster
+
+
+def default_num_buckets() -> int:
+    """Ordering-shuffle partitions: O(2x cluster cores), floored at 64.
+    A constant would under-partition a 256-node cluster (one reducer per
+    bucket bounds the shuffle's parallelism)."""
+    try:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 0) or 0)
+    except Exception:  # pragma: no cover
+        ncpu = 0
+    return max(DEFAULT_NUM_BUCKETS, 2 * ncpu)
 
 
 def _hash_conv_ids(conv_ids: np.ndarray) -> np.ndarray:
@@ -254,7 +267,7 @@ def _order_bucket_fn(conv_sizes_ref=None):
 def order_stage(
     ds: ray.data.Dataset,
     salt_block: Optional[int] = None,
-    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
     conv_sizes_ref=None,
     pre_bucketed: bool = False,
 ) -> ray.data.Dataset:
@@ -273,6 +286,8 @@ def order_stage(
     ``turn_idx >= S``), broadcast via ``ray.put`` — the extra pass
     touches only the skewed-tail rows, never the full corpus.
     """
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
     if salt_block is not None and conv_sizes_ref is None:
         conv_sizes_ref = ray.put(_skew_tail_sizes(ds, int(salt_block)))
 
@@ -312,7 +327,7 @@ def extraction_plan(
     salt_block: Optional[int] = None,
     ordered: bool = True,
     num_blocks: Optional[int] = None,
-    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Build the full lazy extraction plan over transcript Parquet paths.
 
@@ -324,6 +339,8 @@ def extraction_plan(
     from ._rayutil import pool_size as _pool_size
 
     ensure_serializable()
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
     read_kwargs = {}
     if num_blocks is not None:
         read_kwargs["override_num_blocks"] = num_blocks
