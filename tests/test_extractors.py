@@ -178,3 +178,58 @@ class TestSniff:
 
     def test_clamp(self):
         assert len(clamp_payload("x" * (MAX_PAYLOAD_CHARS + 10))) == MAX_PAYLOAD_CHARS
+
+
+def _canon_tree(node):
+    """(tag, sorted attrs, children with consecutive text merged) — chunking
+    of text nodes differs between parsers and is semantically irrelevant."""
+    out = []
+    buf = []
+    for child in node.children:
+        if isinstance(child, str):
+            buf.append(child)
+        else:
+            if buf:
+                out.append("".join(buf))
+                buf = []
+            out.append(_canon_tree(child))
+    if buf:
+        out.append("".join(buf))
+    return (node.tag, tuple(sorted(node.attrs.items())), tuple(out))
+
+
+def test_fast_parser_matches_spec_parser():
+    """parse_html_fast must build the same tree as the HTMLParser-based
+    spec parser over every fixture payload pool plus adversarial
+    fragments (truncations, entities, cdata, comments, mis-nesting)."""
+    from engine import synth
+    from engine.html_extract import parse_html, parse_html_fast
+
+    cases = []
+    for heavy in (False, True):
+        pools = synth.PayloadPools(n_html=40, n_pdf=2, n_tool=2, heavy=heavy)
+        cases += pools.html
+    cases += [
+        "",
+        "plain text no tags",
+        "a < b and c > d",
+        "&amp; &#x27; &unknown; &",
+        "<p>one<p>two</p>three",                       # implicit close
+        "<div><span>x</div>y</span>",                  # mis-nesting
+        "<script>if (a<b && c>d) {}</script><p>after</p>",
+        "<style>.x>{color:red}</style>tail",
+        "<script>no close tag",
+        "<!-- <p>commented</p> --><p>real</p>",
+        "<!DOCTYPE html><?pi stuff?><p>x</p>",
+        "<br/><img src='a.png'/><p a='1' b=\"2\" c=3 d>t</p>",
+        "<p class='a&amp;b'>entity attr</p>",
+        "<div class='content'><p>trunc",
+        "<div class='x",                               # unterminated tag
+        "<P CLASS='UP'>case</P>",
+        "< notatag>text</ notatag>",
+        "<a href='/x'>link<a href='/y'>nested</a></a>",
+    ]
+    for payload in cases:
+        spec = _canon_tree(parse_html(payload))
+        fast = _canon_tree(parse_html_fast(payload))
+        assert fast == spec, f"parser divergence on: {payload[:80]!r}"
