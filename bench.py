@@ -83,10 +83,11 @@ def run_bench() -> dict:
     # the 620k-turn bench tier at 16 CPUs: 64/32 = 28s wall; 256 blocks x
     # 128 buckets = 117s (the sort-based exchange's coordination cost
     # grows superlinearly in block count); hash-shuffle strategy hangs in
-    # this Ray build (even a trivial groupby). Only the actor-pool size
-    # follows the cluster: ncpu-1, leaving one slot for read/shuffle
-    # tasks to interleave (ncpu-1=15 actors: 28.1s vs 12 actors: 45.7s
-    # at 16 CPUs — the pool, not the shuffle, is the critical path).
+    # this Ray build (even a trivial groupby). Actor-pool size follows
+    # the cluster: ncpu-1 up to 16 CPUs (15 actors: ~19s vs 12: ~21s at
+    # 16), 3/4 of CPUs beyond (saturating the box thrashes once the job
+    # stops being extraction-bound: 31 actors at 32 CPUs: 29-32s; 24:
+    # 18-20s).
     #
     # Two passes: cold (worker-process imports, actor spin-up, object
     # store first-touch) and warm (steady state). The warm wall is the
@@ -99,7 +100,9 @@ def run_bench() -> dict:
         ds = extraction_plan(
             files,
             batch_size=1024,
-            concurrency=max(2, num_cpus - 1),
+            concurrency=max(
+                2, num_cpus - 1 if num_cpus <= 16 else (3 * num_cpus) // 4
+            ),
             num_blocks=64,
             num_buckets=32,
         )

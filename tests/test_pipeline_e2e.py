@@ -111,3 +111,17 @@ def test_groups_emitted_ordered(t1_files):
     for batch in ds.iter_batches(batch_size=None, batch_format="pandas"):
         for _conv, grp in batch.groupby("conv_id"):
             assert grp["turn_idx"].is_monotonic_increasing
+
+
+def test_cluster_sized_defaults():
+    """Pool and bucket defaults scale with the cluster instead of constants
+    (a hard-coded cap would strangle a 256-node deployment)."""
+    import ray
+
+    from engine._rayutil import pool_size
+    from engine.pipeline import default_num_buckets
+
+    ncpu = int(ray.cluster_resources().get("CPU", 0))
+    lo, hi = pool_size()
+    assert lo == 1 and hi == max(2, ncpu - 1)
+    assert default_num_buckets() == max(64, 2 * ncpu)
