@@ -93,3 +93,51 @@ def test_assemble_spans_slice_back(parts):
         assert 0 <= s < e <= len(extracted)
         assert s > prev
         prev = e
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            [
+                "<p>", "</p>", "<div class='a'>", "</div>", "<a href=x>",
+                "</a>", "text ", "&amp;", "&", "<", ">", "<script>",
+                "</script>", "<!--", "-->", "<br/>", "'", '"', "=",
+                "<span", " id=1>", "</", "<!DOCTYPE html>", "x<y>z",
+                "<P >", "</ p>", "<img src='a'>", "\n", "&#65;", "&bogus;",
+            ]
+        ),
+        max_size=14,
+    ).map("".join)
+)
+def test_fast_parser_total_on_tag_soup(soup):
+    """parse_html_fast must terminate without error on arbitrary tag soup
+    and be deterministic; extraction over it must keep the span
+    discipline. (Tree equality with HTMLParser is pinned separately on
+    well-formed inputs; on pathological soup the fast tokenizer's
+    treat-as-text behavior is the spec.)"""
+    from engine.html_extract import parse_html_fast
+    from engine.extract import extract_turn
+
+    def canon(node):
+        out, buf = [], []
+        for child in node.children:
+            if isinstance(child, str):
+                buf.append(child)
+            else:
+                if buf:
+                    out.append("".join(buf))
+                    buf = []
+                out.append(canon(child))
+        if buf:
+            out.append("".join(buf))
+        return (node.tag, tuple(sorted(node.attrs.items())), tuple(out))
+
+    assert canon(parse_html_fast(soup)) == canon(parse_html_fast(soup))
+    payload = "<!DOCTYPE html><html><body>" + soup + "</body></html>"
+    extracted, spans, nb = extract_turn(payload, "user")
+    prev = -1
+    for s, e in spans:
+        assert 0 <= s < e <= len(extracted) and s > prev
+        prev = e
+    assert nb == len(spans)
