@@ -33,6 +33,7 @@ import ray
 import ray.data
 
 from .._rayutil import ensure_serializable, pool_size
+from .similarity import emb_matrix
 
 # ---------------------------------------------------------------------------
 # corpus with injected duplicates
@@ -475,7 +476,7 @@ def emb_dup_corpus(sf_dir: str) -> ray.data.Dataset:
     )
 
     def perturbed(batch: pa.Table) -> pa.Table:
-        emb = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        emb = emb_matrix(batch["embedding"])
         pert = (emb * 0.9 + 0.01).astype(np.float32)
         return pa.table(
             {
@@ -492,7 +493,7 @@ def emb_dup_corpus(sf_dir: str) -> ray.data.Dataset:
 def _emb_matrix(ds: ray.data.Dataset):
     tab = pa.concat_tables(ray.get(r) for r in ds.to_arrow_refs())
     ids = tab["vec_id"].to_numpy(zero_copy_only=False)
-    mat = np.asarray(tab["embedding"].to_pylist(), dtype=np.float64)
+    mat = emb_matrix(tab["embedding"])
     order = np.argsort(ids)
     return ids[order], mat[order]
 
@@ -512,7 +513,7 @@ class _CosinePairs:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        emb = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        emb = emb_matrix(batch["embedding"])
         scores = (emb @ self._mat.T) / (
             np.linalg.norm(emb, axis=1)[:, None] * self._norms[None, :]
         )
@@ -563,7 +564,7 @@ class _SrpBandStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        emb = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        emb = emb_matrix(batch["embedding"])
         bits = (emb @ self._H.T) > 0                       # (n, 64)
         weights = (1 << np.arange(SRP_BITS, dtype=np.int64))
         n = len(vids)
@@ -596,7 +597,7 @@ def _srp_bucket_pairs(threshold: float):
             )
         order = np.argsort(ids)
         ids = ids[order]
-        emb = np.asarray(group["embedding"].to_pylist(), dtype=np.float64)[order]
+        emb = emb_matrix(group["embedding"])[order]
         nrm = emb / np.linalg.norm(emb, axis=1, keepdims=True)
         scores = nrm @ nrm.T
         ii, jj = np.triu_indices(len(ids), 1)

@@ -24,7 +24,27 @@ import ray.data
 
 from .._rayutil import ensure_serializable, pool_size
 
-SCORE_DECIMALS = 6  # round so Ray/numpy and DuckDB double sums compare stably
+SCORE_DECIMALS = 6
+
+
+def emb_matrix(col) -> "np.ndarray":
+    """list<float> column -> (n, dim) float64 matrix via zero-copy flatten
+    + reshape (rows are fixed-dim; asserted) — to_pylist() built n Python
+    lists per batch in the hot scoring path."""
+    import numpy as np
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    if n == 0:
+        return flat.reshape(0, 0)
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    widths = offsets[1:] - offsets[:-1]
+    dim = int(widths[0])
+    assert (widths == dim).all(), "ragged embedding column"
+    return flat.reshape(n, dim)
+  # round so Ray/numpy and DuckDB double sums compare stably
 
 
 def _load_queries(sf_dir: str, n_queries: int):
@@ -37,7 +57,7 @@ def _load_queries(sf_dir: str, n_queries: int):
     qtab = tab.filter(pa.array(mask))
     order = np.argsort(qtab["vec_id"].to_numpy())
     qids = qtab["vec_id"].to_numpy()[order]
-    qmat = np.asarray(qtab["embedding"].to_pylist(), dtype=np.float64)[order]
+    qmat = emb_matrix(qtab["embedding"])[order]
     qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     return qids, qmat, qnorm
 
@@ -53,7 +73,7 @@ class _ScoreBatch:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        emb = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        emb = emb_matrix(batch["embedding"])
         # cosine = q.v / (|q||v|), computed in float64 like the SQL oracle
         dots = emb @ self._qmat.T                                  # (n, q)
         norms = np.linalg.norm(emb, axis=1)[:, None] * np.linalg.norm(
@@ -136,7 +156,7 @@ def _centroids(sf_dir: str) -> np.ndarray:
     mask = np.isin(tab["vec_id"].to_numpy(), np.arange(N_CENTROIDS))
     ctab = tab.filter(pa.array(mask))
     order = np.argsort(ctab["vec_id"].to_numpy())
-    c = np.asarray(ctab["embedding"].to_pylist(), dtype=np.float64)[order]
+    c = emb_matrix(ctab["embedding"])[order]
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
@@ -145,7 +165,7 @@ class _AssignBucket:
         self._centroids = ray.get(centroid_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        emb = emb_matrix(batch["embedding"])
         emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
         bucket = (emb_n @ self._centroids.T).argmax(axis=1)
         return batch.append_column("bucket", pa.array(bucket.astype(np.int32)))
