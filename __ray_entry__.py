@@ -234,7 +234,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id,
                    coalesce(string_agg(
                      CASE WHEN trim(text, {_PY_WS}) <> '' AND text IS NOT NULL
-                          THEN role || ': ' || text END,
+                          THEN coalesce(role, '') || ': ' || text END,
                      chr(10) ORDER BY turn_idx), '') AS rendered,
                    count(*) AS n_turns
             FROM {transcripts}
@@ -336,9 +336,12 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
             numbered AS (
+              -- CAST: the window sum yields HUGEINT in DuckDB; the engine
+              -- emits int64, and the driver hashes dtypes — keep both BIGINT
               SELECT user_id, ts, value,
-                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                                       ROWS UNBOUNDED PRECEDING) AS session_seq
+                     CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_seq
               FROM flagged)
             SELECT user_id, session_seq,
                    min(epoch_us(ts)) AS session_start_us,

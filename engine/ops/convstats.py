@@ -44,8 +44,10 @@ def conv_stats(transcript_paths) -> ray.data.Dataset:
         t = pa.table(
             {
                 "conv_id": batch["conv_id"],
+                # fill_null first: count() skips nulls, so a null role would
+                # silently undercount n_turns vs the oracle's count(*)
                 "is_tool": pc.cast(
-                    pc.equal(batch["role"], "tool"), pa.int64()
+                    pc.equal(pc.fill_null(batch["role"], ""), "tool"), pa.int64()
                 ),
                 "n_chars": pc.cast(
                     pc.utf8_length(pc.fill_null(batch["text"], "")), pa.int64()

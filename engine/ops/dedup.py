@@ -83,9 +83,13 @@ def dedup_exact(sf_dir: str) -> ray.data.Dataset:
     """Keep min doc_id per distinct text; emit (doc_id, n_dups).
 
     Pattern: vectorized content hash in map_batches, hash-partitioned
-    groupby, per-group first (ray_guide 'Exact dedup'). The group key is
-    the 128-bit md5 (collision-safe at corpus scale), so the shuffle
-    moves (hash, doc_id) pairs — never the text itself."""
+    groupby, NATIVE Min/Count aggregate (no per-group Python — a
+    map_groups finalizer costs one interpreter call per distinct text,
+    billions at corpus scale). The group key is the 128-bit md5
+    (collision-safe at corpus scale), so the shuffle moves
+    (hash, doc_id) pairs — never the text itself."""
+    from ray.data.aggregate import Count, Min
+
     ds = dup_corpus(sf_dir)
 
     def add_hash(batch: pa.Table) -> pa.Table:
@@ -95,17 +99,10 @@ def dedup_exact(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"h": pa.array(hashes), "doc_id": batch["doc_id"]})
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-
-    def first_per_group(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"]
-        return pa.table(
-            {
-                "doc_id": pa.array([pc.min(ids).as_py()], pa.int64()),
-                "n_dups": pa.array([group.num_rows], pa.int64()),
-            }
-        )
-
-    return hashed.groupby("h").map_groups(first_per_group, batch_format="pyarrow")
+    agg = hashed.groupby("h").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups")
+    )
+    return agg.select_columns(["doc_id", "n_dups"])
 
 
 # ---------------------------------------------------------------------------
@@ -119,8 +116,12 @@ SHINGLE_K = 3         # word 3-grams
 _MERSENNE = (1 << 61) - 1
 
 _rng = np.random.default_rng(12345)
-_A = _rng.integers(1, _MERSENNE, N_PERM, dtype=np.int64)
-_B = _rng.integers(0, _MERSENNE, N_PERM, dtype=np.int64)
+# a < 2^31 keeps a*x under 2^63 for crc32 shingles (x < 2^32), so the
+# (a*x + b) mod p universal hash is computed EXACTLY in uint64 — with
+# a drawn from the full [1, p) range the product needs 93 bits and
+# silently wraps, making the documented hash family a lie.
+_A = _rng.integers(1, 1 << 31, N_PERM, dtype=np.uint64)
+_B = _rng.integers(0, _MERSENNE, N_PERM).astype(np.uint64)
 
 
 def shingles(text: str, k: int = SHINGLE_K) -> np.ndarray:
@@ -135,10 +136,11 @@ def shingles(text: str, k: int = SHINGLE_K) -> np.ndarray:
 
 
 def minhash_signature(text: str) -> np.ndarray:
-    sh = shingles(text)
-    # (a * x + b) mod p over all shingles, min per permutation — vectorized
-    vals = (_A[:, None] * sh[None, :] + _B[:, None]) % _MERSENNE
-    return vals.min(axis=1)
+    sh = shingles(text).astype(np.uint64)
+    # (a * x + b) mod p over all shingles, min per permutation — exact:
+    # a*x < 2^63, + b < 2^61, sum < 2^64 (see _A comment above)
+    vals = (_A[:, None] * sh[None, :] + _B[:, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1).astype(np.int64)
 
 
 class MinHashStage:
@@ -220,14 +222,14 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
     pairs = banded.groupby(["band", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pyarrow"
     )
-    # A pair can surface from several bands: dedup on (doc_a, doc_b).
+    # A pair can surface from several bands: dedup on (doc_a, doc_b) with a
+    # native aggregate (the estimate is pair-constant across bands, so Max
+    # IS "first" — no per-pair Python finalizer).
+    from ray.data.aggregate import Max
+
     thresholded = pairs.filter(expr=f"est_jaccard >= {threshold}")
-
-    def pair_first(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
-
-    return thresholded.groupby(["doc_a", "doc_b"]).map_groups(
-        pair_first, batch_format="pyarrow"
+    return thresholded.groupby(["doc_a", "doc_b"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard")
     )
 
 
@@ -324,12 +326,11 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     pairs = banded.groupby(["chunk", "chunk_val"]).map_groups(
         _simhash_bucket_pairs(max_hamming), batch_format="pyarrow"
     )
+    # hamming is pair-constant across chunks: native Max == "first"
+    from ray.data.aggregate import Max
 
-    def pair_first(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
-
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        pair_first, batch_format="pyarrow"
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Max("hamming", alias_name="hamming")
     )
 
 
@@ -517,6 +518,10 @@ class _CosinePairs:
         scores = (emb @ self._mat.T) / (
             np.linalg.norm(emb, axis=1)[:, None] * self._norms[None, :]
         )
+        # round BEFORE thresholding so a pair at cosine in
+        # [threshold - 5e-7, threshold) matches the oracle's
+        # round(...,6) >= threshold (same discipline as dedup_jaccard)
+        scores = np.round(scores, _C_DECIMALS)
         # a < b keeps each pair exactly once across batches
         keep = (vids[:, None] < self._ids[None, :]) & (scores >= self._threshold)
         ii, jj = np.nonzero(keep)
@@ -524,7 +529,7 @@ class _CosinePairs:
             {
                 "doc_a": pa.array(vids[ii]),
                 "doc_b": pa.array(self._ids[jj]),
-                "cosine": pa.array(np.round(scores[ii, jj], _C_DECIMALS)),
+                "cosine": pa.array(scores[ii, jj]),
             }
         )
 
@@ -599,14 +604,15 @@ def _srp_bucket_pairs(threshold: float):
         ids = ids[order]
         emb = emb_matrix(group["embedding"])[order]
         nrm = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-        scores = nrm @ nrm.T
+        # round before thresholding — matches _CosinePairs and the oracle
+        scores = np.round(nrm @ nrm.T, _C_DECIMALS)
         ii, jj = np.triu_indices(len(ids), 1)
         keep = (scores[ii, jj] >= threshold) & (ids[ii] != ids[jj])
         return pa.table(
             {
                 "doc_a": pa.array(ids[ii][keep]),
                 "doc_b": pa.array(ids[jj][keep]),
-                "cosine": pa.array(np.round(scores[ii, jj][keep], _C_DECIMALS)),
+                "cosine": pa.array(scores[ii, jj][keep]),
             }
         )
 
@@ -632,10 +638,9 @@ def dedup_embedding_lsh(
     pairs = banded.groupby(["band", "band_val"]).map_groups(
         _srp_bucket_pairs(threshold), batch_format="pyarrow"
     )
+    # cosine is pair-constant across bands: native Max == "first"
+    from ray.data.aggregate import Max
 
-    def pair_first(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
-
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        pair_first, batch_format="pyarrow"
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Max("cosine", alias_name="cosine")
     )

@@ -34,8 +34,17 @@ def _fixed_point(col, scale: int):
     per-element round of the same double is deterministic on both
     engines, and int64 sums are exact in any order. Never quantize after
     summing: the float sum's error is at the same scale as the input's
-    decimal resolution, so round(sum * scale) is engine-dependent."""
-    return pc.cast(pc.round(pc.multiply(col, float(scale))), pa.int64())
+    decimal resolution, so round(sum * scale) is engine-dependent.
+
+    round_mode pins DuckDB's round() (half away from zero) — Arrow's
+    default half_to_even silently diverges the first time value*scale
+    lands exactly on .5 (same discipline as textstats.quality_score)."""
+    return pc.cast(
+        pc.round(
+            pc.multiply(col, float(scale)), round_mode="half_towards_infinity"
+        ),
+        pa.int64(),
+    )
 
 
 def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
@@ -266,7 +275,7 @@ def windowed_events(sf_dir: str) -> ray.data.Dataset:
 SESSION_GAP_US = 1_800_000_000  # 30 min
 
 
-def sessionized_events(sf_dir: str, num_buckets: int = 64) -> ray.data.Dataset:
+def sessionized_events(sf_dir: str, num_buckets: int | None = None) -> ray.data.Dataset:
     """Gap-based sessionization (the streaming-shaped workload pattern from
     the Ray guide): events bucketed by hash(user_id), per-bucket vectorized
     session assignment over (user_id, ts)-sorted rows. A new session starts
@@ -275,6 +284,10 @@ def sessionized_events(sf_dir: str, num_buckets: int = 64) -> ray.data.Dataset:
     Partitioning assumption: all of a user's events co-locate in one
     bucket; session numbering is per user (1-based), matching the SQL
     window-function oracle exactly."""
+    from ..pipeline import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def add_bucket(batch: pa.Table) -> pa.Table:

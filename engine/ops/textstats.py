@@ -191,12 +191,36 @@ def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
 ROLL_WINDOW = 8
 _ROLL_BASE = 257
 _ROLL_MOD = (1 << 61) - 1
+_M29 = (1 << 29) - 1
+
+
+def _fold61(x: np.ndarray) -> np.ndarray:
+    """Reduce uint64 values < 2^62 mod the Mersenne prime 2^61-1."""
+    x = (x & np.uint64(_ROLL_MOD)) + (x >> np.uint64(61))
+    return np.where(x >= _ROLL_MOD, x - np.uint64(_ROLL_MOD), x)
+
+
+def _horner_step(h: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """(h * 257 + c) mod 2^61-1 without overflow, vectorized uint64.
+
+    h < 2^61 so h*257 would overflow; split h = hi*2^32 + lo and use
+    2^61 ≡ 1 (mod p): hi*257*2^32 ≡ (x >> 29) + (x & (2^29-1)) << 32
+    with x = hi*257 < 2^38 — every intermediate stays under 2^62."""
+    hi = h >> np.uint64(32)
+    lo = h & np.uint64(0xFFFFFFFF)
+    x = hi * np.uint64(_ROLL_BASE)
+    t = (x >> np.uint64(29)) + ((x & np.uint64(_M29)) << np.uint64(32))
+    return _fold61(t + lo * np.uint64(_ROLL_BASE) + c)
 
 
 def rolling_fingerprint(sf_dir: str) -> ray.data.Dataset:
     """Rolling-hash document fingerprint: min of Rabin-Karp hashes over
-    8-byte windows (a winnowing-style content signature; robust to
-    appends, unlike md5). Not SQL-expressible -> rows-only check."""
+    8-byte windows, computed mod 2^61-1 EXACTLY (Horner's rule with a
+    modular reduction per step — the naive sum-of-products overflows
+    int64 at 255*257^7 ~ 1.9e19; property-tested against a pure-Python
+    big-int oracle in tests/test_ops.py). A winnowing-style content
+    signature; robust to appends, unlike md5. Not SQL-expressible ->
+    rows-only check."""
 
     def fp(batch: pa.Table) -> pa.Table:
         out = []
@@ -205,15 +229,12 @@ def rolling_fingerprint(sf_dir: str) -> ray.data.Dataset:
             if len(data) < ROLL_WINDOW:
                 out.append(int(int.from_bytes(data, "big") % _ROLL_MOD))
                 continue
-            arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
-            powers = np.power(
-                np.int64(_ROLL_BASE),
-                np.arange(ROLL_WINDOW)[::-1],
-                dtype=np.int64,
-            ) % _ROLL_MOD
+            arr = np.frombuffer(data, dtype=np.uint8)
             windows = np.lib.stride_tricks.sliding_window_view(arr, ROLL_WINDOW)
-            hashes = (windows * powers[None, :]).sum(axis=1) % _ROLL_MOD
-            out.append(int(hashes.min()))
+            h = np.zeros(len(windows), dtype=np.uint64)
+            for k in range(ROLL_WINDOW):
+                h = _horner_step(h, windows[:, k].astype(np.uint64))
+            out.append(int(h.min()))
         return pa.table(
             {"doc_id": batch["doc_id"], "roll_fp": pa.array(out, pa.int64())}
         )

@@ -14,6 +14,7 @@ from typing import Callable, Dict, List, Tuple
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -21,14 +22,18 @@ Turn = Tuple[str, str]  # (role, text)
 
 
 def _render_plain(turns: List[Turn]) -> str:
-    return "\n".join(f"{role}: {text}" for role, text in turns if text.strip())
+    # (text or "") — null text is legal input (M15 posture); the grouped
+    # stage also fills nulls, but the registry functions are public surface
+    return "\n".join(
+        f"{role}: {text}" for role, text in turns if (text or "").strip()
+    )
 
 
 def _render_chatml(turns: List[Turn]) -> str:
     return "".join(
         f"<|im_start|>{role}\n{text}<|im_end|>\n"
         for role, text in turns
-        if text.strip()
+        if (text or "").strip()
     )
 
 
@@ -100,8 +105,8 @@ def render_conversations(
             [("conv_id", "ascending"), ("turn_idx", "ascending")]
         ).combine_chunks()
         ids = t.column("conv_id").to_numpy(zero_copy_only=False)
-        roles = t.column("role").to_pylist()
-        texts = t.column("text").to_pylist()
+        roles = pc.fill_null(t.column("role"), "").to_pylist()
+        texts = pc.fill_null(t.column("text"), "").to_pylist()
         n = len(ids)
         if n == 0:
             return pa.table(
@@ -146,7 +151,7 @@ def compact_history(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset
             [("conv_id", "ascending"), ("turn_idx", "ascending")]
         ).combine_chunks()
         ids = t.column("conv_id").to_numpy(zero_copy_only=False)
-        roles = np.asarray(t.column("role").to_pylist())
+        roles = np.asarray(pc.fill_null(t.column("role"), "").to_pylist())
         n = len(ids)
         keep = np.zeros(n, dtype=bool)
         if n:

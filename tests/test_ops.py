@@ -195,3 +195,48 @@ def test_multimodal_real_decode_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         _decode_real(b"IMG1....")
+
+
+def test_rolling_hash_matches_bigint_oracle():
+    """The vectorized Horner-mod kernel must compute EXACTLY
+    min over windows of (sum c_i * 257^(7-i)) mod 2^61-1 — the naive
+    numpy sum-of-products silently wraps int64 (255*257^7 ~ 1.9e19)."""
+    from engine.ops.textstats import ROLL_WINDOW, _ROLL_BASE, _ROLL_MOD, _horner_step
+
+    rng = np.random.default_rng(99)
+    for trial in range(30):
+        n = int(rng.integers(ROLL_WINDOW, 64))
+        data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        # worst-case bytes too: all 0xff maximizes the products
+        if trial == 0:
+            data = b"\xff" * 16
+        n = len(data)
+        arr = np.frombuffer(data, dtype=np.uint8)
+        windows = np.lib.stride_tricks.sliding_window_view(arr, ROLL_WINDOW)
+        h = np.zeros(len(windows), dtype=np.uint64)
+        for k in range(ROLL_WINDOW):
+            h = _horner_step(h, windows[:, k].astype(np.uint64))
+        want = min(
+            sum(
+                int(data[i + j]) * _ROLL_BASE ** (ROLL_WINDOW - 1 - j)
+                for j in range(ROLL_WINDOW)
+            )
+            % _ROLL_MOD
+            for i in range(n - ROLL_WINDOW + 1)
+        )
+        assert int(h.min()) == want
+
+
+def test_minhash_hash_family_is_exact():
+    """(a*x + b) mod p computed in uint64 must equal big-int math for
+    every permutation — a from the full [1,p) range would need 93-bit
+    products and wrap silently."""
+    from engine.ops.dedup import _A, _B, _MERSENNE, minhash_signature, shingles
+
+    assert int(_A.max()) < 2**31  # the no-overflow precondition
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    sh = shingles(text)
+    sig = minhash_signature(text)
+    for perm in (0, 7, 31, 63):
+        want = min((int(_A[perm]) * int(x) + int(_B[perm])) % _MERSENNE for x in sh)
+        assert int(sig[perm]) == want
