@@ -37,7 +37,7 @@ import ray.data
 from .extract import extract_turn
 from .normalize import SENTINEL
 from .schema import SCHEMA_VERSION, SPAN_TYPE
-from .sniff import HTML_MARKER, PDF_MARKER
+from .sniff import DATA_HTML_MARKER, DATA_PDF_MARKER, HTML_MARKER, PDF_MARKER
 
 READ_COLUMNS = ["conv_id", "turn_idx", "role", "text"]  # prune tool/ts at the read
 DEFAULT_BATCH_SIZE = 2048
@@ -86,8 +86,14 @@ class ExtractTurns:
         # Vectorized payload sniff (mirrors sniff.has_payload).
         needs = pc.or_(
             pc.or_(
-                pc.match_substring(text, HTML_MARKER),
-                pc.match_substring(text, PDF_MARKER),
+                pc.or_(
+                    pc.match_substring(text, HTML_MARKER),
+                    pc.match_substring(text, PDF_MARKER),
+                ),
+                pc.or_(
+                    pc.match_substring(text, DATA_HTML_MARKER),
+                    pc.match_substring(text, DATA_PDF_MARKER),
+                ),
             ),
             pc.equal(role, "tool"),
         )

@@ -17,6 +17,7 @@ order — the reference's placeholder-order invariant,
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 from typing import Dict, List
@@ -221,7 +222,8 @@ def generate_rows(
     pools = pools or PayloadPools(seed)
     t_html = html_p
     t_pdf = html_p + pdf_p
-    t_adj = t_pdf + 0.015
+    t_b64 = t_pdf + 0.02     # base64 data-URL wrapped payloads (S3 path)
+    t_adj = t_b64 + 0.015
     t_edge = t_adj + 0.015
     rng = np.random.default_rng(seed)
     lens = _conv_lengths(rng, n_convs)
@@ -250,6 +252,17 @@ def generate_rows(
                 elif r < t_pdf:
                     payload = pools.pdf[int(rng.integers(0, len(pools.pdf)))]
                     text = _place_payload(rng, payload)
+                elif r < t_b64:
+                    # data-URL encoded payload — the reference's second
+                    # ingestion path (generation.rs:263-290)
+                    if rng.random() < 0.5:
+                        payload = pools.html[int(rng.integers(0, len(pools.html)))]
+                        media = "text/html"
+                    else:
+                        payload = pools.pdf[int(rng.integers(0, len(pools.pdf)))]
+                        media = "application/pdf-lite"
+                    b64 = base64.b64encode(payload.encode()).decode()
+                    text = _place_payload(rng, f"data:{media};base64,{b64}")
                 elif r < t_adj:
                     # adjacent payloads edge case
                     text = (
@@ -313,7 +326,7 @@ def write_transcripts(
     /root/reference/crates/dsq-writer/src/lib.rs:410+).
     """
     params = {
-        "n_convs": n_convs, "n_files": n_files, "seed": seed, "v": 3,
+        "n_convs": n_convs, "n_files": n_files, "seed": seed, "v": 4,
         "heavy": heavy, "html_p": html_p, "pdf_p": pdf_p,
     }
     marker = os.path.join(out_dir, "_COMPLETE")

@@ -179,6 +179,42 @@ class TestSniff:
     def test_clamp(self):
         assert len(clamp_payload("x" * (MAX_PAYLOAD_CHARS + 10))) == MAX_PAYLOAD_CHARS
 
+    def test_data_url_html_decodes_to_same_segments(self):
+        import base64
+
+        b64 = base64.b64encode(HTML_DOC.encode()).decode()
+        got = segment_turn(f"see data:text/html;base64,{b64} thanks", "user")
+        assert [k for k, _ in got] == ["literal", "html", "literal"]
+        # the decoded payload equals the literal-embedding payload
+        assert got[1][1] == HTML_DOC
+
+    def test_data_url_pdf_and_extraction_parity(self):
+        import base64
+
+        from engine.extract import extract_turn
+
+        b64 = base64.b64encode(PDF_DOC.encode()).decode()
+        via_data_url = extract_turn(
+            f"pre\ndata:application/pdf-lite;base64,{b64}\npost", "user"
+        )
+        via_literal = extract_turn(f"pre\n{PDF_DOC}\npost", "user")
+        assert via_data_url == via_literal
+
+    def test_invalid_base64_rejected_loudly(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="invalid base64"):
+            segment_turn("data:text/html;base64,AB=C=", "user")
+
+    def test_non_utf8_payload_rejected(self):
+        import base64
+
+        import pytest
+
+        b64 = base64.b64encode(b"\xff\xfe\x00bad").decode()
+        with pytest.raises(ValueError, match="not UTF-8"):
+            segment_turn(f"data:text/html;base64,{b64}", "user")
+
 
 def _canon_tree(node):
     """(tag, sorted attrs, children with consecutive text merged) — chunking
