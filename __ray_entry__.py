@@ -133,6 +133,14 @@ def _render_conversations(sf_dir: str):
     return render_conversations(_transcript_files(sf_dir), template="plain")
 
 
+def _render_deepseek(sf_dir: str):
+    """Separator-style render (M2): system-template injection + sep/sep2
+    alternation on message-index parity — SQL-expressible, oracle-checked."""
+    from engine.templates import render_conversations
+
+    return render_conversations(_transcript_files(sf_dir), template="deepseek")
+
+
 def _compact_history(sf_dir: str):
     from engine.templates import compact_history
 
@@ -159,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "checkpointed_lineage": _checkpointed_lineage,
         # conversation-template / history ops (SURVEY M1-M3)
         "render_conversations": _render_conversations,
+        "render_deepseek": _render_deepseek,
         "compact_history": _compact_history,
         "conv_stats": _conv_stats,
         "turn_token_counts": _turn_token_counts,
@@ -239,6 +248,49 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_turns
             FROM {transcripts}
             GROUP BY conv_id
+        """,
+        "render_deepseek": f"""
+            -- separator-style render: first system turn -> system slot +
+            -- sep; non-system messages alternate sep (even idx) / sep2
+            -- (odd idx); empty-after-trim renders bare "Role:" with no sep
+            WITH t AS (
+              SELECT conv_id, turn_idx, coalesce(role, '') AS role,
+                     coalesce(text, '') AS text
+              FROM {transcripts}),
+            sysmsg AS (
+              SELECT conv_id, text AS system_message FROM (
+                SELECT conv_id, text,
+                       row_number() OVER (PARTITION BY conv_id
+                                          ORDER BY turn_idx) AS rn
+                FROM t WHERE role = 'system') WHERE rn = 1),
+            msgs AS (
+              SELECT conv_id, turn_idx, role, trim(text, {_PY_WS}) AS content,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx) - 1 AS idx
+              FROM t WHERE role <> 'system'),
+            body AS (
+              SELECT conv_id, string_agg(
+                CASE WHEN content <> '' THEN
+                  (CASE role WHEN 'user' THEN 'User'
+                             WHEN 'assistant' THEN 'Assistant'
+                             ELSE role END) || ': ' || content ||
+                  (CASE WHEN idx % 2 = 0 THEN chr(10) || chr(10)
+                        ELSE '{_SENTINEL}' END)
+                ELSE (CASE role WHEN 'user' THEN 'User'
+                                WHEN 'assistant' THEN 'Assistant'
+                                ELSE role END) || ':'
+                END, '' ORDER BY turn_idx) AS body
+              FROM msgs GROUP BY conv_id),
+            counts AS (SELECT conv_id, count(*) AS n_turns FROM t GROUP BY conv_id)
+            SELECT c.conv_id,
+                   (CASE WHEN s.system_message IS NOT NULL
+                              AND s.system_message <> ''
+                         THEN s.system_message || chr(10) || chr(10)
+                         ELSE '' END) || coalesce(b.body, '') AS rendered,
+                   c.n_turns
+            FROM counts c
+            LEFT JOIN sysmsg s ON c.conv_id = s.conv_id
+            LEFT JOIN body b ON c.conv_id = b.conv_id
         """,
         "compact_history": f"""
             WITH t AS (SELECT conv_id, turn_idx, role, text FROM {transcripts}),

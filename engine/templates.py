@@ -58,10 +58,139 @@ def compact_turns(turns: List[Turn]) -> List[Turn]:
     ]
 
 
+# ---------------------------------------------------------------------------
+# separator-style templates (M2): the reference ships four styles —
+# DeepSeek / DeepSeekV2 / Plain / Alignment — parameterized by
+# (system_template, roles, sep, sep2), where sep/sep2 ALTERNATE on the
+# 0-based message index and the system message is injected through
+# system_template before the first separator
+# (/root/reference/crates/core/src/conversation/mod.rs:53-145; tests at
+# crates/core/tests/conversation_templates.rs:1-18). Re-expressed here
+# as a config dataclass + one renderer per style over (role, text)
+# turn lists: the FIRST system turn supplies the system message; all
+# system turns are excluded from the alternating message list.
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass  # noqa: E402
+
+from .normalize import SENTINEL  # noqa: E402
+
+SFT_MARKER = "<|sft_begin|>\n"      # v2-style user-turn opener (analog)
+PAYLOAD_MARKER = "<payload>\n"      # alignment-style even-slot marker
+
+
+@dataclass(frozen=True)
+class SepTemplate:
+    """Separator-style template config (ConversationTemplate analog)."""
+
+    style: str                       # deepseek | deepseek_v2 | sep_plain | alignment
+    system_template: str = "{system_message}"
+    roles: tuple = ("User", "Assistant")
+    sep: str = "\n\n"
+    sep2: str = ""
+
+
+def _split_system(turns: List[Turn]) -> tuple:
+    """(system_message, non-system messages). First system turn wins the
+    system slot; system turns never join the alternating message list."""
+    system_message = ""
+    msgs: List[Turn] = []
+    seen_system = False
+    for role, text in turns:
+        role = role or ""
+        text = text or ""
+        if role == "system":
+            if not seen_system:
+                system_message = text
+                seen_system = True
+            continue
+        msgs.append((role, text))
+    return system_message, msgs
+
+
+def _display_role(cfg: SepTemplate, role: str) -> str:
+    if role == "user":
+        return cfg.roles[0]
+    if role == "assistant":
+        return cfg.roles[1]
+    return role
+
+
+def _system_prefix(cfg: SepTemplate, system_message: str) -> str:
+    rendered = cfg.system_template.replace("{system_message}", system_message)
+    return rendered + cfg.sep if rendered else ""
+
+
+def render_sep_style(cfg: SepTemplate, turns: List[Turn]) -> str:
+    """Render one conversation through a separator-style template.
+
+    Semantics per style (matching the reference's four renderers):
+    - deepseek:    "Role: content" + sep/sep2 alternating on message
+                   index parity; empty-after-strip content renders the
+                   bare "Role:" with NO separator; system prefix + sep.
+    - deepseek_v2: user turns open with SFT_MARKER and close with sep;
+                   other turns emit bare content + sep2; empties skipped;
+                   system prefix + sep.
+    - sep_plain:   content + sep/sep2 alternating; no roles, no system.
+    - alignment:   even-index slots emit PAYLOAD_MARKER + sep (content
+                   ignored); odd emit content + sep2; empties skipped.
+    Index parity counts ALL messages (skipped ones still consume an
+    index), exactly like the reference's enumerate-then-filter order.
+    """
+    system_message, msgs = _split_system(turns)
+    out: List[str] = []
+    if cfg.style in ("deepseek", "deepseek_v2"):
+        prefix = _system_prefix(cfg, system_message)
+        if prefix:
+            out.append(prefix)
+    seps = (cfg.sep, cfg.sep2)
+    for idx, (role, text) in enumerate(msgs):
+        content = text.strip()
+        if cfg.style == "deepseek":
+            if content:
+                out.append(f"{_display_role(cfg, role)}: {content}{seps[idx % 2]}")
+            else:
+                out.append(f"{_display_role(cfg, role)}:")
+        elif cfg.style == "deepseek_v2":
+            if not content:
+                continue
+            if role == "user":
+                out.append(f"{SFT_MARKER}{content}{cfg.sep}")
+            else:
+                out.append(f"{content}{cfg.sep2}")
+        elif cfg.style == "sep_plain":
+            if content:
+                out.append(f"{content}{seps[idx % 2]}")
+        elif cfg.style == "alignment":
+            if not content:
+                continue
+            if idx % 2 == 0:
+                out.append(f"{PAYLOAD_MARKER}{seps[0]}")
+            else:
+                out.append(f"{content}{seps[1]}")
+        else:  # pragma: no cover
+            raise ValueError(f"unknown separator style {cfg.style!r}")
+    return "".join(out)
+
+
+SEP_TEMPLATES: Dict[str, SepTemplate] = {
+    "deepseek": SepTemplate(style="deepseek", sep="\n\n", sep2=SENTINEL),
+    "deepseek_v2": SepTemplate(style="deepseek_v2", sep="", sep2=SENTINEL),
+    "sep_plain": SepTemplate(style="sep_plain", sep="\n", sep2="\n"),
+    "alignment": SepTemplate(style="alignment", sep="\n", sep2="\n"),
+}
+
+
+def _sep_renderer(name: str) -> Callable[[List[Turn]], str]:
+    cfg = SEP_TEMPLATES[name]
+    return lambda turns: render_sep_style(cfg, turns)
+
+
 TEMPLATES: Dict[str, Callable[[List[Turn]], str]] = {
     "plain": _render_plain,
     "chatml": _render_chatml,
     "compact": _render_compact,
+    **{name: _sep_renderer(name) for name in SEP_TEMPLATES},
 }
 
 

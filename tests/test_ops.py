@@ -67,7 +67,8 @@ def test_all_queries_have_oracle_or_are_documented():
 
 @pytest.mark.parametrize(
     "name",
-    ["render_conversations", "compact_history", "conv_stats", "turn_token_counts"],
+    ["render_conversations", "render_deepseek", "compact_history", "conv_stats",
+     "turn_token_counts"],
 )
 def test_transcript_query_matches_oracle(name, duck):
     """These oracles read the transcript fixture by path at the driver's

@@ -79,3 +79,79 @@ def test_compact_history_grouped(t1_files):
         want = compact_turns(list(zip(grp["role"], grp["text"])))
         got = out[out["conv_id"] == conv].sort_values("turn_idx")
         assert list(zip(got["role"], got["text"])) == want
+
+
+# ---------------------------------------------------------------------------
+# separator-style templates (M2): four styles, sep/sep2 alternation,
+# system-template injection — hand-computed expected strings
+# ---------------------------------------------------------------------------
+
+SEP_TURNS = [
+    ("system", "be brief"),
+    ("user", "Hello!"),
+    ("assistant", "Hi there."),
+    ("user", "Who are you?"),
+    ("assistant", ""),
+]
+
+
+def test_deepseek_style_alternates_seps_and_injects_system():
+    from engine.normalize import SENTINEL
+
+    out = TEMPLATES["deepseek"](SEP_TURNS)
+    assert out == (
+        "be brief\n\n"
+        "User: Hello!\n\n"                      # idx 0 -> sep
+        f"Assistant: Hi there.{SENTINEL}"       # idx 1 -> sep2
+        "User: Who are you?\n\n"                # idx 2 -> sep
+        "Assistant:"                            # empty -> bare role, no sep
+    )
+
+
+def test_deepseek_style_no_system_no_prefix():
+    out = TEMPLATES["deepseek"]([("user", "hi")])
+    assert out == "User: hi\n\n"
+
+
+def test_deepseek_v2_style_sft_marker():
+    from engine.normalize import SENTINEL
+    from engine.templates import SFT_MARKER
+
+    out = TEMPLATES["deepseek_v2"](SEP_TURNS)
+    assert out == (
+        "be brief"                               # system prefix, sep=""
+        f"{SFT_MARKER}Hello!"                    # user: marker + content + sep("")
+        f"Hi there.{SENTINEL}"                   # other: content + sep2
+        f"{SFT_MARKER}Who are you?"
+        # empty assistant turn skipped entirely
+    )
+
+
+def test_sep_plain_style_contents_only():
+    out = TEMPLATES["sep_plain"]([("user", "a"), ("assistant", "b"), ("user", "")])
+    assert out == "a\nb\n"
+
+
+def test_alignment_style_even_slots_masked():
+    from engine.templates import PAYLOAD_MARKER
+
+    out = TEMPLATES["alignment"](
+        [("user", "ignored payload turn"), ("assistant", "the answer")]
+    )
+    assert out == f"{PAYLOAD_MARKER}\nthe answer\n"
+
+
+def test_alignment_empty_consumes_index():
+    # an empty even-slot message is skipped but still consumes idx parity
+    from engine.templates import PAYLOAD_MARKER
+
+    out = TEMPLATES["alignment"]([("user", ""), ("assistant", "odd")])
+    assert out == "odd\n"
+
+
+def test_only_first_system_turn_wins_the_slot():
+    out = TEMPLATES["deepseek"](
+        [("system", "first"), ("system", "second"), ("user", "q")]
+    )
+    assert out.startswith("first\n\n")
+    assert "second" not in out
