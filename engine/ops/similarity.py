@@ -63,16 +63,25 @@ def _load_queries(sf_dir: str, n_queries: int):
 
 
 class _ScoreBatch:
-    """Actor: queries fetched from the object store once per actor."""
+    """Actor: queries fetched from the object store once per actor.
+
+    When the broadcast carries a per-query ``probe`` matrix (IVF mode),
+    each query scores ONLY rows whose bucket is in its own probe set —
+    "probe n_probe buckets per query" semantics, not the union of all
+    queries' buckets."""
 
     def __init__(self, query_ref, k: int):
         q = ray.get(query_ref)
         self._qids = q["qids"]
         self._qmat = q["qmat"]          # raw (un-normalized) query vectors
+        self._probe = q.get("probe")    # (n_queries, n_probe) bucket ids or None
         self._k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        bucket = None
+        if self._probe is not None:
+            bucket = batch["bucket"].to_numpy(zero_copy_only=False)
         emb = emb_matrix(batch["embedding"])
         # cosine = q.v / (|q||v|), computed in float64 like the SQL oracle
         dots = emb @ self._qmat.T                                  # (n, q)
@@ -85,6 +94,8 @@ class _ScoreBatch:
         for qi, qid in enumerate(self._qids):
             col = scores[:, qi]
             keep = vids != qid  # exclude self-match
+            if bucket is not None:
+                keep &= np.isin(bucket, self._probe[qi])
             cand_ids, cand_scores = vids[keep], col[keep]
             if len(cand_ids) > k:  # partial top-k inside the batch
                 part = np.argpartition(-cand_scores, k)[:k]
@@ -172,8 +183,12 @@ class _AssignBucket:
 
 
 def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 10) -> ray.data.Dataset:
-    """Approximate cosine top-k: probe the N_PROBE nearest centroid buckets
-    only. Recall < 1 by design; bucket assignment keys the partitioning."""
+    """Approximate cosine top-k: each query probes its own N_PROBE nearest
+    centroid buckets. The union of all queries' probe sets is a cheap
+    row PREFILTER (drops never-probed buckets before scoring); the
+    per-query probe matrix rides the broadcast so _ScoreBatch masks each
+    query to exactly its own buckets — cost is queries x n_probe buckets,
+    recall < 1 by design. Bucket assignment keys the partitioning."""
     ensure_serializable()
     qids, qmat, qnorm = _load_queries(sf_dir, n_queries)
     cent = _centroids(sf_dir)
@@ -181,7 +196,7 @@ def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 10) -> ray.data.Dataset:
     # buckets each query probes
     probe = np.argsort(-(qnorm @ cent.T), axis=1)[:, :N_PROBE]
     probe_buckets = sorted({int(b) for row in probe for b in row})
-    query_ref = ray.put({"qids": qids, "qmat": qmat})
+    query_ref = ray.put({"qids": qids, "qmat": qmat, "probe": probe})
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]

@@ -241,3 +241,28 @@ def test_minhash_hash_family_is_exact():
     for perm in (0, 7, 31, 63):
         want = min((int(_A[perm]) * int(x) + int(_B[perm])) % _MERSENNE for x in sh)
         assert int(sig[perm]) == want
+
+
+def test_knn_ivf_neighbors_come_from_each_querys_own_probe_set():
+    """Honest IVF: a neighbor must sit in THAT query's probe buckets, not
+    merely in the union of all queries' buckets."""
+    from engine.ops.similarity import (
+        N_PROBE,
+        _centroids,
+        _load_queries,
+        emb_matrix,
+        knn_ivf,
+    )
+    import pyarrow.parquet as pq
+
+    approx = knn_ivf(SF).to_pandas()
+    cent = _centroids(SF)
+    _, _, qnorm = _load_queries(SF, 5)
+    probe = np.argsort(-(qnorm @ cent.T), axis=1)[:, :N_PROBE]
+    tab = pq.read_table(os.path.join(SF, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    mat = emb_matrix(tab["embedding"])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bucket = dict(zip(tab["vec_id"].to_numpy(), (mat @ cent.T).argmax(axis=1)))
+    for q, n in zip(approx["query_id"], approx["neighbor_id"]):
+        assert bucket[n] in probe[q], (q, n, bucket[n], probe[q])
