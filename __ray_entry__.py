@@ -44,18 +44,21 @@ def _extraction_ds(sf_dir: str, **kwargs):
 
 def _spans_to_json(ds):
     """Driver-friendly projection: the driver sorts/hashes result columns,
-    which a list<struct> column can break — serialize spans to JSON text.
-    The library surface (engine.pipeline) keeps the real Arrow list type."""
+    which a list<struct> column can break — serialize spans and blocks to
+    JSON text. The library surface (engine.pipeline) keeps the real Arrow
+    list types."""
     import json
 
     import pyarrow as pa
 
     def project(batch: pa.Table) -> pa.Table:
-        spans_json = pa.array(
-            [json.dumps(s) for s in batch["spans"].to_pylist()], pa.string()
-        )
-        idx = batch.schema.get_field_index("spans")
-        return batch.set_column(idx, "spans_json", spans_json)
+        for col in ("spans", "blocks"):
+            as_json = pa.array(
+                [json.dumps(s) for s in batch[col].to_pylist()], pa.string()
+            )
+            idx = batch.schema.get_field_index(col)
+            batch = batch.set_column(idx, f"{col}_json", as_json)
+        return batch
 
     return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -14,18 +14,28 @@ from typing import Dict, List, Tuple
 from .html_extract import extract_html
 from .noise import filter_tool_output
 from .normalize import normalize_text
-from .pdf_extract import extract_pdfish
+from .pdf_extract import extract_pdfish_blocks
 from .sniff import segment_turn
 from .spans import Part, assemble
 
 # User-extension surface: payload kind -> extractor, the analog of the
 # OcrEngine registry dispatch (/root/reference/crates/cli/src/app.rs:87-91,
 # SURVEY SS2.11). register_extractor() adds/overrides a kind.
+#
+# Extractor protocol: fn(payload) -> iterable of blocks, where a block is
+# either a plain ``str`` (no layout coordinates) or a
+# ``(text, page, y, x)`` tuple whose coordinates reach the output
+# schema's ``blocks`` column (position-metadata analog, M10).
 EXTRACTORS = {
     "html": extract_html,
-    "pdfish": extract_pdfish,
+    "pdfish": extract_pdfish_blocks,
     "tool": filter_tool_output,
 }
+
+# (page, y, x) for blocks with no layout position (HTML / tool output).
+NO_COORDS = (-1, -1, -1)
+
+BlockMeta = Tuple[str, int, int, int]  # (kind, page, y, x)
 
 
 def register_extractor(kind: str, fn) -> None:
@@ -34,32 +44,59 @@ def register_extractor(kind: str, fn) -> None:
     EXTRACTORS[kind] = fn
 
 
-def extract_turn(text: str, role: str) -> Tuple[str, List[Tuple[int, int]], int]:
-    """One turn -> (extracted_text, spans, n_blocks).
+def extract_turn_full(
+    text: str, role: str
+) -> Tuple[str, List[Tuple[int, int]], List[BlockMeta]]:
+    """One turn -> (extracted_text, spans, blocks).
 
-    Turns with no extractable payload pass through with normalized text
-    and empty spans (missing-image fallback analog,
-    /root/reference/crates/server/src/routes.rs:282-288).
+    ``blocks[i]`` = (kind, page, y, x) for the block at ``spans[i]`` —
+    the per-region structure of the reference's output (tile-grid order,
+    /root/reference/baselines/README.md:71-73). Turns with no extractable
+    payload pass through with normalized text and empty spans/blocks
+    (missing-image fallback analog, routes.rs:282-288).
     """
     parts: List[Part] = []
+    metas: List[BlockMeta] = []
     for kind, seg in segment_turn(text, role):
         if kind == "literal":
             parts.append((normalize_text(seg), False))
         else:
             for block in EXTRACTORS[kind](seg):
-                parts.append((block, True))
+                if isinstance(block, str):
+                    btext, coords = block, NO_COORDS
+                else:
+                    btext, coords = block[0], tuple(block[1:4])
+                parts.append((btext, True))
+                metas.append((kind, *coords))
     extracted, spans = assemble(parts)
+    # M13-style accounting: one meta per surviving (non-empty) block part.
+    block_texts = [t for t, is_b in parts if is_b]
+    kept = [m for t, m in zip(block_texts, metas) if t]
+    if len(kept) != len(spans):  # pragma: no cover - invariant
+        raise AssertionError(
+            f"block-meta count {len(kept)} != span count {len(spans)}"
+        )
+    return extracted, spans, kept
+
+
+def extract_turn(text: str, role: str) -> Tuple[str, List[Tuple[int, int]], int]:
+    """One turn -> (extracted_text, spans, n_blocks). Thin wrapper over
+    extract_turn_full for callers that don't need block coordinates."""
+    extracted, spans, _blocks = extract_turn_full(text, role)
     return extracted, spans, len(spans)
 
 
 def extract_turn_record(conv_id: str, turn_idx: int, role: str, text: str) -> Dict:
     """Row-shaped wrapper used by the oracle and tests."""
-    extracted, spans, n_blocks = extract_turn(text, role)
+    extracted, spans, blocks = extract_turn_full(text, role)
     return {
         "conv_id": conv_id,
         "turn_idx": turn_idx,
         "role": role,
         "extracted_text": extracted,
         "spans": [{"start": s, "end": e} for s, e in spans],
-        "n_blocks": n_blocks,
+        "blocks": [
+            {"kind": k, "page": p, "y": y, "x": x} for k, p, y, x in blocks
+        ],
+        "n_blocks": len(spans),
     }

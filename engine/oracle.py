@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .extract import extract_turn
+from .extract import extract_turn_full
 from .schema import EXTRACTED, SCHEMA_VERSION
 
 
@@ -26,12 +26,15 @@ def oracle_extract_table(transcripts: pa.Table) -> pa.Table:
     roles = transcripts["role"].to_pylist()
     texts = transcripts["text"].to_pylist()
 
-    out_text, out_spans, out_nblocks = [], [], []
+    out_text, out_spans, out_blocks, out_nblocks = [], [], [], []
     for role, text in zip(roles, texts):
-        extracted, spans, n_blocks = extract_turn(text, role)
+        extracted, spans, blocks = extract_turn_full(text or "", role or "")
         out_text.append(extracted)
         out_spans.append([{"start": s, "end": e} for s, e in spans])
-        out_nblocks.append(n_blocks)
+        out_blocks.append(
+            [{"kind": k, "page": p, "y": y, "x": x} for k, p, y, x in blocks]
+        )
+        out_nblocks.append(len(spans))
 
     n = len(conv_ids)
     return pa.Table.from_pydict(
@@ -41,6 +44,7 @@ def oracle_extract_table(transcripts: pa.Table) -> pa.Table:
             "role": pa.array(roles, pa.string()),
             "extracted_text": pa.array(out_text, pa.string()),
             "spans": pa.array(out_spans, EXTRACTED.field("spans").type),
+            "blocks": pa.array(out_blocks, EXTRACTED.field("blocks").type),
             "n_blocks": pa.array(out_nblocks, pa.int32()),
             "schema_version": pa.array([SCHEMA_VERSION] * n, pa.int32()),
         },

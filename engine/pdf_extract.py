@@ -66,8 +66,13 @@ def parse_blocks(payload: str) -> List[Tuple[int, int, int, str]]:
     ]
 
 
-def extract_pdfish(payload: str) -> List[str]:
-    """PDF-lite payload -> reading-order list of cleaned text blocks."""
+def extract_pdfish_blocks(payload: str) -> List[Tuple[str, int, int, int]]:
+    """PDF-lite payload -> reading-order (text, page, y, x) blocks.
+
+    The coordinates survive into the output schema's ``blocks`` column
+    (per-region structure like the reference's tile-grid order +
+    position metadata, /root/reference/baselines/README.md:71-73,
+    crates/infer-paddleocr/src/vision/preprocess.rs:178-235)."""
     raw = parse_blocks(payload)
     if not raw:
         return []
@@ -82,4 +87,13 @@ def extract_pdfish(payload: str) -> List[str]:
     repeated = {t for t, pages in pages_by_text.items() if len(pages) >= 2}
 
     ordered = sorted(cleaned, key=lambda b: (b[0], b[1], b[2]))  # stable
-    return [text for _p, _y, _x, text in ordered if text and text not in repeated]
+    return [
+        (text, p, y, x)
+        for p, y, x, text in ordered
+        if text and text not in repeated
+    ]
+
+
+def extract_pdfish(payload: str) -> List[str]:
+    """PDF-lite payload -> reading-order list of cleaned text blocks."""
+    return [text for text, _p, _y, _x in extract_pdfish_blocks(payload)]

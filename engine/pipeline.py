@@ -34,7 +34,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from .extract import extract_turn
+from .extract import extract_turn_full
 from .normalize import SENTINEL
 from .schema import SCHEMA_VERSION, SPAN_TYPE
 from .sniff import DATA_HTML_MARKER, DATA_PDF_MARKER, HTML_MARKER, PDF_MARKER
@@ -67,7 +67,7 @@ class ExtractTurns:
         # and is built during actor construction, once per worker — the
         # model-load-once analog
         # (/root/reference/crates/infer-deepseek/src/model/mod.rs:857-860).
-        self._extract_turn = extract_turn
+        self._extract_turn = extract_turn_full
         # When set, the ordering-shuffle partition key is computed here —
         # fused into this stage so the plan has no extra map operator.
         self._num_buckets = num_buckets
@@ -117,30 +117,58 @@ class ExtractTurns:
             sub_roles = role.take(idx_pa).to_pylist()
             py_text: list = [None] * n
             row_spans: list = [None] * len(payload_idx)
+            row_blocks: list = [None] * len(payload_idx)
             fn = self._extract_turn
             for k, i in enumerate(payload_idx):
-                extracted, spans, nb = fn(sub_texts[k], sub_roles[k])
+                extracted, spans, blocks = fn(sub_texts[k], sub_roles[k])
                 py_text[i] = extracted
                 row_spans[k] = spans
+                row_blocks[k] = blocks
                 span_counts[i] = len(spans)
-                n_blocks[i] = nb
+                n_blocks[i] = len(spans)
             flat_start = np.fromiter(
                 (s for sp in row_spans for s, _ in sp), dtype=np.int64
             )
             flat_end = np.fromiter(
                 (e for sp in row_spans for _, e in sp), dtype=np.int64
             )
+            # block metadata into flat buffers, same offsets as spans
+            flat_kind = [k for bl in row_blocks for k, _p, _y, _x in bl]
+            flat_page = np.fromiter(
+                (p for bl in row_blocks for _k, p, _y, _x in bl), dtype=np.int32
+            )
+            flat_y = np.fromiter(
+                (y for bl in row_blocks for _k, _p, y, _x in bl), dtype=np.int32
+            )
+            flat_x = np.fromiter(
+                (x for bl in row_blocks for _k, _p, _y, x in bl), dtype=np.int32
+            )
             extracted_text = pc.if_else(needs, pa.array(py_text, pa.string()), norm)
         else:
             flat_start = flat_end = np.empty(0, dtype=np.int64)
+            flat_kind = []
+            flat_page = flat_y = flat_x = np.empty(0, dtype=np.int32)
             extracted_text = norm
 
         offsets = np.zeros(n + 1, dtype=np.int32)
         np.cumsum(span_counts, out=offsets[1:])
+        offsets_arr = pa.array(offsets, pa.int32())
         spans_arr = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()),
+            offsets_arr,
             pa.StructArray.from_arrays(
                 [pa.array(flat_start), pa.array(flat_end)], ["start", "end"]
+            ),
+        )
+        blocks_arr = pa.ListArray.from_arrays(
+            offsets_arr,
+            pa.StructArray.from_arrays(
+                [
+                    pa.array(flat_kind, pa.string()),
+                    pa.array(flat_page, pa.int32()),
+                    pa.array(flat_y, pa.int32()),
+                    pa.array(flat_x, pa.int32()),
+                ],
+                ["kind", "page", "y", "x"],
             ),
         )
         out = pa.table(
@@ -150,6 +178,7 @@ class ExtractTurns:
                 "role": role,
                 "extracted_text": extracted_text,
                 "spans": spans_arr,
+                "blocks": blocks_arr,
                 "n_blocks": pa.array(n_blocks),
                 "schema_version": pa.array(
                     np.full(n, SCHEMA_VERSION, dtype=np.int32)

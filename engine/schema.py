@@ -10,7 +10,8 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-SCHEMA_VERSION = 1
+# v2: + blocks column (per-block kind and layout coordinates)
+SCHEMA_VERSION = 2
 
 TRANSCRIPTS = pa.schema(
     [
@@ -25,6 +26,21 @@ TRANSCRIPTS = pa.schema(
 
 SPAN_TYPE = pa.list_(pa.struct([("start", pa.int64()), ("end", pa.int64())]))
 
+# blocks[i] describes the block at spans[i]: payload kind + layout
+# coordinates ((page, y, x) for PDF-lite blocks, (-1, -1, -1) for
+# position-free HTML/tool blocks) — the per-region structure of the
+# reference's output (tile grid order, baselines/README.md:71-73).
+BLOCK_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("kind", pa.string()),
+            ("page", pa.int32()),
+            ("y", pa.int32()),
+            ("x", pa.int32()),
+        ]
+    )
+)
+
 EXTRACTED = pa.schema(
     [
         ("conv_id", pa.string()),
@@ -32,6 +48,7 @@ EXTRACTED = pa.schema(
         ("role", pa.string()),
         ("extracted_text", pa.string()),
         ("spans", SPAN_TYPE),
+        ("blocks", BLOCK_TYPE),
         ("n_blocks", pa.int32()),
         ("schema_version", pa.int32()),
     ]

@@ -44,6 +44,33 @@ def test_n_blocks_matches_spans(pipeline_out):
         assert nb == len(spans)
 
 
+def test_per_turn_block_metadata_equality(pipeline_out, expected):
+    """blocks[i] (kind + layout coords) must match the oracle and align
+    1:1 with spans — the per-region output structure (schema v2)."""
+    for got, want in zip(pipeline_out["blocks"], expected["blocks"]):
+        assert list(got) == list(want)
+    for spans, blocks in zip(pipeline_out["spans"], pipeline_out["blocks"]):
+        assert len(spans) == len(blocks)
+
+
+def test_pdf_blocks_carry_reading_order_coords(pipeline_out):
+    """PDF-lite blocks expose (page, y, x) sorted in reading order within
+    each turn; position-free kinds carry (-1, -1, -1)."""
+    saw_pdf = False
+    for blocks in pipeline_out["blocks"]:
+        coords = [
+            (b["page"], b["y"], b["x"]) for b in blocks if b["kind"] == "pdfish"
+        ]
+        if coords:
+            saw_pdf = True
+            assert all(c >= (1, 0, 0) for c in coords)
+            assert coords == sorted(coords)
+        for b in blocks:
+            if b["kind"] != "pdfish":
+                assert (b["page"], b["y"], b["x"]) == (-1, -1, -1)
+    assert saw_pdf
+
+
 def test_spans_slice_back_to_blocks(pipeline_out):
     for text, spans in zip(pipeline_out["extracted_text"], pipeline_out["spans"]):
         prev_end = -1
