@@ -36,6 +36,56 @@ from .schema import SCHEMA_VERSION
 from .pipeline import extraction_plan
 
 MANIFEST_NAME = "_manifest.jsonl"
+CONFIG_NAME = "_config.json"
+
+
+def write_resolved_config(out_dir: str, resolved: Dict) -> None:
+    """Write the resolved run configuration next to the outputs (K6
+    analog: the reference round-trips its layered config to disk,
+    /root/reference/crates/config/src/config.rs:523-534) so a resumed or
+    audited run can see exactly WHAT configuration produced part=N.
+    Temp-write + atomic rename, like every other finalize here."""
+    tmp = os.path.join(out_dir, f".{CONFIG_NAME}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(resolved, f, indent=2, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, CONFIG_NAME))
+
+
+def _partition_dir_ids(out_dir: str):
+    """(pid, dirname) for every part=N / .tmp-part=N directory present."""
+    for name in os.listdir(out_dir):
+        for prefix in ("part=", ".tmp-part="):
+            if name.startswith(prefix):
+                try:
+                    yield int(name[len(prefix):]), name
+                except ValueError:
+                    pass
+                break
+
+
+def clean_stale_partitions(out_dir: str, current_pids) -> List[str]:
+    """Remove part dirs (and their manifest entries) whose pid is not in
+    the current partition set. Without this, shrinking num_partitions or
+    the input file list between runs leaves orphaned part=N dirs that
+    downstream readers of out_dir/** silently mix with fresh output —
+    defeating the config-hash no-mixing guarantee."""
+    current = set(current_pids)
+    removed: List[str] = []
+    for pid, name in list(_partition_dir_ids(out_dir)):
+        if pid not in current:
+            shutil.rmtree(os.path.join(out_dir, name))
+            removed.append(name)
+    if removed:
+        kept = {
+            pid: rec for pid, rec in read_manifest(out_dir).items()
+            if pid in current
+        }
+        tmp = os.path.join(out_dir, f".{MANIFEST_NAME}.tmp")
+        with open(tmp, "w") as f:
+            for pid in sorted(kept):
+                f.write(json.dumps(kept[pid]) + "\n")
+        os.replace(tmp, os.path.join(out_dir, MANIFEST_NAME))
+    return removed
 
 
 def config_hash(extra: Optional[Dict] = None) -> str:
@@ -140,6 +190,22 @@ def run_partitioned(
     os.makedirs(out_dir, exist_ok=True)
     cfg = config_hash(config_extra)
     parts = partition_files(in_files, num_partitions)
+    # Drop orphans from a prior run with a different partition count BEFORE
+    # reading the manifest — stale part dirs must never reach readers.
+    clean_stale_partitions(out_dir, range(len(parts)))
+    write_resolved_config(
+        out_dir,
+        {
+            "engine_version": ENGINE_VERSION,
+            "schema_version": SCHEMA_VERSION,
+            "config_extra": config_extra or {},
+            "config_hash": cfg,
+            "num_partitions": len(parts),
+            "salt_block": salt_block,
+            "batch_size": batch_size,
+            "input_files": sorted(in_files),
+        },
+    )
     done = read_manifest(out_dir)
     records: List[Dict] = []
 

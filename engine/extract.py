@@ -37,6 +37,36 @@ NO_COORDS = (-1, -1, -1)
 
 BlockMeta = Tuple[str, int, int, int]  # (kind, page, y, x)
 
+# Debug rule-slice (M16 analog of the reference's partial-layer env spec,
+# /root/reference/crates/infer-deepseek/src/transformer/decoder.rs:22-41):
+# ENGINE_EXTRACT_SLICE="a..b" keeps only extractor kinds [a, b) of
+# sorted(EXTRACTORS); payloads of disabled kinds pass through as
+# normalized literal text. Unset = all extractors active.
+RULE_SLICE_ENV = "ENGINE_EXTRACT_SLICE"
+
+
+def parse_rule_slice(spec: str) -> Tuple[int, int]:
+    """Parse an 'a..b' slice spec (half-open, like the reference's)."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\.\.(\d+)\s*", spec)
+    if not m:
+        raise ValueError(f"bad {RULE_SLICE_ENV} spec {spec!r}; want 'a..b'")
+    a, b = int(m.group(1)), int(m.group(2))
+    if b < a:
+        raise ValueError(f"bad {RULE_SLICE_ENV} spec {spec!r}: end < start")
+    return a, b
+
+
+def _active_kinds():
+    import os
+
+    spec = os.environ.get(RULE_SLICE_ENV)
+    if not spec:
+        return None  # all kinds active
+    a, b = parse_rule_slice(spec)
+    return frozenset(sorted(EXTRACTORS)[a:b])
+
 
 def register_extractor(kind: str, fn) -> None:
     """Register (or override) an extractor — conv-template-registry analog
@@ -57,8 +87,9 @@ def extract_turn_full(
     """
     parts: List[Part] = []
     metas: List[BlockMeta] = []
+    active = _active_kinds()
     for kind, seg in segment_turn(text, role):
-        if kind == "literal":
+        if kind == "literal" or (active is not None and kind not in active):
             parts.append((normalize_text(seg), False))
         else:
             for block in EXTRACTORS[kind](seg):

@@ -69,26 +69,56 @@ def encode_fake_images(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def _decode_real(payload: bytes):
-    """Real decode path — requires an image library absent here."""
+def _pil_importable() -> bool:
     try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - always taken in container
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _decode_real(payload: bytes):
+    """Real decode path (PIL). Raises NotImplementedError when PIL is
+    absent (this container ships no image libs); decodes standard image
+    formats to (width, height, gray-mean) when it is."""
+    try:
+        from PIL import Image
+    except ImportError as exc:
         raise NotImplementedError(
             "real image decode needs PIL/ffmpeg (not in this container); "
             "the deterministic fake decoder is used instead"
         ) from exc
+    import io
+
+    img = Image.open(io.BytesIO(payload))
+    w, h = img.size
+    arr = np.asarray(img.convert("L"), dtype=np.float64)
+    return w, h, round(float(arr.mean()), 6)
 
 
 class DecodeImageMeta:
     """Actor-pool decode stage: parse the container header, emit metadata
     + a tiny feature (byte-mean as a stand-in for pixel stats).
 
-    Swap ``_decode_fake`` for ``_decode_real`` when PIL exists; the
-    Ray-side signature and output schema do not change."""
+    Decoder selection is AUTOMATIC per actor: when PIL is importable the
+    real path handles non-container payloads (fake-container payloads
+    still parse via the header reader); without PIL everything routes
+    through the deterministic fake decoder. The Ray-side signature and
+    output schema do not change either way — contract-tested in
+    tests/test_ops.py."""
 
     def __init__(self) -> None:
         self._magic = MAGIC
+        self._decode = self._decode_pil if _pil_importable() else self._decode_fake
+
+    def _decode_pil(self, payload: bytes):
+        if payload[:4] == self._magic:  # synthetic container: header parse
+            return self._decode_fake(payload)
+        try:
+            return _decode_real(payload)
+        except Exception:
+            return None
 
     def _decode_fake(self, payload: bytes):
         if payload[:4] != self._magic:
@@ -104,7 +134,7 @@ class DecodeImageMeta:
         for doc_id, payload in zip(
             batch["doc_id"].to_pylist(), batch["image"].to_pylist()
         ):
-            decoded = self._decode_fake(payload)
+            decoded = self._decode(payload)
             ids.append(doc_id)
             if decoded is None:
                 widths.append(0); heights.append(0); pixels.append(0)

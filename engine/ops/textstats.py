@@ -141,15 +141,31 @@ def lang_id_accuracy(sf_dir: str) -> ray.data.Dataset:
         dict(zip(labels["doc_id"].to_pylist(), labels["lang"].to_pylist()))
     )
 
-    def join_label(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(label_ref)
-        langs = [lookup[i] for i in batch["doc_id"].to_pylist()]
-        t = pa.table(
-            {"lang": pa.array(langs), "pred_lang": batch["pred_lang"]}
-        )
-        return t.group_by(["lang", "pred_lang"]).aggregate([("pred_lang", "count")])
+    class JoinLabel:
+        """Actor: the label dict is fetched ONCE per actor in __init__
+        (broadcast-lookup discipline), not per batch."""
 
-    partials = lang_id(sf_dir).map_batches(join_label, batch_format="pyarrow")
+        def __init__(self, ref):
+            self._lookup = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            langs = [self._lookup[i] for i in batch["doc_id"].to_pylist()]
+            t = pa.table(
+                {"lang": pa.array(langs), "pred_lang": batch["pred_lang"]}
+            )
+            return t.group_by(["lang", "pred_lang"]).aggregate(
+                [("pred_lang", "count")]
+            )
+
+    from .._rayutil import pool_size
+
+    partials = lang_id(sf_dir).map_batches(
+        JoinLabel,
+        fn_constructor_args=(label_ref,),
+        batch_format="pyarrow",
+        concurrency=pool_size(),
+        num_cpus=1,
+    )
     from ray.data.aggregate import Sum
 
     return partials.groupby(["lang", "pred_lang"]).aggregate(

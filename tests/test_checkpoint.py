@@ -97,6 +97,43 @@ def test_partition_files_round_robin():
     assert len(parts1) == 5
 
 
+def test_resolved_config_artifact_written(t1_files, out_dir):
+    """The run writes its resolved config (K6 analog) next to the outputs,
+    and the artifact's hash matches the fingerprint's config hash."""
+    run_partitioned(
+        t1_files, out_dir, num_partitions=2, batch_size=256,
+        config_extra={"rule_family": "default"},
+    )
+    with open(os.path.join(out_dir, "_config.json")) as f:
+        resolved = json.load(f)
+    assert resolved["config_hash"] == config_hash({"rule_family": "default"})
+    assert resolved["num_partitions"] == 2
+    assert resolved["config_extra"] == {"rule_family": "default"}
+    assert sorted(resolved["input_files"]) == sorted(t1_files)
+
+
+def test_stale_partitions_removed_on_shrink(t1_files, out_dir):
+    """Shrinking the partition count must delete orphaned part dirs and
+    their manifest entries — otherwise readers of out_dir/** mix stale
+    rows with fresh output."""
+    run_partitioned(t1_files, out_dir, num_partitions=2, batch_size=256)
+    assert os.path.isdir(os.path.join(out_dir, "part=1"))
+    # leave a stray tmp dir from a "crashed" run too
+    os.makedirs(os.path.join(out_dir, ".tmp-part=7"))
+    recs = run_partitioned(t1_files, out_dir, num_partitions=1, batch_size=256)
+    assert [r["partition_id"] for r in recs] == [0]
+    names = set(os.listdir(out_dir))
+    assert "part=1" not in names and ".tmp-part=7" not in names
+    assert read_manifest(out_dir).keys() == {0}
+    # total rows unchanged: everything now lives in part=0
+    total = sum(r["rows_out"] for r in recs)
+    assert total == sum(
+        pq.ParquetFile(os.path.join(out_dir, "part=0", f)).metadata.num_rows
+        for f in os.listdir(os.path.join(out_dir, "part=0"))
+        if f.endswith(".parquet")
+    )
+
+
 def test_manifest_lines_are_lineage_records(t1_files, out_dir):
     run_partitioned(t1_files, out_dir, num_partitions=2, batch_size=256)
     with open(os.path.join(out_dir, "_manifest.jsonl")) as f:

@@ -266,3 +266,62 @@ def test_knn_ivf_neighbors_come_from_each_querys_own_probe_set():
     bucket = dict(zip(tab["vec_id"].to_numpy(), (mat @ cent.T).argmax(axis=1)))
     for q, n in zip(approx["query_id"], approx["neighbor_id"]):
         assert bucket[n] in probe[q], (q, n, bucket[n], probe[q])
+
+
+def test_decode_real_selected_when_pil_importable(monkeypatch):
+    """Contract: DecodeImageMeta auto-binds the PIL path when PIL imports,
+    and the fake-container path otherwise — so dropping PIL into the
+    environment upgrades decode with zero code changes."""
+    import sys
+    import types
+
+    from engine.ops.multimodal import MAGIC, DecodeImageMeta
+
+    without = DecodeImageMeta()
+    assert without._decode.__func__ is DecodeImageMeta._decode_fake
+
+    class _FakeImg:
+        size = (3, 2)
+
+        def convert(self, mode):
+            return np.zeros((2, 3), dtype=np.uint8)
+
+    fake_image_mod = types.ModuleType("PIL.Image")
+    fake_image_mod.open = lambda fp: _FakeImg()
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+    with_pil = DecodeImageMeta()
+    assert with_pil._decode.__func__ is DecodeImageMeta._decode_pil
+    # non-container payload routes through the (fake) PIL decoder ...
+    assert with_pil._decode(b"\x89PNG fake bytes") == (3, 2, 0.0)
+    # ... while synthetic-container payloads still parse via the header
+    payload = MAGIC + (5).to_bytes(2, "big") + (4).to_bytes(2, "big") + b"\x10" * 8
+    w, h, _m = with_pil._decode(payload)
+    assert (w, h) == (5, 4)
+
+
+def test_extract_rule_slice_env_toggle(monkeypatch):
+    """M16 analog: ENGINE_EXTRACT_SLICE='a..b' disables extractor kinds
+    outside [a, b); disabled payloads pass through as normalized literal
+    text instead of being extracted."""
+    from engine.extract import RULE_SLICE_ENV, extract_turn, parse_rule_slice
+
+    html = "<!DOCTYPE html><html><body><p>Hello, world, fine.</p></body></html>"
+    with_rules = extract_turn(html, "user")
+    assert with_rules[2] >= 1  # html extractor emits blocks normally
+
+    monkeypatch.setenv(RULE_SLICE_ENV, "1..3")  # pdfish+tool only, html off
+    no_html = extract_turn(html, "user")
+    assert no_html[2] == 0
+    assert no_html[0] == html  # normalized passthrough of the raw payload
+
+    monkeypatch.setenv(RULE_SLICE_ENV, "0..3")
+    assert extract_turn(html, "user") == with_rules
+
+    with pytest.raises(ValueError, match="want 'a..b'"):
+        parse_rule_slice("nonsense")
+    with pytest.raises(ValueError, match="end < start"):
+        parse_rule_slice("3..1")
