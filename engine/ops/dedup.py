@@ -1,15 +1,23 @@
 """Deduplication operators over the documents table.
 
-Training-data-pipeline operators (task brief): exact dedup, MinHash+LSH
+Training-data-pipeline operators (task brief): exact dedup, MinHash
 near-dup, SimHash near-dup — each expressed Ray-Data-first:
 
 - exact:   vectorized content-hash per batch -> groupby(hash) ->
-           per-group first (hash-partition + first pattern)
+           native Min/Count aggregate
 - minhash: shingle -> minhash signature per batch (numpy vectorized)
-           -> explode to (band, band_hash, doc) rows -> groupby(band)
-           -> candidate pairs -> signature-estimated Jaccard filter
+           -> explode to (perm, value, doc) rows -> per-bucket pair
+           expansion -> perm-agreement COUNT per pair -> est = m/64
+           (the counting identity: est_jaccard == fraction of agreeing
+           permutations, computed without ever shuffling a signature)
 - simhash: 64-bit simhash per batch -> band on 16-bit chunks ->
-           groupby -> candidate pairs -> hamming-distance filter
+           bucket groupby -> candidate pairs -> hamming filter
+
+Every bucket-pair stage shares one physical shape: rows are bucketed by
+``hash(key) % num_buckets`` in the EXPLODE stage (so the single shuffle
+moves small integer rows), and one ``map_groups`` call per BUCKET (not
+per key!) expands all within-key pairs vectorized via
+``_pairs_within_runs`` — zero per-key Python at any corpus size.
 
 All hashing is crc32/md5-based — deterministic across processes (never
 Python's salted hash()). The test corpus is the documents table with
@@ -106,12 +114,66 @@ def dedup_exact(sf_dir: str) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH near-dup
+# shared bucket-pair machinery
+# ---------------------------------------------------------------------------
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _pair_num_buckets() -> int:
+    from ..pipeline import default_num_buckets
+
+    return default_num_buckets()
+
+
+def _bucket_of(*key_cols, num_buckets: int) -> np.ndarray:
+    """Deterministic int32 shuffle bucket from one or more int key columns
+    (multiplicative mix — never Python's salted hash())."""
+    h = np.zeros(len(key_cols[0]), dtype=np.uint64)
+    for col in key_cols:
+        h = (h ^ np.asarray(col).astype(np.uint64)) * _GOLDEN
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def _run_starts(*cols) -> np.ndarray:
+    """Boolean new-run marker over already-sorted parallel key columns."""
+    n = len(cols[0])
+    new = np.zeros(n, dtype=bool)
+    if n:
+        new[0] = True
+        for col in cols:
+            new[1:] |= col[1:] != col[:-1]
+    return new
+
+
+def _pairs_within_runs(new_run: np.ndarray):
+    """All (i < j) row-index pairs within each run, fully vectorized.
+
+    ``new_run`` marks run starts over sorted rows. For a run of size s
+    every row at local position p pairs as the left element with the
+    s-1-p rows after it; the classic repeat/cumsum construction builds
+    every pair index without a Python loop over runs — this is what lets
+    ONE map_groups call per shuffle bucket serve millions of keys."""
+    n = len(new_run)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    starts = np.flatnonzero(new_run)
+    sizes = np.diff(np.append(starts, n))
+    pos = np.arange(n) - np.repeat(starts, sizes)
+    counts = np.repeat(sizes, sizes) - 1 - pos   # pairs led by each row
+    total = int(counts.sum())
+    ii = np.repeat(np.arange(n), counts)
+    block_start = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    t = np.arange(total) - np.repeat(block_start, counts)
+    jj = ii + 1 + t
+    return ii, jj
+
+
+# ---------------------------------------------------------------------------
+# MinHash near-dup (perm-agreement counting)
 # ---------------------------------------------------------------------------
 
 N_PERM = 64
-N_BANDS = 16          # 16 bands x 4 rows
-ROWS_PER_BAND = N_PERM // N_BANDS
 SHINGLE_K = 3         # word 3-grams
 _MERSENNE = (1 << 61) - 1
 
@@ -143,94 +205,116 @@ def minhash_signature(text: str) -> np.ndarray:
     return vals.min(axis=1).astype(np.int64)
 
 
-class MinHashStage:
-    """Actor-pool stage: signature per doc, exploded to band rows.
+# A (perm, value) bucket with document frequency above this cap is
+# dropped before pair expansion — the hot-bucket quadratic guard (same
+# posture as the jaccard gram df-cap). A pair must agree on
+# threshold*N_PERM perms to survive, so losing a few hot perms only
+# lowers its count if a large share of its agreements are hot values.
+MINHASH_DF_CAP = 4096
 
-    Emits (band, band_hash, doc_id, sig) — the signature rides along so
-    candidate verification needs no second pass over the texts. Cost:
-    N_PERM * 8 bytes per band row; drop the sig column and re-join if
-    signatures ever dominate the shuffle."""
 
-    def __init__(self) -> None:
+class MinHashPermStage:
+    """Actor-pool stage: signature per doc, exploded to (perm, value,
+    doc_id) rows + the fused shuffle bucket.
+
+    24 bytes of int payload per row, 64 rows per doc (~1.8 KB/doc through
+    the shuffle) — vs ~128 KB/doc when the full signature rode on every
+    band row. The estimate is recovered downstream by COUNTING perm
+    agreements per pair (est = m / N_PERM), which is bit-identical to
+    mean(sig_a == sig_b) and needs no signature side-table or join."""
+
+    def __init__(self, num_buckets: int) -> None:
         self._sig = minhash_signature
+        self._perms = np.arange(N_PERM, dtype=np.int32)
+        self._num_buckets = num_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        bands, band_hashes, doc_ids, sigs = [], [], [], []
-        for doc_id, text in zip(ids, texts):
-            sig = self._sig(text)
-            for b in range(N_BANDS):
-                chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-                bands.append(b)
-                band_hashes.append(zlib.crc32(chunk.tobytes()))
-                doc_ids.append(int(doc_id))
-                sigs.append(sig.tolist())
+        n = len(ids)
+        values = np.empty((n, N_PERM), dtype=np.int64)
+        for k, text in enumerate(texts):
+            values[k] = self._sig(text)
+        flat_vals = values.reshape(-1)
+        flat_perm = np.tile(self._perms, n)
         return pa.table(
             {
-                "band": pa.array(bands, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.int64()),
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "sig": pa.array(sigs, pa.list_(pa.int64())),
+                "_pb": pa.array(
+                    _bucket_of(flat_perm, flat_vals, num_buckets=self._num_buckets)
+                ),
+                "perm": pa.array(flat_perm),
+                "value": pa.array(flat_vals),
+                "doc_id": pa.array(np.repeat(ids, N_PERM)),
             }
         )
 
 
-def _bucket_pairs(group: pa.Table) -> pa.Table:
-    """Candidate pairs within one (band, band_hash) bucket, with
-    signature-estimated Jaccard."""
-    ids = group["doc_id"].to_numpy(zero_copy_only=False)
-    if len(ids) < 2:
-        return pa.table(
-            {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "est_jaccard": pa.array([], pa.float64()),
-            }
-        )
-    order = np.argsort(ids)
-    ids = ids[order]
-    sigs = np.asarray(group["sig"].to_pylist())[order]
-    doc_a, doc_b, est = [], [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            if ids[i] == ids[j]:
-                continue
-            doc_a.append(int(ids[i]))
-            doc_b.append(int(ids[j]))
-            est.append(float((sigs[i] == sigs[j]).mean()))
+def _minhash_bucket_pairs(group: pa.Table) -> pa.Table:
+    """One call per SHUFFLE BUCKET: expand (doc_a, doc_b) for every
+    (perm, value) run in the bucket, vectorized end to end."""
+    t = group.sort_by(
+        [("perm", "ascending"), ("value", "ascending"), ("doc_id", "ascending")]
+    ).combine_chunks()
+    perm = t.column("perm").to_numpy(zero_copy_only=False)
+    value = t.column("value").to_numpy(zero_copy_only=False)
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    new_run = _run_starts(perm, value)
+    # hot-bucket guard: drop runs larger than the df cap
+    if len(new_run):
+        starts = np.flatnonzero(new_run)
+        sizes = np.diff(np.append(starts, len(new_run)))
+        if (sizes > MINHASH_DF_CAP).any():
+            keep = np.repeat(sizes <= MINHASH_DF_CAP, sizes)
+            perm, value, ids = perm[keep], value[keep], ids[keep]
+            new_run = _run_starts(perm, value)
+    ii, jj = _pairs_within_runs(new_run)
     return pa.table(
         {
-            "doc_a": pa.array(doc_a, pa.int64()),
-            "doc_b": pa.array(doc_b, pa.int64()),
-            "est_jaccard": pa.array(est, pa.float64()),
+            "doc_a": pa.array(ids[ii]),
+            "doc_b": pa.array(ids[jj]),
         }
     )
 
 
 def dedup_minhash(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
-    """MinHash+LSH near-dup pairs: shingle -> minhash -> band -> bucket
-    groupby -> estimate -> threshold -> global pair dedup."""
+    """MinHash near-dup pairs by perm-agreement counting: shingle ->
+    minhash -> explode to perm rows -> bucketed pair expansion ->
+    Count per (doc_a, doc_b) -> est_jaccard = m/N_PERM >= threshold.
+
+    Same estimator as signature comparison (fraction of agreeing
+    permutations), strictly higher recall than banded LSH (a pair needs
+    one shared perm value to be counted, not a full shared band), and
+    the shuffle never moves a signature."""
+    from ray.data.aggregate import Count
+
+    num_buckets = _pair_num_buckets()
     ds = dup_corpus(sf_dir)
-    banded = ds.map_batches(
-        MinHashStage,
+    exploded = ds.map_batches(
+        MinHashPermStage,
+        fn_constructor_args=(num_buckets,),
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=pool_size(),
         num_cpus=1,
     )
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pyarrow"
+    pairs = exploded.groupby("_pb").map_groups(
+        lambda g: _minhash_bucket_pairs(g.drop_columns(["_pb"])),
+        batch_format="pyarrow",
     )
-    # A pair can surface from several bands: dedup on (doc_a, doc_b) with a
-    # native aggregate (the estimate is pair-constant across bands, so Max
-    # IS "first" — no per-pair Python finalizer).
-    from ray.data.aggregate import Max
+    counted = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="m"))
 
-    thresholded = pairs.filter(expr=f"est_jaccard >= {threshold}")
-    return thresholded.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard")
-    )
+    def finish(batch: pa.Table) -> pa.Table:
+        est = batch["m"].to_numpy(zero_copy_only=False) / float(N_PERM)
+        out = pa.table(
+            {
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["doc_b"],
+                "est_jaccard": pa.array(est),
+            }
+        )
+        return out.filter(pa.array(est >= threshold))
+
+    return counted.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -260,52 +344,71 @@ def simhash64(text: str) -> int:
     )
 
 
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy 1.x has no bitwise_count)."""
+    if len(x) == 0:
+        return np.empty(0, dtype=np.int64)
+    return (
+        _POPCNT8[np.ascontiguousarray(x).view(np.uint8).reshape(len(x), 8)]
+        .sum(axis=1)
+        .astype(np.int64)
+    )
+
+
 class SimHashStage:
-    def __init__(self) -> None:
+    """(chunk, chunk_val, doc_id, fp) rows + fused shuffle bucket."""
+
+    def __init__(self, num_buckets: int) -> None:
         self._simhash = simhash64
+        self._num_buckets = num_buckets
+        self._chunks = np.arange(SIMHASH_CHUNKS, dtype=np.int32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        chunk_ids, chunk_vals, doc_ids, fps = [], [], [], []
-        for doc_id, text in zip(ids, texts):
-            fp = self._simhash(text)
-            for c in range(SIMHASH_CHUNKS):
-                chunk_ids.append(c)
-                chunk_vals.append((fp >> (16 * c)) & 0xFFFF)
-                doc_ids.append(int(doc_id))
-                fps.append(fp)
+        n = len(ids)
+        fps = np.fromiter(
+            (self._simhash(t) for t in texts), dtype=np.uint64, count=n
+        )
+        chunk = np.tile(self._chunks, n)
+        shifts = (16 * self._chunks).astype(np.uint64)
+        chunk_val = (
+            (fps[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)
+        ).reshape(-1).astype(np.int64)
         return pa.table(
             {
-                "chunk": pa.array(chunk_ids, pa.int32()),
-                "chunk_val": pa.array(chunk_vals, pa.int64()),
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "fp": pa.array(np.array(fps, dtype=np.uint64).view(np.int64)),
+                "_pb": pa.array(
+                    _bucket_of(chunk, chunk_val, num_buckets=self._num_buckets)
+                ),
+                "chunk": pa.array(chunk),
+                "chunk_val": pa.array(chunk_val),
+                "doc_id": pa.array(np.repeat(ids, SIMHASH_CHUNKS)),
+                "fp": pa.array(np.repeat(fps, SIMHASH_CHUNKS).view(np.int64)),
             }
         )
 
 
 def _simhash_bucket_pairs(max_hamming: int):
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_numpy(zero_copy_only=False)
-        fps = group["fp"].to_numpy(zero_copy_only=False).view(np.uint64)
-        doc_a, doc_b, dist = [], [], []
-        order = np.argsort(ids)
-        ids, fps = ids[order], fps[order]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                d = int(bin(int(fps[i]) ^ int(fps[j])).count("1"))
-                if d <= max_hamming:
-                    doc_a.append(int(ids[i]))
-                    doc_b.append(int(ids[j]))
-                    dist.append(d)
+        t = group.sort_by(
+            [("chunk", "ascending"), ("chunk_val", "ascending"),
+             ("doc_id", "ascending")]
+        ).combine_chunks()
+        chunk = t.column("chunk").to_numpy(zero_copy_only=False)
+        val = t.column("chunk_val").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        fps = t.column("fp").to_numpy(zero_copy_only=False).view(np.uint64)
+        ii, jj = _pairs_within_runs(_run_starts(chunk, val))
+        dist = _popcount64(fps[ii] ^ fps[jj])
+        keep = dist <= max_hamming
         return pa.table(
             {
-                "doc_a": pa.array(doc_a, pa.int64()),
-                "doc_b": pa.array(doc_b, pa.int64()),
-                "hamming": pa.array(dist, pa.int64()),
+                "doc_a": pa.array(ids[ii][keep]),
+                "doc_b": pa.array(ids[jj][keep]),
+                "hamming": pa.array(dist[keep]),
             }
         )
 
@@ -314,21 +417,25 @@ def _simhash_bucket_pairs(max_hamming: int):
 
 def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     """SimHash near-dup pairs via 16-bit-chunk banding (pigeonhole: any
-    pair within hamming<=3 of 64 bits shares at least one of 4 chunks)."""
+    pair within hamming<=3 of 64 bits shares at least one of 4 chunks).
+    One vectorized pair expansion per shuffle bucket; pair dedup is a
+    native Max aggregate (hamming is pair-constant across chunks)."""
+    from ray.data.aggregate import Max
+
+    num_buckets = _pair_num_buckets()
     ds = dup_corpus(sf_dir)
     banded = ds.map_batches(
         SimHashStage,
+        fn_constructor_args=(num_buckets,),
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=pool_size(),
         num_cpus=1,
     )
-    pairs = banded.groupby(["chunk", "chunk_val"]).map_groups(
-        _simhash_bucket_pairs(max_hamming), batch_format="pyarrow"
+    pairs = banded.groupby("_pb").map_groups(
+        lambda g: _simhash_bucket_pairs(max_hamming)(g.drop_columns(["_pb"])),
+        batch_format="pyarrow",
     )
-    # hamming is pair-constant across chunks: native Max == "first"
-    from ray.data.aggregate import Max
-
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Max("hamming", alias_name="hamming")
     )
@@ -366,15 +473,17 @@ def _gram_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
 
 
 class GramIndexStage:
-    """Explode each doc into (gram_hash, doc_id, n_grams) rows.
+    """Explode each doc into (gram_hash, doc_id, n_grams) rows + fused
+    shuffle bucket.
 
     ``n_grams`` (a doc-constant int) rides on every row so the downstream
     pair aggregate needs NO join and NO broadcast: exact Jaccard is
     c / (na + nb - c) where c = number of gram buckets a pair shares —
     the inverted-index identity |A∩B| = #{g : g∈A and g∈B}."""
 
-    def __init__(self) -> None:
+    def __init__(self, num_buckets: int) -> None:
         self._gram_hashes = _gram_hashes
+        self._num_buckets = num_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
@@ -385,9 +494,11 @@ class GramIndexStage:
             gh_out.append(gh)
             id_out.append(np.full(len(gh), doc_id, dtype=np.int64))
             n_out.append(np.full(len(gh), len(gh), dtype=np.int64))
+        gh = np.concatenate(gh_out)
         return pa.table(
             {
-                "gram_hash": pa.array(np.concatenate(gh_out)),
+                "_pb": pa.array(_bucket_of(gh, num_buckets=self._num_buckets)),
+                "gram_hash": pa.array(gh),
                 "doc_id": pa.array(np.concatenate(id_out)),
                 "n_grams": pa.array(np.concatenate(n_out)),
             }
@@ -395,15 +506,19 @@ class GramIndexStage:
 
 
 def _gram_bucket_pairs(group: pa.Table) -> pa.Table:
-    """All (doc_a < doc_b) pairs sharing this gram. Hot grams make this
-    quadratic — at 100TB scale cap df (drop grams with document frequency
-    above a bound, losing only pairs whose entire overlap is stopword-like
-    grams) or salt by a secondary gram; at test scale buckets are small."""
-    ids = group["doc_id"].to_numpy(zero_copy_only=False)
-    ng = group["n_grams"].to_numpy(zero_copy_only=False)
-    order = np.argsort(ids)
-    ids, ng = ids[order], ng[order]
-    ii, jj = np.triu_indices(len(ids), 1)
+    """All (doc_a < doc_b) pairs sharing a gram, for every gram in this
+    shuffle bucket at once (vectorized multi-run expansion). Hot grams
+    make a run quadratic — at 100TB scale cap df (drop grams with
+    document frequency above a bound, losing only pairs whose entire
+    overlap is stopword-like grams) or salt by a secondary gram; at test
+    scale runs are small."""
+    t = group.sort_by(
+        [("gram_hash", "ascending"), ("doc_id", "ascending")]
+    ).combine_chunks()
+    gh = t.column("gram_hash").to_numpy(zero_copy_only=False)
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    ng = t.column("n_grams").to_numpy(zero_copy_only=False)
+    ii, jj = _pairs_within_runs(_run_starts(gh))
     return pa.table(
         {
             "doc_a": pa.array(ids[ii]),
@@ -422,16 +537,19 @@ def dedup_jaccard(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> ray.data
     no text, no gram sets, no joins."""
     from ray.data.aggregate import Count, Max
 
+    num_buckets = _pair_num_buckets()
     ds = dup_corpus(sf_dir)
     exploded = ds.map_batches(
         GramIndexStage,
+        fn_constructor_args=(num_buckets,),
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=pool_size(),
         num_cpus=1,
     )
-    pairs = exploded.groupby("gram_hash").map_groups(
-        _gram_bucket_pairs, batch_format="pyarrow"
+    pairs = exploded.groupby("_pb").map_groups(
+        lambda g: _gram_bucket_pairs(g.drop_columns(["_pb"])),
+        batch_format="pyarrow",
     )
     counted = pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Count(alias_name="c"),
@@ -562,10 +680,12 @@ _HYPERPLANES = _srp_rng.standard_normal((N_HYPERPLANES, SRP_DIM))
 
 class _SrpBandStage:
     """Signed-random-projection signature, exploded to band rows carrying
-    the embedding (so candidate verification is local to the bucket)."""
+    the embedding (so candidate verification is local to the bucket) +
+    the fused shuffle bucket."""
 
-    def __init__(self) -> None:
+    def __init__(self, num_buckets: int) -> None:
         self._H = _HYPERPLANES
+        self._num_buckets = num_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vids = batch["vec_id"].to_numpy(zero_copy_only=False)
@@ -579,6 +699,9 @@ class _SrpBandStage:
         ).reshape(-1)
         return pa.table(
             {
+                "_pb": pa.array(
+                    _bucket_of(band_ids, band_vals, num_buckets=self._num_buckets)
+                ),
                 "band": pa.array(band_ids),
                 "band_val": pa.array(band_vals),
                 "vec_id": pa.array(np.repeat(vids, SRP_BANDS)),
@@ -591,8 +714,15 @@ class _SrpBandStage:
 
 def _srp_bucket_pairs(threshold: float):
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group["vec_id"].to_numpy(zero_copy_only=False)
-        if len(ids) < 2:
+        t = group.sort_by(
+            [("band", "ascending"), ("band_val", "ascending"),
+             ("vec_id", "ascending")]
+        ).combine_chunks()
+        band = t.column("band").to_numpy(zero_copy_only=False)
+        val = t.column("band_val").to_numpy(zero_copy_only=False)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        ii, jj = _pairs_within_runs(_run_starts(band, val))
+        if len(ii) == 0:
             return pa.table(
                 {
                     "doc_a": pa.array([], pa.int64()),
@@ -600,19 +730,17 @@ def _srp_bucket_pairs(threshold: float):
                     "cosine": pa.array([], pa.float64()),
                 }
             )
-        order = np.argsort(ids)
-        ids = ids[order]
-        emb = emb_matrix(group["embedding"])[order]
+        emb = emb_matrix(t.column("embedding"))
         nrm = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-        # round before thresholding — matches _CosinePairs and the oracle
-        scores = np.round(nrm @ nrm.T, _C_DECIMALS)
-        ii, jj = np.triu_indices(len(ids), 1)
-        keep = (scores[ii, jj] >= threshold) & (ids[ii] != ids[jj])
+        # per-pair rowwise dot (NOT an all-pairs matmul), rounded before
+        # thresholding — matches _CosinePairs and the oracle
+        scores = np.round(np.einsum("ij,ij->i", nrm[ii], nrm[jj]), _C_DECIMALS)
+        keep = scores >= threshold
         return pa.table(
             {
                 "doc_a": pa.array(ids[ii][keep]),
                 "doc_b": pa.array(ids[jj][keep]),
-                "cosine": pa.array(scores[ii, jj][keep]),
+                "cosine": pa.array(scores[keep]),
             }
         )
 
@@ -627,20 +755,23 @@ def dedup_embedding_lsh(
     dedup. The scale path: no broadcast corpus, shuffle moves band rows.
     Recall vs the exact variant is unit-tested (~1 at the injected
     near-dup similarity; misses need all 8 bands to differ)."""
+    from ray.data.aggregate import Max
+
+    num_buckets = _pair_num_buckets()
     ds = emb_dup_corpus(sf_dir)
     banded = ds.map_batches(
         _SrpBandStage,
+        fn_constructor_args=(num_buckets,),
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=pool_size(),
         num_cpus=1,
     )
-    pairs = banded.groupby(["band", "band_val"]).map_groups(
-        _srp_bucket_pairs(threshold), batch_format="pyarrow"
+    pairs = banded.groupby("_pb").map_groups(
+        lambda g: _srp_bucket_pairs(threshold)(g.drop_columns(["_pb"])),
+        batch_format="pyarrow",
     )
     # cosine is pair-constant across bands: native Max == "first"
-    from ray.data.aggregate import Max
-
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Max("cosine", alias_name="cosine")
     )

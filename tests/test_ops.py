@@ -325,3 +325,56 @@ def test_extract_rule_slice_env_toggle(monkeypatch):
         parse_rule_slice("nonsense")
     with pytest.raises(ValueError, match="end < start"):
         parse_rule_slice("3..1")
+
+
+def test_pairs_within_runs_matches_bruteforce():
+    """The vectorized multi-run pair expansion must emit exactly the
+    (i < j) pairs within each run, for every run-size mix."""
+    from engine.ops.dedup import _pairs_within_runs, _run_starts
+
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        sizes = rng.integers(1, 6, int(rng.integers(1, 8)))
+        keys = np.repeat(np.arange(len(sizes)), sizes)
+        ii, jj = _pairs_within_runs(_run_starts(keys))
+        want = set()
+        start = 0
+        for s in sizes:
+            for i in range(start, start + int(s)):
+                for j in range(i + 1, start + int(s)):
+                    want.add((i, j))
+            start += int(s)
+        assert set(zip(ii.tolist(), jj.tolist())) == want
+        assert len(ii) == len(want)
+    # empty input
+    ii, jj = _pairs_within_runs(np.empty(0, dtype=bool))
+    assert len(ii) == 0 and len(jj) == 0
+
+
+def test_minhash_est_equals_signature_fraction():
+    """Perm-agreement counting must reproduce mean(sig_a == sig_b)."""
+    from engine.ops.dedup import N_PERM, dedup_minhash, minhash_signature
+
+    pairs = dedup_minhash(SF).to_pandas()
+    import pyarrow.parquet as _pq
+
+    docs = _pq.read_table(
+        os.path.join(SF, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas().set_index("doc_id")["text"]
+    checked = 0
+    for _, r in pairs.head(25).iterrows():
+        a, b = int(r["doc_a"]), int(r["doc_b"])
+        ta = docs.get(a % 100_000)
+        tb = docs.get(b % 100_000)
+        if ta is None or tb is None:
+            continue
+        if a >= 200_000:
+            import re as _re
+            ta = _re.sub(r"\s+\S+$", "", ta)
+        if b >= 200_000:
+            import re as _re
+            tb = _re.sub(r"\s+\S+$", "", tb)
+        want = float((minhash_signature(ta) == minhash_signature(tb)).mean())
+        assert abs(r["est_jaccard"] - want) < 1e-12
+        checked += 1
+    assert checked > 0
