@@ -118,6 +118,15 @@ def _checkpointed_lineage(sf_dir: str):
     return ray.data.from_items(records)
 
 
+def _turn_global_views(sf_dir: str):
+    """M6 operator: whole-payload canonical view + md5 fingerprint per
+    turn (boilerplate kept — the dedup-friendly complement of the block
+    extractor). Not SQL-expressible -> rows-only check."""
+    from engine.pipeline import global_view_plan
+
+    return global_view_plan(_transcript_files(sf_dir))
+
+
 def _conv_stats(sf_dir: str):
     from engine.ops.convstats import conv_stats
 
@@ -168,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_transcripts_salted": _extract_transcripts_salted,
         "extract_turn_stats": _extract_turn_stats,
         "checkpointed_lineage": _checkpointed_lineage,
+        "turn_global_views": _turn_global_views,
         # conversation-template / history ops (SURVEY M1-M3)
         "render_conversations": _render_conversations,
         "render_deepseek": _render_deepseek,

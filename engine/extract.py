@@ -11,12 +11,16 @@ from __future__ import annotations
 
 from typing import Dict, List, Tuple
 
-from .html_extract import extract_html
-from .noise import filter_tool_output
-from .normalize import normalize_text
-from .pdf_extract import extract_pdfish_blocks
+# Module-level imports only: this module is cloudpickled BY VALUE into
+# Ray workers that cannot import ``engine`` by name (_rayutil docstring);
+# a lazy relative import inside a function dies there with
+# ModuleNotFoundError.
+from .html_extract import extract_html, node_text, parse_html_fast
+from .noise import filter_tool_output, strip_ansi
+from .normalize import collapse_ws, normalize_text
+from .pdf_extract import dehyphenate, extract_pdfish_blocks, parse_blocks
 from .sniff import segment_turn
-from .spans import Part, assemble
+from .spans import SEPARATOR, Part, assemble
 
 # User-extension surface: payload kind -> extractor, the analog of the
 # OcrEngine registry dispatch (/root/reference/crates/cli/src/app.rs:87-91,
@@ -72,6 +76,61 @@ def register_extractor(kind: str, fn) -> None:
     """Register (or override) an extractor — conv-template-registry analog
     (/root/reference/crates/core/src/conversation/mod.rs:176-184)."""
     EXTRACTORS[kind] = fn
+
+
+# ---------------------------------------------------------------------------
+# document-level canonicalization (M6: build_global_view analog)
+# ---------------------------------------------------------------------------
+
+def _global_html(payload: str) -> str:
+    """Whole-document text view — every text node, NO candidate selection,
+    so nav/sidebar/footer text the block extractor drops is retained."""
+    return collapse_ws(node_text(parse_html_fast(payload)))
+
+
+def _global_pdfish(payload: str) -> str:
+    """All blocks in PAYLOAD order (no reading-order sort, no running
+    header/footer removal) — the whole-page view."""
+    texts = (
+        collapse_ws(dehyphenate(t)) for _p, _y, _x, t in parse_blocks(payload)
+    )
+    return " ".join(t for t in texts if t)
+
+
+def _global_tool(payload: str) -> str:
+    """ANSI-stripped raw tool output, whitespace-collapsed — progress bars
+    and traceback frames that the noise filter drops stay visible."""
+    return collapse_ws(strip_ansi(payload))
+
+
+# Whole-payload viewers per kind (the letterboxed global view of the
+# reference, computed ALONGSIDE the per-region split —
+# /root/reference/crates/infer-deepseek/src/model/mod.rs:1934-1956).
+GLOBAL_VIEWERS = {
+    "html": _global_html,
+    "pdfish": _global_pdfish,
+    "tool": _global_tool,
+}
+
+
+def build_global_view(text: str, role: str) -> str:
+    """One turn -> its document-level canonical view: markup stripped,
+    entities unescaped, whitespace collapsed — but boilerplate KEPT.
+
+    This is the M6 analog of the reference's ``build_global_view``: a
+    whole-document canonicalization computed alongside (not instead of)
+    the per-region extraction. Downstream use: dedup/fingerprinting over
+    the full content, where dropping boilerplate would make two pages
+    with different nav bars but identical articles collide."""
+    parts = []
+    for kind, seg in segment_turn(text, role):
+        view = (
+            normalize_text(seg) if kind == "literal"
+            else GLOBAL_VIEWERS[kind](seg)
+        )
+        if view:
+            parts.append(view)
+    return SEPARATOR.join(parts)
 
 
 def extract_turn_full(

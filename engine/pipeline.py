@@ -34,7 +34,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from .extract import extract_turn_full
+from .extract import build_global_view, extract_turn_full
 from .normalize import SENTINEL
 from .schema import SCHEMA_VERSION, SPAN_TYPE
 from .sniff import DATA_HTML_MARKER, DATA_PDF_MARKER, HTML_MARKER, PDF_MARKER
@@ -205,6 +205,86 @@ class ExtractTurns:
             bucket = (h % self._num_buckets).astype(np.int32)
             out = out.append_column("_bucket", pa.array(bucket))
         return out
+
+
+class GlobalViewTurns:
+    """Actor-pool stage for the M6 document-level canonicalization pass:
+    (conv_id, turn_idx, global_view, global_fp) per turn, where
+    global_view is the whole-payload canonical text (boilerplate KEPT —
+    see extract.build_global_view) and global_fp its md5. Same vectorized
+    sniff fast path as ExtractTurns: payload-free rows never touch
+    Python."""
+
+    def __init__(self) -> None:
+        # module-level import (not a lazy relative import here): the class
+        # is cloudpickled by value into workers that cannot import
+        # ``engine`` by name (_rayutil module docstring)
+        self._build = build_global_view
+        self._build("warmup", "user")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        text = pc.fill_null(batch.column("text"), "")
+        role = pc.fill_null(batch.column("role"), "")
+        needs = pc.or_(
+            pc.or_(
+                pc.or_(
+                    pc.match_substring(text, HTML_MARKER),
+                    pc.match_substring(text, PDF_MARKER),
+                ),
+                pc.or_(
+                    pc.match_substring(text, DATA_HTML_MARKER),
+                    pc.match_substring(text, DATA_PDF_MARKER),
+                ),
+            ),
+            pc.equal(role, "tool"),
+        )
+        needs_np = needs.combine_chunks().to_numpy(zero_copy_only=False)
+        payload_idx = np.flatnonzero(needs_np)
+        views = normalize_arrow(text)
+        if len(payload_idx):
+            idx_pa = pa.array(payload_idx)
+            sub_texts = text.take(idx_pa).to_pylist()
+            sub_roles = role.take(idx_pa).to_pylist()
+            py_views: list = [None] * batch.num_rows
+            for k, i in enumerate(payload_idx):
+                py_views[i] = self._build(sub_texts[k], sub_roles[k])
+            views = pc.if_else(needs, pa.array(py_views, pa.string()), views)
+        fps = [
+            hashlib.md5(v.encode()).hexdigest() for v in views.to_pylist()
+        ]
+        return pa.table(
+            {
+                "conv_id": batch.column("conv_id"),
+                "turn_idx": batch.column("turn_idx"),
+                "global_view": views,
+                "global_fp": pa.array(fps, pa.string()),
+            }
+        )
+
+
+def global_view_plan(
+    paths: Union[str, Sequence[str]],
+    *,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency=None,
+) -> ray.data.Dataset:
+    """Lazy plan: transcript Parquet -> per-turn document-level canonical
+    views (M6 operator). No shuffle — embarrassingly parallel."""
+    from ._rayutil import ensure_serializable
+    from ._rayutil import pool_size as _pool_size
+
+    ensure_serializable()
+    ds = ray.data.read_parquet(paths, columns=READ_COLUMNS)
+    return ds.map_batches(
+        GlobalViewTurns,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency if concurrency is not None else _pool_size(),
+        num_cpus=1,
+    )
 
 
 DEFAULT_NUM_BUCKETS = 64  # floor; default_num_buckets() scales with cluster

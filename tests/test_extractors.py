@@ -269,3 +269,55 @@ def test_fast_parser_matches_spec_parser():
         spec = _canon_tree(parse_html(payload))
         fast = _canon_tree(parse_html_fast(payload))
         assert fast == spec, f"parser divergence on: {payload[:80]!r}"
+
+
+class TestGlobalView:
+    """M6: document-level canonicalization keeps what block extraction
+    drops — boilerplate, running headers, noise lines."""
+
+    def test_html_global_view_keeps_boilerplate(self):
+        from engine.extract import build_global_view, extract_turn
+
+        html = (
+            "<!DOCTYPE html><html><body>"
+            '<div class="nav"><a href="/x">navlink</a></div>'
+            "<div class=\"content\"><p>Main article text, long enough to "
+            "score, with commas, plenty of them.</p></div>"
+            '<div class="footer">Copyright footertext</div>'
+            "</body></html>"
+        )
+        extracted, _s, _n = extract_turn(html, "user")
+        view = build_global_view(html, "user")
+        assert "navlink" not in extracted and "footertext" not in extracted
+        assert "navlink" in view and "footertext" in view
+        assert "Main article text" in view
+
+    def test_pdf_global_view_keeps_running_headers(self):
+        from engine.extract import build_global_view, extract_turn
+
+        pdf = (
+            "%PDF-LITE 1.0\n"
+            "@block page=1 y=40 x=36\nRunning Header\n@endblock\n"
+            "@block page=1 y=100 x=36\nBody one.\n@endblock\n"
+            "@block page=2 y=40 x=36\nRunning Header\n@endblock\n"
+            "@block page=2 y=100 x=36\nBody two.\n@endblock\n"
+            "%%EOF"
+        )
+        extracted, _s, _n = extract_turn(pdf, "user")
+        view = build_global_view(pdf, "user")
+        assert "Running Header" not in extracted
+        assert view.count("Running Header") == 2
+
+    def test_tool_global_view_keeps_noise_strips_ansi(self):
+        from engine.extract import build_global_view
+
+        view = build_global_view("\x1b[32mOK\x1b[0m done\n42%|██| bar", "tool")
+        assert "\x1b" not in view
+        assert "42%|" in view  # noise lines kept in the whole view
+
+    def test_literal_turns_match_normalize(self):
+        from engine.extract import build_global_view
+        from engine.normalize import normalize_text
+
+        s = "plain \r\n text <|end_of_text|>"
+        assert build_global_view(s, "user") == normalize_text(s)

@@ -58,7 +58,7 @@ def test_all_queries_have_oracle_or_are_documented():
     # every rows-only query is one of the documented non-SQL-expressible ops
     assert rows_only == {
         "extract_transcripts", "extract_transcripts_salted", "extract_turn_stats",
-        "checkpointed_lineage",
+        "checkpointed_lineage", "turn_global_views",
         "dedup_minhash", "dedup_simhash", "dedup_embedding_lsh",
         "knn_ivf", "rolling_fingerprint",
         "image_metadata", "image_resize", "video_frame_sample",
