@@ -206,6 +206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "quality_score": textstats.quality_score,
         "lang_id": textstats.lang_id,
+        "lang_id_accuracy": textstats.lang_id_accuracy,
+        "bpe_token_counts": textstats.bpe_token_counts,
         "normalize_documents": textstats.normalize_documents,
         "doc_fingerprint": textstats.doc_fingerprint,
         "rolling_fingerprint": textstats.rolling_fingerprint,
@@ -233,6 +235,7 @@ _PY_WS = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
 
 def oracle_sql() -> dict[str, str]:
     from engine.ops.textstats import (
+        BPE_PATTERN,
         CJK_PATTERN,
         LANG_MARKERS,
         PUNCT_PATTERN,
@@ -249,6 +252,25 @@ def oracle_sql() -> dict[str, str]:
     stop_sql = " + ".join(
         f"length(regexp_extract_all(text, '\\b{w}\\b'))" for w in STOPWORDS
     )
+
+    lang_id_sql = f"""
+            SELECT doc_id,
+                   CASE WHEN score_zh > 0 THEN 'zh'
+                        WHEN score_de >= score_en AND score_de >= score_es
+                             AND score_de >= score_fr THEN 'de'
+                        WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                        WHEN score_es >= score_fr THEN 'es'
+                        ELSE 'fr' END AS pred_lang,
+                   score_de, score_en, score_es, score_fr, score_zh
+            FROM (
+              SELECT doc_id,
+                     {marker_score("de")} AS score_de,
+                     {marker_score("en")} AS score_en,
+                     {marker_score("es")} AS score_es,
+                     {marker_score("fr")} AS score_fr,
+                     length(regexp_extract_all(text, '{CJK_PATTERN}')) AS score_zh
+              FROM documents)
+    """
 
     transcripts = _transcripts_sql_source()
     return {
@@ -502,23 +524,20 @@ def oracle_sql() -> dict[str, str]:
                      {stop_sql} AS stop_hits
               FROM documents)
         """,
-        "lang_id": f"""
+        "lang_id": lang_id_sql,
+        "lang_id_accuracy": f"""
+            SELECT d.lang, p.pred_lang, count(*) AS n_docs
+            FROM ({lang_id_sql}) p JOIN documents d ON p.doc_id = d.doc_id
+            GROUP BY d.lang, p.pred_lang
+        """,
+        "bpe_token_counts": f"""
             SELECT doc_id,
-                   CASE WHEN score_zh > 0 THEN 'zh'
-                        WHEN score_de >= score_en AND score_de >= score_es
-                             AND score_de >= score_fr THEN 'de'
-                        WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
-                        WHEN score_es >= score_fr THEN 'es'
-                        ELSE 'fr' END AS pred_lang,
-                   score_de, score_en, score_es, score_fr, score_zh
-            FROM (
-              SELECT doc_id,
-                     {marker_score("de")} AS score_de,
-                     {marker_score("en")} AS score_en,
-                     {marker_score("es")} AS score_es,
-                     {marker_score("fr")} AS score_fr,
-                     length(regexp_extract_all(text, '{CJK_PATTERN}')) AS score_zh
-              FROM documents)
+                   CAST(length(regexp_extract_all(text, '{TOKEN_PATTERN}'))
+                        AS BIGINT) AS n_ws_tokens,
+                   CAST(length(regexp_extract_all(text,
+                        '{BPE_PATTERN.replace(chr(39), chr(39) * 2)}'))
+                        AS BIGINT) AS n_bpe_tokens
+            FROM documents
         """,
         "normalize_documents": f"""
             SELECT doc_id,

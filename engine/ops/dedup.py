@@ -28,7 +28,6 @@ is itself expressible in SQL, keeping the exact-dedup oracle checkable.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import zlib
 from typing import List
@@ -93,21 +92,28 @@ def dedup_exact(sf_dir: str) -> ray.data.Dataset:
     Pattern: vectorized content hash in map_batches, hash-partitioned
     groupby, NATIVE Min/Count aggregate (no per-group Python — a
     map_groups finalizer costs one interpreter call per distinct text,
-    billions at corpus scale). The group key is the 128-bit md5
-    (collision-safe at corpus scale), so the shuffle moves
-    (hash, doc_id) pairs — never the text itself."""
+    billions at corpus scale). The group key is 128 bits built from TWO
+    independent fixed-key siphashes of the text (vectorized C loops —
+    ~3x the throughput of a per-row Python md5 loop; two independent
+    64-bit keys give the same birthday bound as one 128-bit hash), so
+    the shuffle moves (h1, h2, doc_id) int64 triples — never the text
+    itself."""
+    from pandas.util import hash_array
+
     from ray.data.aggregate import Count, Min
 
     ds = dup_corpus(sf_dir)
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        hashes = [
-            hashlib.md5(t.encode()).hexdigest() for t in batch["text"].to_pylist()
-        ]
-        return pa.table({"h": pa.array(hashes), "doc_id": batch["doc_id"]})
+        texts = np.asarray(batch["text"].to_pylist(), dtype=object)
+        h1 = hash_array(texts, hash_key="engine-dedupkey1").view(np.int64)
+        h2 = hash_array(texts, hash_key="engine-dedupkey2").view(np.int64)
+        return pa.table(
+            {"h1": pa.array(h1), "h2": pa.array(h2), "doc_id": batch["doc_id"]}
+        )
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-    agg = hashed.groupby("h").aggregate(
+    agg = hashed.groupby(["h1", "h2"]).aggregate(
         Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups")
     )
     return agg.select_columns(["doc_id", "n_dups"])

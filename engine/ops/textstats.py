@@ -28,6 +28,17 @@ from ..pipeline import normalize_arrow
 
 TOKEN_PATTERN = r"[^ \t\n\r\f\v]+"       # ASCII \S+, spelled out for RE2/DuckDB parity
 PUNCT_PATTERN = r"[!-/:-@\[-`{-~]"        # ASCII punctuation ranges
+# GPT-2-style byte-pair pre-tokenizer pattern, RE2-compatible (the real
+# GPT-2 regex uses a lookahead RE2 lacks; this ASCII variant keeps the
+# contraction / letter-run / digit-run / symbol-run / whitespace-run
+# structure that makes BPE counts ~proportional to real token counts).
+BPE_PATTERN = (
+    r"'(?:[sdmt]|ll|ve|re)"
+    r"| ?[A-Za-z]+"
+    r"| ?[0-9]+"
+    r"| ?[^ \t\n\r\f\vA-Za-z0-9]+"
+    r"|[ \t\n\r\f\v]+"
+)
 ROUND_DECIMALS = 6
 
 # Marker-word profiles for the 5 corpus languages (FIXTURES-style
@@ -170,6 +181,31 @@ def lang_id_accuracy(sf_dir: str) -> ray.data.Dataset:
 
     return partials.groupby(["lang", "pred_lang"]).aggregate(
         Sum("pred_lang_count", alias_name="n_docs")
+    )
+
+
+def bpe_token_counts(sf_dir: str) -> ray.data.Dataset:
+    """Per-document BPE-ish token counting (task brief: 'token counting —
+    whitespace + a BPE-ish regex'): whitespace tokens AND GPT-2-style
+    pre-tokenizer segments, both counted entirely in Arrow's RE2 (the
+    same engine DuckDB uses, so the oracle is structurally identical)."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_ws_tokens": pc.cast(
+                    pc.count_substring_regex(text, TOKEN_PATTERN), pa.int64()
+                ),
+                "n_bpe_tokens": pc.cast(
+                    pc.count_substring_regex(text, BPE_PATTERN), pa.int64()
+                ),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        count, batch_format="pyarrow", zero_copy_batch=True
     )
 
 

@@ -36,7 +36,8 @@ SQL_CHECKED = [
     "orders_by_segment", "windowed_events", "sessionized_events",
     "top_event_per_user", "dedup_exact", "dedup_jaccard", "dedup_embedding",
     "knn_bruteforce",
-    "quality_score", "lang_id", "normalize_documents", "doc_fingerprint",
+    "quality_score", "lang_id", "lang_id_accuracy", "bpe_token_counts",
+    "normalize_documents", "doc_fingerprint",
 ]
 
 
