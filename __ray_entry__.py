@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_jaccard": dedup.dedup_jaccard,
+        "dedup_clusters": dedup.dedup_clusters,
         "dedup_embedding": dedup.dedup_embedding,
         "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
         # similarity search
@@ -270,6 +271,38 @@ def oracle_sql() -> dict[str, str]:
                      {marker_score("fr")} AS score_fr,
                      length(regexp_extract_all(text, '{CJK_PATTERN}')) AS score_zh
               FROM documents)
+    """
+
+    dup_corpus_sql = """
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 100000, text FROM documents
+              UNION ALL SELECT doc_id + 200000,
+                               regexp_replace(text, '\\s+\\S+$', '')
+                        FROM documents WHERE doc_id % 2 = 0
+    """
+    jaccard_sql = f"""
+            WITH corpus AS ({dup_corpus_sql}),
+            worded AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS words FROM corpus),
+            grams AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                     ELSE list_transform(range(len(words) - 2),
+                            i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])
+                END)) AS gram
+              FROM worded),
+            counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+              FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b, jaccard FROM (
+              SELECT doc_a, doc_b,
+                     round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) AS jaccard
+              FROM pairs
+              JOIN counts ca ON doc_a = ca.doc_id
+              JOIN counts cb ON doc_b = cb.doc_id)
+            WHERE jaccard >= 0.6
     """
 
     transcripts = _transcripts_sql_source()
@@ -442,46 +475,27 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
               PARTITION BY user_id ORDER BY value DESC, event_id) = 1
         """,
-        "dedup_exact": """
-            WITH corpus AS (
-              SELECT doc_id, text FROM documents
-              UNION ALL SELECT doc_id + 100000, text FROM documents
-              UNION ALL SELECT doc_id + 200000,
-                               regexp_replace(text, '\\s+\\S+$', '')
-                        FROM documents WHERE doc_id % 2 = 0
-            )
+        "dedup_exact": f"""
+            WITH corpus AS ({dup_corpus_sql})
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM corpus GROUP BY text
         """,
-        "dedup_jaccard": """
-            WITH corpus AS (
-              SELECT doc_id, text FROM documents
-              UNION ALL SELECT doc_id + 100000, text FROM documents
-              UNION ALL SELECT doc_id + 200000,
-                               regexp_replace(text, '\\s+\\S+$', '')
-                        FROM documents WHERE doc_id % 2 = 0
-            ),
-            worded AS (
-              SELECT doc_id, regexp_extract_all(text, '\\S+') AS words FROM corpus),
-            grams AS (
-              SELECT doc_id, unnest(list_distinct(
-                CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
-                     ELSE list_transform(range(len(words) - 2),
-                            i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])
-                END)) AS gram
-              FROM worded),
-            counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-            pairs AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-              FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-            SELECT doc_a, doc_b, jaccard FROM (
-              SELECT doc_a, doc_b,
-                     round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) AS jaccard
-              FROM pairs
-              JOIN counts ca ON doc_a = ca.doc_id
-              JOIN counts cb ON doc_b = cb.doc_id)
-            WHERE jaccard >= 0.6
+        "dedup_jaccard": jaccard_sql,
+        "dedup_clusters": f"""
+            -- transitive closure over the near-dup pair graph: cluster_id
+            -- = min doc_id reachable through jaccard >= 0.6 pairs
+            WITH RECURSIVE corpus AS ({dup_corpus_sql}),
+            pairs AS ({jaccard_sql}),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+            reach AS (
+              SELECT doc_id AS node, doc_id AS label FROM corpus
+              UNION
+              SELECT e.v AS node, r.label
+              FROM reach r JOIN edges e ON e.u = r.node)
+            SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY node
         """,
         "dedup_embedding": """
             WITH corpus AS (

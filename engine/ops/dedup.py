@@ -581,6 +581,148 @@ def dedup_jaccard(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> ray.data
 
 
 # ---------------------------------------------------------------------------
+# near-dup clustering: connected components over the pair graph
+# ---------------------------------------------------------------------------
+
+_I64_MAX = np.iinfo(np.int64).max
+MAX_CC_ITERS = 50
+
+
+def _attach_min_labels(group: pa.Table) -> pa.Table:
+    """One shuffle bucket of mixed label rows (v == -1) and edge rows:
+    for every key-run, find the node's current label and emit it along
+    each outgoing edge plus for the node itself — the 'hash-to-min'
+    propagation step, fully vectorized via reduceat over runs."""
+    t = group.sort_by([("key", "ascending")]).combine_chunks()
+    key = t.column("key").to_numpy(zero_copy_only=False)
+    v = t.column("v").to_numpy(zero_copy_only=False)
+    label = t.column("label").to_numpy(zero_copy_only=False)
+    n = len(key)
+    if n == 0:
+        return pa.table(
+            {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+        )
+    new_run = _run_starts(key)
+    starts = np.flatnonzero(new_run)
+    sizes = np.diff(np.append(starts, n))
+    lab = np.where(v == -1, label, _I64_MAX)
+    run_min = np.minimum.reduceat(lab, starts)
+    per_row_min = np.repeat(run_min, sizes)
+    is_edge = v != -1
+    out_node = np.concatenate([v[is_edge], key[starts]])
+    out_label = np.concatenate([per_row_min[is_edge], run_min])
+    return pa.table({"node": pa.array(out_node), "label": pa.array(out_label)})
+
+
+def dedup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> ray.data.Dataset:
+    """Connected-components dedup clustering: (doc_id, cluster_id) where
+    cluster_id = min doc_id reachable through near-dup pairs (exact
+    word-3-gram Jaccard >= threshold) — the keep-one-per-CLUSTER
+    primitive (pairs alone under-dedup: A~B, B~C must collapse to one
+    cluster even when A!~C directly).
+
+    Physical shape (no joins — iterative min-label propagation,
+    'hash-to-min'): labels L=(node,label) and symmetric edges E=(u,v)
+    union into one stream bucketed by hash(key); one vectorized
+    map_groups per bucket emits each node's current min label along its
+    edges; a native groupby(node).Min combines. Labels only decrease and
+    sum(label) is computed per iteration — unchanged sum == fixpoint
+    (exact: labels are monotone). Each iteration MATERIALIZES the label
+    table (one int64 pair per doc — tiny next to the corpus) because a
+    lazy Dataset would re-execute the whole lineage every loop; the
+    pair-generation stage runs exactly once. Iterations ~ graph
+    diameter; near-dup clusters are shallow (test corpus: 2-3)."""
+    from ray.data.aggregate import Min
+
+    ensure_serializable()
+    num_buckets = _pair_num_buckets()
+
+    pairs = dedup_jaccard(sf_dir, threshold).materialize()
+
+    def sym_edges(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        key = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "v": pa.array(v),
+                "label": pa.array(np.full(len(key), -1, dtype=np.int64)),
+            }
+        )
+
+    edges = pairs.map_batches(
+        sym_edges, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array(ids),
+                "v": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+                "label": pa.array(ids),
+            }
+        )
+
+    labels = (
+        dup_corpus(sf_dir)
+        .select_columns(["doc_id"])
+        .map_batches(init_labels, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_pb", pa.array(_bucket_of(key, num_buckets=num_buckets))
+        )
+
+    prev_sum = None
+    for _it in range(MAX_CC_ITERS):
+        candidates = (
+            labels.union(edges)
+            .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_pb")
+            .map_groups(
+                lambda g: _attach_min_labels(g.drop_columns(["_pb"])),
+                batch_format="pyarrow",
+            )
+        )
+        combined = candidates.groupby("node").aggregate(
+            Min("label", alias_name="label")
+        )
+
+        def relabel(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "key": batch["node"],
+                    "v": pa.array(np.full(n, -1, dtype=np.int64)),
+                    "label": batch["label"],
+                }
+            )
+
+        labels = combined.map_batches(
+            relabel, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:  # monotone labels: equal sum == fixpoint
+            break
+        prev_sum = cur_sum
+    else:  # pragma: no cover
+        raise RuntimeError(f"label propagation did not converge in {MAX_CC_ITERS}")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["key"], "cluster_id": batch["label"]}
+        )
+
+    return labels.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 

@@ -34,7 +34,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 SQL_CHECKED = [
     "pricing_summary", "stage_totals", "top_stages", "distinct_event_types",
     "orders_by_segment", "windowed_events", "sessionized_events",
-    "top_event_per_user", "dedup_exact", "dedup_jaccard", "dedup_embedding",
+    "top_event_per_user", "dedup_exact", "dedup_jaccard", "dedup_clusters",
+    "dedup_embedding",
     "knn_bruteforce",
     "quality_score", "lang_id", "lang_id_accuracy", "bpe_token_counts",
     "normalize_documents", "doc_fingerprint",
@@ -379,3 +380,21 @@ def test_minhash_est_equals_signature_fraction():
         assert abs(r["est_jaccard"] - want) < 1e-12
         checked += 1
     assert checked > 0
+
+
+def test_dedup_clusters_collapse_injected_families():
+    """Every injected family (original, exact copy, word-dropped near-copy)
+    must share one cluster labeled by the original doc_id — including the
+    transitive case where the near-copy only pairs with one of the two."""
+    from engine.ops.dedup import EXACT_DUP_OFFSET, NEAR_DUP_OFFSET, dedup_clusters
+
+    out = dedup_clusters(SF).to_pandas().set_index("doc_id")["cluster_id"]
+    for d in range(0, 100):
+        assert out[d + EXACT_DUP_OFFSET] == out[d]
+        if d % 2 == 0:
+            assert out[d + NEAR_DUP_OFFSET] == out[d]
+    # cluster representative is the min member
+    import pandas as _pd
+
+    grp = out.reset_index().groupby("cluster_id")["doc_id"].min()
+    assert (grp.index == grp.values).all()
