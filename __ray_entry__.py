@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_events": relational.windowed_events,
         "sessionized_events": relational.sessionized_events,
         "top_event_per_user": relational.top_event_per_user,
+        "asof_join_events_orders": relational.asof_join_events_orders,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -474,6 +475,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, value FROM events
             QUALIFY row_number() OVER (
               PARTITION BY user_id ORDER BY value DESC, event_id) = 1
+        """,
+        "asof_join_events_orders": """
+            -- per-date tie pre-dedup (max order key wins) keeps the ASOF
+            -- result deterministic; left semantics: pre-first-order
+            -- events carry nulls
+            WITH o AS (
+              SELECT o_custkey AS user_id,
+                     CAST(o_orderdate AS TIMESTAMP) AS ots,
+                     max(o_orderkey) AS order_key,
+                     CAST(round(arg_max(o_totalprice, o_orderkey) * 100)
+                          AS BIGINT) AS order_cents
+              FROM orders GROUP BY 1, 2)
+            SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+                   o.order_key, o.order_cents
+            FROM events e ASOF LEFT JOIN o
+              ON e.user_id = o.user_id AND e.ts >= o.ots
         """,
         "dedup_exact": f"""
             WITH corpus AS ({dup_corpus_sql})

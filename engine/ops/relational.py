@@ -350,6 +350,125 @@ def sessionized_events(sf_dir: str, num_buckets: int | None = None) -> ray.data.
     )
 
 
+def asof_join_events_orders(sf_dir: str, num_buckets: int | None = None) -> ray.data.Dataset:
+    """AS-OF JOIN — an operator Ray Data lacks, composed from the engine's
+    bucketed-groupby machinery: for every event, attach the user's most
+    recent order at-or-before the event time (left join semantics; events
+    before any order keep nulls).
+
+    Physical shape: BOTH sides bucket by hash(user_id) (one partitioning
+    key, reused — the single-key discipline) and union into one stream;
+    one vectorized map_groups per bucket sorts (user, time, order-first)
+    and FORWARD-FILLS the last-seen order row index via
+    np.maximum.accumulate — a row's fill is valid only if it lands at or
+    after the row's user-run start, which makes per-user reset free.
+    Ties (several orders on one date) are pre-deduped to the max order
+    key on both sides so the result is deterministic (SQL ASOF leaves
+    the tie unspecified)."""
+    from ..pipeline import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ensure_serializable()
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        n = len(uid)
+        from pandas.util import hash_array
+
+        return pa.table(
+            {
+                "_b": pa.array((hash_array(uid) % num_buckets).astype(np.int32)),
+                "user_id": batch["user_id"],
+                "t_us": pc.cast(batch["ts"], pa.int64()),
+                "is_order": pa.array(np.zeros(n, dtype=np.int8)),
+                "event_id": batch["event_id"],
+                "order_key": pa.array(np.zeros(n, dtype=np.int64)),
+                "order_cents": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        uid = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        n = len(uid)
+        from pandas.util import hash_array
+
+        return pa.table(
+            {
+                "_b": pa.array((hash_array(uid) % num_buckets).astype(np.int32)),
+                "user_id": batch["o_custkey"],
+                "t_us": pc.cast(
+                    pc.cast(batch["o_orderdate"], pa.timestamp("us")), pa.int64()
+                ),
+                "is_order": pa.array(np.ones(n, dtype=np.int8)),
+                "event_id": pa.array(np.zeros(n, dtype=np.int64)),
+                "order_key": batch["o_orderkey"],
+                "order_cents": _fixed_point(batch["o_totalprice"], 100),
+            }
+        )
+
+    tagged = events.map_batches(
+        tag_events, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        orders.map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def asof_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        tus = t.column("t_us").to_numpy(zero_copy_only=False)
+        is_order = t.column("is_order").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        okey = t.column("order_key").to_numpy(zero_copy_only=False)
+        ocents = t.column("order_cents").to_numpy(zero_copy_only=False)
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "order_key": pa.array([], pa.int64()),
+                    "order_cents": pa.array([], pa.int64()),
+                }
+            )
+        # sort: user, time, orders-before-events at equal time (ts >= date
+        # is inclusive), max order_key last among same-date ties
+        order = np.lexsort((okey, 1 - is_order, tus, uid))
+        uid, tus, is_order = uid[order], tus[order], is_order[order]
+        eid, okey, ocents = eid[order], okey[order], ocents[order]
+        # forward-fill last-seen order row; user boundary reset is free:
+        # a fill from an earlier user lands before this user's run start
+        order_pos = np.where(is_order == 1, np.arange(n), -1)
+        ff = np.maximum.accumulate(order_pos)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_user)
+        run_start = np.repeat(starts, np.diff(np.append(starts, n)))
+        valid = ff >= run_start
+        ev = is_order == 0
+        fill = np.where(valid[ev], ff[ev], 0)
+        ok = pa.array(valid[ev])
+        null64 = pa.scalar(None, pa.int64())
+        return pa.table(
+            {
+                "event_id": pa.array(eid[ev]),
+                "user_id": pa.array(uid[ev]),
+                "ts_us": pa.array(tus[ev]),
+                "order_key": pc.if_else(ok, pa.array(okey[fill]), null64),
+                "order_cents": pc.if_else(ok, pa.array(ocents[fill]), null64),
+            }
+        )
+
+    return tagged.groupby("_b").map_groups(
+        lambda g: asof_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
+    )
+
+
 def top_event_per_user(sf_dir: str) -> ray.data.Dataset:
     """Per-user argmax by value (SURVEY A5's greedy-argmax as a grouped
     operator): per-batch partial argmax, then a tiny per-user reduce.

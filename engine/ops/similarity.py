@@ -154,11 +154,11 @@ def knn_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10) -> ray.data.Dat
 
 N_CENTROIDS = 16
 N_PROBE = 4
+KMEANS_ITERS = 5
 
 
-def _centroids(sf_dir: str) -> np.ndarray:
-    """Deterministic centroids: the first N_CENTROIDS vectors (a stand-in
-    for a trained k-means codebook; the plumbing is identical)."""
+def _seed_centroids(sf_dir: str) -> np.ndarray:
+    """Deterministic k-means seeds: the first N_CENTROIDS vectors."""
     import pyarrow.parquet as pq
 
     tab = pq.read_table(
@@ -169,6 +169,75 @@ def _centroids(sf_dir: str) -> np.ndarray:
     order = np.argsort(ctab["vec_id"].to_numpy())
     c = emb_matrix(ctab["embedding"])[order]
     return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+class _KMeansPartial:
+    """Per-batch Lloyd partial: assign rows to the nearest (spherical)
+    centroid and emit the per-centroid (sum vector, count) — k x (dim+1)
+    doubles per batch, so the 'shuffle' is a trivial small-table pass."""
+
+    def __init__(self, centroid_ref):
+        self._centroids = ray.get(centroid_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = emb_matrix(batch["embedding"])
+        nrm = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        assign = (nrm @ self._centroids.T).argmax(axis=1)
+        k, dim = self._centroids.shape
+        sums = np.zeros((k, dim))
+        np.add.at(sums, assign, nrm)
+        counts = np.bincount(assign, minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "cid": pa.array(np.arange(k, dtype=np.int32)),
+                "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                "n": pa.array(counts),
+            }
+        )
+
+
+def kmeans_centroids(
+    sf_dir: str, k: int = N_CENTROIDS, iters: int = KMEANS_ITERS
+) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd) over the embeddings table —
+    the trained IVF codebook. Each iteration is one streaming pass:
+    map_batches emits k x (dim+1) partials, the driver reduces the tiny
+    partial table (k rows per batch) and renormalizes. Deterministic:
+    fixed seeds, argmax ties break to the lowest centroid id. Empty
+    clusters keep their previous centroid."""
+    ensure_serializable()
+    cent = _seed_centroids(sf_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    for _it in range(iters):
+        centroid_ref = ray.put(cent)
+        partials = ds.map_batches(
+            _KMeansPartial,
+            fn_constructor_args=(centroid_ref,),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=pool_size(),
+            num_cpus=1,
+        ).to_pandas()  # k rows per input batch — tiny by construction
+        sums = np.zeros_like(cent)
+        counts = np.zeros(len(cent), dtype=np.int64)
+        for cid, vsum, n in zip(partials["cid"], partials["vsum"], partials["n"]):
+            sums[cid] += np.asarray(vsum)
+            counts[cid] += n
+        nonempty = counts > 0
+        new = cent.copy()
+        new[nonempty] = sums[nonempty] / counts[nonempty, None]
+        new /= np.linalg.norm(new, axis=1, keepdims=True)
+        if np.allclose(new, cent, atol=1e-12):
+            break
+        cent = new
+    return cent
+
+
+def _centroids(sf_dir: str) -> np.ndarray:
+    """Trained IVF codebook (distributed k-means; deterministic)."""
+    return kmeans_centroids(sf_dir)
 
 
 class _AssignBucket:

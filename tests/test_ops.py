@@ -34,7 +34,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 SQL_CHECKED = [
     "pricing_summary", "stage_totals", "top_stages", "distinct_event_types",
     "orders_by_segment", "windowed_events", "sessionized_events",
-    "top_event_per_user", "dedup_exact", "dedup_jaccard", "dedup_clusters",
+    "top_event_per_user", "asof_join_events_orders", "dedup_exact", "dedup_jaccard", "dedup_clusters",
     "dedup_embedding",
     "knn_bruteforce",
     "quality_score", "lang_id", "lang_id_accuracy", "bpe_token_counts",
@@ -145,10 +145,11 @@ def test_knn_ivf_shape_and_recall():
     approx = knn_ivf(SF).to_pandas()
     assert set(approx.columns) == {"query_id", "neighbor_id", "score"}
     assert approx.groupby("query_id").size().max() <= 10
-    # IVF probes 4/16 buckets; require non-trivial recall vs exact top-10
+    # IVF probes 4/16 trained k-means buckets; recall measured 0.86 with
+    # the trained codebook (was ~0.3 with first-k-vectors stand-ins)
     e = {(q, n) for q, n in zip(exact["query_id"], exact["neighbor_id"])}
     a = {(q, n) for q, n in zip(approx["query_id"], approx["neighbor_id"])}
-    assert len(e & a) / len(e) > 0.2
+    assert len(e & a) / len(e) > 0.6
 
 
 def test_rolling_fingerprint_deterministic_and_append_robust():
@@ -398,3 +399,43 @@ def test_dedup_clusters_collapse_injected_families():
 
     grp = out.reset_index().groupby("cluster_id")["doc_id"].min()
     assert (grp.index == grp.values).all()
+
+
+def test_asof_join_left_nulls_ties_and_inclusivity(tmp_path):
+    """Edge semantics the big fixture misses: events before any order get
+    nulls (left join), same-date order ties resolve to the max order key,
+    and an event exactly at the order date matches it (ts >= date)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops.relational import asof_join_events_orders
+
+    day = 86_400_000_000
+    events = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "user_id": pa.array([7, 7, 7], pa.int64()),
+            "ts": pa.array([0 * day, 5 * day, 10 * day], pa.timestamp("us")),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([100, 101, 200], pa.int64()),
+            "o_custkey": pa.array([7, 7, 7], pa.int64()),
+            "o_orderdate": pa.array([5 * day, 5 * day, 20 * day], pa.timestamp("us")),
+            "o_totalprice": pa.array([10.0, 20.0, 30.0], pa.float64()),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(events, os.path.join(d, "events.parquet"))
+    pq.write_table(orders, os.path.join(d, "orders.parquet"))
+    out = (
+        asof_join_events_orders(d, num_buckets=4)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert pd.isna(out.loc[0, "order_key"])          # before any order
+    assert out.loc[1, "order_key"] == 101            # inclusive + max-key tie
+    assert out.loc[1, "order_cents"] == 2000
+    assert out.loc[2, "order_key"] == 101            # still the latest at day 10
