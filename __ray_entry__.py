@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_metadata": multimodal.image_metadata,
         "image_resize": multimodal.image_resize,
         "video_frame_sample": multimodal.video_frame_sample,
+        "audio_features": multimodal.audio_features,
     }
 
 

@@ -311,3 +311,126 @@ def video_frame_sample(sf_dir: str, stride: int = 4) -> ray.data.Dataset:
         concurrency=pool_size(),
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# audio feature extraction (windowed RMS over a waveform column)
+# ---------------------------------------------------------------------------
+
+AUD_MAGIC = b"AUD1"
+AUDIO_FRAME = 1024  # samples per analysis window
+
+
+def encode_fake_audio(sf_dir: str) -> ray.data.Dataset:
+    """documents -> (doc_id, audio: binary, sample_rate, n_samples).
+    Container: b"AUD1" + sample_rate:u32 + n_samples:u32 + int16 LE
+    samples — a deterministic doc_id-seeded waveform (sum of two
+    sinusoids + text-derived noise), standing in for a real codec."""
+    ensure_serializable()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        payloads, rates, counts = [], [], []
+        for doc_id, text in zip(ids, batch["text"].to_pylist()):
+            sr = 8000 if doc_id % 2 == 0 else 16000
+            n = 2048 + (int(doc_id) * 331) % 6144
+            t = np.arange(n, dtype=np.float64)
+            f1 = 110.0 + (doc_id % 37) * 7.0
+            f2 = 440.0 + (doc_id % 13) * 11.0
+            wave = 0.5 * np.sin(2 * np.pi * f1 * t / sr)
+            wave += 0.25 * np.sin(2 * np.pi * f2 * t / sr)
+            noise = np.frombuffer(
+                (text.encode() * (n // max(1, len(text)) + 1))[:n], dtype=np.uint8
+            ).astype(np.float64)
+            wave += (noise - 127.5) / 1024.0
+            samples = np.clip(wave * 20000, -32768, 32767).astype("<i2")
+            payloads.append(
+                AUD_MAGIC
+                + int(sr).to_bytes(4, "big")
+                + int(n).to_bytes(4, "big")
+                + samples.tobytes()
+            )
+            rates.append(sr)
+            counts.append(n)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "audio": pa.array(payloads, pa.binary()),
+                "sample_rate": pa.array(rates, pa.int32()),
+                "n_samples": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=BINARY_BATCH_SIZE,
+    )
+
+
+class AudioFeatures:
+    """Actor-pool audio feature stage: decode the container header, frame
+    the waveform into AUDIO_FRAME-sample windows and emit per-doc RMS /
+    peak / duration features. A real librosa/ffmpeg decode drops in
+    behind the same signature (the _decode_real pattern)."""
+
+    def __init__(self, frame: int = AUDIO_FRAME) -> None:
+        self._frame = frame
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, rates, counts, durs, nfr, rmeans, rmaxs, peaks, ok = (
+            [], [], [], [], [], [], [], [], []
+        )
+        for doc_id, payload in zip(
+            batch["doc_id"].to_pylist(), batch["audio"].to_pylist()
+        ):
+            ids.append(doc_id)
+            if payload[:4] != AUD_MAGIC:
+                rates.append(0); counts.append(0); durs.append(0.0)
+                nfr.append(0); rmeans.append(0.0); rmaxs.append(0.0)
+                peaks.append(0); ok.append(False)
+                continue
+            sr = int.from_bytes(payload[4:8], "big")
+            n = int.from_bytes(payload[8:12], "big")
+            samples = np.frombuffer(payload[12 : 12 + 2 * n], dtype="<i2")
+            f = self._frame
+            n_frames = (len(samples) + f - 1) // f
+            padded = np.zeros(n_frames * f, dtype=np.float64)
+            padded[: len(samples)] = samples
+            frames = padded.reshape(n_frames, f)
+            rms = np.sqrt((frames * frames).mean(axis=1))
+            rates.append(sr)
+            counts.append(n)
+            durs.append(round(n / sr, 6))
+            nfr.append(n_frames)
+            rmeans.append(round(float(rms.mean()), 6))
+            rmaxs.append(round(float(rms.max()), 6))
+            peaks.append(int(np.abs(samples.astype(np.int64)).max()))
+            ok.append(True)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sample_rate": pa.array(rates, pa.int32()),
+                "n_samples": pa.array(counts, pa.int64()),
+                "duration_s": pa.array(durs, pa.float64()),
+                "n_frames": pa.array(nfr, pa.int32()),
+                "rms_mean": pa.array(rmeans, pa.float64()),
+                "rms_max": pa.array(rmaxs, pa.float64()),
+                "peak": pa.array(peaks, pa.int64()),
+                "decode_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+
+def audio_features(sf_dir: str) -> ray.data.Dataset:
+    """Full audio plumbing: encode -> actor-pool windowed-RMS features."""
+    return encode_fake_audio(sf_dir).map_batches(
+        AudioFeatures,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=BINARY_BATCH_SIZE,
+        concurrency=pool_size(),
+        num_cpus=1,
+    )

@@ -64,6 +64,7 @@ def test_all_queries_have_oracle_or_are_documented():
         "dedup_minhash", "dedup_simhash", "dedup_embedding_lsh",
         "knn_ivf", "rolling_fingerprint",
         "image_metadata", "image_resize", "video_frame_sample",
+        "audio_features",
     }
 
 
@@ -439,3 +440,32 @@ def test_asof_join_left_nulls_ties_and_inclusivity(tmp_path):
     assert out.loc[1, "order_key"] == 101            # inclusive + max-key tie
     assert out.loc[1, "order_cents"] == 2000
     assert out.loc[2, "order_key"] == 101            # still the latest at day 10
+
+
+def test_audio_features_plumbing():
+    """Audio modality: frame count formula, duration, RMS bounds, and a
+    pure-numpy oracle for one document's features."""
+    from engine.ops.multimodal import AUDIO_FRAME, audio_features, encode_fake_audio
+
+    feats = audio_features(SF).to_pandas().set_index("doc_id").sort_index()
+    assert feats["decode_ok"].all()
+    assert (
+        feats["n_frames"]
+        == (feats["n_samples"] + AUDIO_FRAME - 1) // AUDIO_FRAME
+    ).all()
+    assert np.allclose(
+        feats["duration_s"], (feats["n_samples"] / feats["sample_rate"]).round(6)
+    )
+    assert (feats["rms_max"] >= feats["rms_mean"]).all()
+    assert (feats["peak"] <= 32768).all() and (feats["peak"] > 0).all()
+    # single-doc oracle: recompute RMS from the raw container
+    src = encode_fake_audio(SF).take(1)[0]
+    payload, doc_id = src["audio"], src["doc_id"]
+    n = int.from_bytes(payload[8:12], "big")
+    samples = np.frombuffer(payload[12 : 12 + 2 * n], dtype="<i2")
+    nf = (n + AUDIO_FRAME - 1) // AUDIO_FRAME
+    padded = np.zeros(nf * AUDIO_FRAME)
+    padded[:n] = samples
+    rms = np.sqrt((padded.reshape(nf, AUDIO_FRAME) ** 2).mean(axis=1))
+    assert abs(feats.loc[doc_id, "rms_mean"] - round(float(rms.mean()), 6)) < 1e-9
+    assert feats.loc[doc_id, "peak"] == int(np.abs(samples.astype(np.int64)).max())
