@@ -25,8 +25,13 @@ from __future__ import annotations
 
 import base64
 import binascii
+import os
 import re
 from typing import List, Tuple
+
+# bad-payload policy env (see segment_turn): unset/"" = fail-fast,
+# "passthrough" = leave undecodable data-URL blobs as literal text
+BAD_PAYLOAD_ENV = "ENGINE_BAD_PAYLOAD"
 
 HTML_MARKER = "<!DOCTYPE html>"
 PDF_MARKER = "%PDF-LITE"
@@ -101,10 +106,20 @@ def segment_turn(text: str, role: str) -> List[Segment]:
         for m in rx.finditer(text):
             matches.append((m.start(), m.end(), kind, m.group(0)))
     # data-URL matches carry the DECODED payload; the base64 blob itself
-    # never reaches an extractor (S3 analog — second ingestion path)
+    # never reaches an extractor (S3 analog — second ingestion path).
+    # Default policy is fail-fast (reject loudly, like the reference's
+    # BadRequest); ENGINE_BAD_PAYLOAD=passthrough downgrades a decode
+    # failure to leaving the blob as literal text — for 100TB production
+    # runs where one malformed row must not kill an hour-long job.
+    lenient = os.environ.get(BAD_PAYLOAD_ENV, "") == "passthrough"
     for kind, rx in (("html", _DATA_HTML_RE), ("pdfish", _DATA_PDF_RE)):
         for m in rx.finditer(text):
-            decoded = decode_data_url_b64(m.group(1), kind)
+            try:
+                decoded = decode_data_url_b64(m.group(1), kind)
+            except ValueError:
+                if lenient:
+                    continue  # blob stays inside the literal text
+                raise
             matches.append((m.start(), m.end(), kind, decoded))
     matches.sort(key=lambda t: (t[0], t[1]))
 

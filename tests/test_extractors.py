@@ -321,3 +321,23 @@ class TestGlobalView:
 
         s = "plain \r\n text <|end_of_text|>"
         assert build_global_view(s, "user") == normalize_text(s)
+
+
+def test_bad_payload_policy_passthrough(monkeypatch):
+    """ENGINE_BAD_PAYLOAD=passthrough downgrades an undecodable data-URL
+    to literal text instead of aborting — the 100TB don't-kill-the-job
+    policy; default stays fail-fast."""
+    import pytest
+
+    from engine.extract import extract_turn
+    from engine.sniff import BAD_PAYLOAD_ENV
+
+    bad = "before data:text/html;base64,AB=C= after"
+    with pytest.raises(ValueError):
+        segment_turn(bad, "user")
+
+    monkeypatch.setenv(BAD_PAYLOAD_ENV, "passthrough")
+    segs = segment_turn(bad, "user")
+    assert segs == [("literal", bad)]
+    extracted, spans, n = extract_turn(bad, "user")
+    assert n == 0 and "AB=C=" in extracted
