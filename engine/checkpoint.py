@@ -230,11 +230,17 @@ def run_partitioned(
 
         rows_in = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
         start = time.perf_counter()
+        # local_count: a partition holds an input shard, not whole
+        # conversations (rows are shard-distributed), so conv_n_turns is
+        # the locally-present row count and the dense-turn_idx contract is
+        # not enforced shard-locally (duplicates still abort); a consumer
+        # merging partitions recomputes global sizes.
         ds = extraction_plan(
             files,
             batch_size=batch_size,
             concurrency=concurrency,
             salt_block=salt_block,
+            sizes_mode="local_count",
         )
         ds.write_parquet(tmp)
         elapsed_ms = (time.perf_counter() - start) * 1000.0

@@ -318,14 +318,25 @@ def _add_bucket(num_buckets: int, salt_block: Optional[int]):
     return add_bucket
 
 
-def _order_bucket_fn(conv_sizes_ref=None):
+def _order_bucket_fn(conv_sizes_ref=None, sizes_mode: str = "dense"):
     """Per-bucket ordering: sort by (conv_id, turn_idx), enforce the
-    duplicate-turn invariant, compute conv_n_turns by run-length — all
-    vectorized (no per-conversation Python calls).
+    duplicate-turn invariant, compute conv_n_turns — all vectorized
+    (no per-conversation Python calls).
+
+    ``sizes_mode``:
+    - "dense" (whole-input plans): conv_n_turns = last turn_idx + 1,
+      with the dense-0-based input contract VALIDATED loudly;
+    - "local_count" (partitioned/resumable runs over input shards, where
+      a partition legitimately sees a subset of a conversation's turns):
+      conv_n_turns = number of rows present locally; no density check
+      beyond the duplicate invariant — a consumer merging partitions
+      recomputes global sizes.
 
     ``conv_sizes_ref`` (salted mode) is a broadcast {conv_id: n_turns}
     for conversations split across buckets by salting; everyone else's
     size comes from the local run."""
+
+    salted = conv_sizes_ref is not None
 
     def order_bucket(group: pa.Table) -> pa.Table:
         t = group.sort_by(
@@ -342,15 +353,40 @@ def _order_bucket_fn(conv_sizes_ref=None):
         new_conv[0] = True
         if n > 1:
             new_conv[1:] = ids[1:] != ids[:-1]
-            dup = (~new_conv[1:]) & (np.diff(turn) <= 0)
+            steps = np.diff(turn)
+            dup = (~new_conv[1:]) & (steps <= 0)
             if dup.any():
                 bad = ids[1 + int(np.flatnonzero(dup)[0])]
                 raise ValueError(
                     f"duplicate turn_idx within conversation {bad!r}"
                 )
+            if sizes_mode == "dense":
+                # INPUT CONTRACT (loud, M13 discipline): turn_idx is dense
+                # and 0-based per conversation — conv_n_turns = last_idx+1
+                # relies on it. Within a bucket that means strictly
+                # consecutive indices (and, unsalted, a 0 start); a gap
+                # aborts with the conversation named rather than silently
+                # emitting a wrong size.
+                gap = (~new_conv[1:]) & (steps > 1)
+                if gap.any():
+                    bad = ids[1 + int(np.flatnonzero(gap)[0])]
+                    raise ValueError(
+                        f"gap in turn_idx within conversation {bad!r} "
+                        f"(turn_idx must be dense and 0-based per "
+                        f"conversation; partitioned runs use local_count)"
+                    )
         starts = np.flatnonzero(new_conv)
         ends = np.append(starts[1:], n)
-        sizes = turn[ends - 1].astype(np.int64) + 1
+        if sizes_mode == "dense":
+            if not salted and (turn[starts] != 0).any():
+                bad = ids[starts[int(np.flatnonzero(turn[starts] != 0)[0])]]
+                raise ValueError(
+                    f"conversation {bad!r} does not start at turn_idx 0 "
+                    f"(turn_idx must be dense and 0-based per conversation)"
+                )
+            sizes = turn[ends - 1].astype(np.int64) + 1
+        else:
+            sizes = (ends - starts).astype(np.int64)
         if conv_sizes_ref is not None:
             lookup = ray.get(conv_sizes_ref)
             if lookup:
@@ -372,6 +408,7 @@ def order_stage(
     num_buckets: Optional[int] = None,
     conv_sizes_ref=None,
     pre_bucketed: bool = False,
+    sizes_mode: str = "dense",
 ) -> ray.data.Dataset:
     """Restore stable per-conversation turn order (the only shuffle).
 
@@ -390,7 +427,11 @@ def order_stage(
     """
     if num_buckets is None:
         num_buckets = default_num_buckets()
-    if salt_block is not None and conv_sizes_ref is None:
+    if (
+        salt_block is not None
+        and conv_sizes_ref is None
+        and sizes_mode == "dense"
+    ):
         conv_sizes_ref = ray.put(_skew_tail_sizes(ds, int(salt_block)))
 
     if pre_bucketed:
@@ -402,7 +443,7 @@ def order_stage(
             zero_copy_batch=True,
         )
     return bucketed.groupby("_bucket").map_groups(
-        _order_bucket_fn(conv_sizes_ref), batch_format="pyarrow"
+        _order_bucket_fn(conv_sizes_ref, sizes_mode), batch_format="pyarrow"
     )
 
 
@@ -430,6 +471,7 @@ def extraction_plan(
     ordered: bool = True,
     num_blocks: Optional[int] = None,
     num_buckets: Optional[int] = None,
+    sizes_mode: str = "dense",
 ) -> ray.data.Dataset:
     """Build the full lazy extraction plan over transcript Parquet paths.
 
@@ -448,7 +490,7 @@ def extraction_plan(
         read_kwargs["override_num_blocks"] = num_blocks
 
     conv_sizes_ref = None
-    if ordered and salt_block is not None:
+    if ordered and salt_block is not None and sizes_mode == "dense":
         # Conversation sizes for the skew tail come from a column-pruned
         # read of the RAW input (conv_id, turn_idx only) — never a second
         # pass through extraction.
@@ -477,5 +519,6 @@ def extraction_plan(
             num_buckets=num_buckets,
             conv_sizes_ref=conv_sizes_ref,
             pre_bucketed=True,
+            sizes_mode=sizes_mode,
         )
     return ds

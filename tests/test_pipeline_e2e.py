@@ -131,6 +131,27 @@ def test_null_text_tolerated_null_keys_abort(tmp_path):
         extraction_plan([pb], batch_size=64).materialize()
 
 
+def test_sparse_turn_idx_aborts_loudly(tmp_path):
+    """conv_n_turns relies on dense 0-based turn_idx — previously a silent
+    assumption of the synthesizer, now a loud input contract."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for name, idxs in (("gap", [0, 2]), ("offset", [1, 2])):
+        t = pa.table(
+            {
+                "conv_id": pa.array(["c1", "c1"]),
+                "turn_idx": pa.array(idxs, pa.int32()),
+                "role": pa.array(["user", "assistant"]),
+                "text": pa.array(["a", "b"]),
+            }
+        )
+        p = str(tmp_path / f"{name}.parquet")
+        pq.write_table(t, p)
+        with pytest.raises(Exception, match="dense and 0-based"):
+            extraction_plan([p], batch_size=64).materialize()
+
+
 def test_groups_emitted_ordered(t1_files):
     """Within each output block, a conversation's turns appear sorted —
     the stable-turn-ordering contract of the grouped emission stage."""
