@@ -141,3 +141,62 @@ def test_fast_parser_total_on_tag_soup(soup):
         assert 0 <= s < e <= len(extracted) and s > prev
         prev = e
     assert nb == len(spans)
+
+
+# data-URL fragments: valid (fixed payload encoded) and invalid (bad base64)
+_B64_HTML = __import__("base64").b64encode(
+    b"<!DOCTYPE html><html><body><p>inner, doc, here.</p></body></html>"
+).decode()
+_data_url_fragments = st.lists(
+    st.one_of(
+        st.text(max_size=60),
+        st.just(f"data:text/html;base64,{_B64_HTML}"),
+        st.just("data:text/html;base64,!!notb64!!"),   # invalid chars stay literal
+        st.just("data:text/html;base64,"),             # empty payload
+        st.just("data:application/pdf-lite;base64,"),
+        st.just(" data:text/html;base64"),             # marker-less prefix
+    ),
+    max_size=5,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_data_url_fragments.map(" ".join), st.sampled_from(["user", "assistant"]))
+def test_data_url_extraction_total_and_deterministic(text, role):
+    """Totality + span discipline + determinism over adversarial data-URL
+    mixes. Invalid-but-matching payloads raise ValueError (fail-fast
+    contract) — anything else must extract cleanly; whenever the valid
+    data URL is present its decoded content appears in the output."""
+    from engine.extract import extract_turn
+
+    try:
+        extracted, spans, nb = extract_turn(text, role)
+    except ValueError as err:
+        assert "base64" in str(err) or "UTF-8" in str(err)
+        return
+    prev = -1
+    for s, e in spans:
+        assert 0 <= s < e <= len(extracted) and s > prev
+        prev = e
+    assert nb == len(spans)
+    assert extract_turn(text, role) == (extracted, spans, nb)
+    if f"data:text/html;base64,{_B64_HTML}" in text:
+        assert "inner, doc, here." in extracted
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_data_url_equals_literal_embedding(seed):
+    """For any generated HTML document, wrapping it in a base64 data URL
+    must extract identically to embedding it literally."""
+    import base64
+
+    import numpy as np
+
+    from engine.extract import extract_turn
+    from engine.synth import gen_html
+
+    doc = gen_html(np.random.default_rng(seed))
+    b64 = base64.b64encode(doc.encode()).decode()
+    assert extract_turn(f"pre\ndata:text/html;base64,{b64}\npost", "user") == \
+        extract_turn(f"pre\n{doc}\npost", "user")
