@@ -347,11 +347,18 @@ def write_transcripts(
         generate_rows(n_convs, seed, pools=pools, html_p=html_p, pdf_p=pdf_p)
     )
     perm = np.random.default_rng(seed + 7).permutation(table.num_rows)
-    table = table.take(pa.array(perm))
     paths = []
     rows_per = (table.num_rows + n_files - 1) // n_files
+    # take via large_string (then cast each sub-2GB file chunk back):
+    # scattered-index take concatenates the text chunks and overflows
+    # Arrow's int32 string offsets once the corpus passes ~2 GB
+    ti = table.schema.get_field_index("text")
+    big = table.set_column(ti, "text", table["text"].cast(pa.large_string()))
     for i in range(n_files):
-        chunk = table.slice(i * rows_per, rows_per)
+        # file i receives exactly perm[i*r:(i+1)*r] in that order
+        idx = perm[i * rows_per : (i + 1) * rows_per]
+        chunk = big.take(pa.array(idx))
+        chunk = chunk.set_column(ti, "text", chunk["text"].cast(pa.string()))
         path = os.path.join(out_dir, f"transcripts-{i:04d}.parquet")
         pq.write_table(chunk, path)
         paths.append(path)
