@@ -169,7 +169,9 @@ def entry() -> Any:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from engine.ops import dedup, multimodal, relational, similarity, textstats
+    from engine.ops import (
+        dedup, multimodal, relational, similarity, sketches, textstats,
+    )
 
     return {
         # flagship extraction family (non-SQL -> rows-only checks)
@@ -192,8 +194,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": relational.orders_by_segment,
         "windowed_events": relational.windowed_events,
         "sessionized_events": relational.sessionized_events,
+        "sliding_window_events": relational.sliding_window_events,
         "top_event_per_user": relational.top_event_per_user,
+        "grouped_topn_events": relational.grouped_topn_events,
         "asof_join_events_orders": relational.asof_join_events_orders,
+        "interval_join_events_orders": relational.interval_join_events_orders,
+        "anti_join_customers": relational.anti_join_customers,
+        # sampling / sketches / order statistics
+        "sample_events": sketches.sample_events,
+        "stratified_sample_events": sketches.stratified_sample_events,
+        "approx_distinct_users": sketches.approx_distinct_users,
+        "quantile_events_value": sketches.quantile_events_value,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -210,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textstats.lang_id,
         "lang_id_accuracy": textstats.lang_id_accuracy,
         "bpe_token_counts": textstats.bpe_token_counts,
+        "word_counts": textstats.word_counts,
         "normalize_documents": textstats.normalize_documents,
         "doc_fingerprint": textstats.doc_fingerprint,
         "rolling_fingerprint": textstats.rolling_fingerprint,
@@ -477,6 +489,64 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
               PARTITION BY user_id ORDER BY value DESC, event_id) = 1
         """,
+        "grouped_topn_events": """
+            SELECT event_id, user_id, value,
+                   CAST(row_number() OVER w AS BIGINT) AS rank
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+            QUALIFY row_number() OVER w <= 3
+        """,
+        "sliding_window_events": """
+            -- width (1h) is an exact multiple of the slide (15 min), so
+            -- event t belongs to windows floor(t/slide)-k, k in 0..3 —
+            -- the same 4x expansion the engine vectorizes per batch
+            SELECT (epoch_us(ts) // 900000000 - k.k) * 900 AS window_start_s,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+                     AS sum_value_micro
+            FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) k(k)
+            GROUP BY window_start_s
+        """,
+        "interval_join_events_orders": """
+            SELECT o.o_orderkey, o.o_custkey AS user_id,
+                   count(e.event_id) AS n_events
+            FROM orders o LEFT JOIN events e
+              ON e.user_id = o.o_custkey
+             AND e.ts >= o.o_orderdate
+             AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+            GROUP BY o.o_orderkey, o.o_custkey
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (
+              SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        """,
+        "sample_events": """
+            -- Knuth multiplicative hash, bit-identical to
+            -- engine.ops.sketches._sample_hash in BIGINT arithmetic
+            SELECT event_id, user_id, event_type, value FROM events
+            WHERE ((event_id * 2654435761 + 12345) % 4294967296) % 100 < 5
+        """,
+        "stratified_sample_events": """
+            WITH h AS (
+              SELECT event_id, user_id, event_type, value,
+                     ((event_id * 2654435761 + 12345) % 4294967296) AS h
+              FROM events)
+            SELECT event_id, user_id, event_type, value, h FROM h
+            QUALIFY row_number() OVER (
+              PARTITION BY event_type ORDER BY h, event_id) <= 20
+        """,
+        "quantile_events_value": """
+            -- exact order statistics over int64-quantized values; the
+            -- engine replicates quantile_disc's max(ceil(p*n),1)-1 rule
+            WITH v AS (
+              SELECT CAST(round(value * 1000000) AS BIGINT) AS vm FROM events)
+            SELECT CAST(500 AS BIGINT) AS p_permille,
+                   quantile_disc(vm, 0.5) AS value_micro FROM v
+            UNION ALL SELECT 900, quantile_disc(vm, 0.9) FROM v
+            UNION ALL SELECT 950, quantile_disc(vm, 0.95) FROM v
+            UNION ALL SELECT 990, quantile_disc(vm, 0.99) FROM v
+        """,
         "asof_join_events_orders": """
             -- per-date tie pre-dedup (max order key wins) keeps the ASOF
             -- result deterministic; left semantics: pre-first-order
@@ -582,4 +652,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "word_counts": """
+            SELECT word, count(*) AS n FROM (
+              SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            WHERE word <> ''
+            GROUP BY word ORDER BY n DESC, word LIMIT 100
+        """,
     }

@@ -469,6 +469,270 @@ def asof_join_events_orders(sf_dir: str, num_buckets: int | None = None) -> ray.
     )
 
 
+def grouped_topn_events(sf_dir: str, n: int = 3) -> ray.data.Dataset:
+    """Top-N per user by value (A5 argmax generalized to ranked top-N).
+
+    Same two-level shape as ``top_event_per_user``: per-batch partial
+    top-N keeps at most N rows per (user, batch), so the per-user reduce
+    never sees the raw table. The final stage emits the 1-based rank so
+    downstream consumers get the ordering without re-sorting. Tie-break:
+    value desc, then event_id asc (deterministic, mirrors the oracle's
+    ROW_NUMBER ORDER BY)."""
+    from .sketches import _bottom_k_per_group
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def partial_topn(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        idx = _bottom_k_per_group(uid, -val, eid, n)
+        return batch.take(pa.array(idx))
+
+    partials = ds.map_batches(
+        partial_topn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def final_topn(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        val = t["value"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, -val))[:n]
+        out = t.take(pa.array(order))
+        return out.append_column(
+            "rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64))
+        )
+
+    return partials.groupby("user_id").map_groups(
+        final_topn, batch_format="pyarrow"
+    )
+
+
+def anti_join_customers(sf_dir: str, num_buckets: int | None = None) -> ray.data.Dataset:
+    """Customers with NO urgent order — a bucketed ANTI JOIN.
+
+    Both sides are large at scale, so neither broadcasts: the probe side
+    (urgent orders; predicate pushed into the read so non-matching row
+    groups never leave storage) reduces to per-batch DISTINCT custkeys
+    first (the combiner discipline), then both sides hash-bucket on
+    custkey — the one shared partitioning key — and each bucket filters
+    its customers against its probe-key set with one vectorized
+    ``np.isin``. Shuffle weight: customer rows once plus one int64 key
+    per (distinct custkey, batch) for orders."""
+    from ..pipeline import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ensure_serializable()
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"],
+        filter=(pc.field("o_orderpriority") == "1-URGENT"),
+    )
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        key = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array((key % num_buckets).astype(np.int32)),
+                "key": pa.array(key.astype(np.int64)),
+                "c_name": batch["c_name"],
+                "is_probe": pa.array(np.zeros(len(key), dtype=np.int8)),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        key = pc.unique(batch["o_custkey"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array((key % num_buckets).astype(np.int32)),
+                "key": pa.array(key.astype(np.int64)),
+                "c_name": pa.array([""] * len(key), pa.string()),
+                "is_probe": pa.array(np.ones(len(key), dtype=np.int8)),
+            }
+        )
+
+    tagged = cust.map_batches(
+        tag_cust, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        orders.map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def anti_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        key = t["key"].to_numpy(zero_copy_only=False)
+        probe = t["is_probe"].to_numpy(zero_copy_only=False) == 1
+        keep = ~probe & ~np.isin(key, key[probe])
+        out = t.filter(pa.array(keep))
+        return pa.table({"c_custkey": out["key"], "c_name": out["c_name"]})
+
+    return tagged.groupby("_b").map_groups(
+        lambda g: anti_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
+    )
+
+
+INTERVAL_WIDTH_US = 7 * 86_400_000_000  # orders attract events for 7 days
+
+
+def interval_join_events_orders(
+    sf_dir: str, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """INTERVAL (range) JOIN, aggregated: for every order, the number of
+    the customer's events with ts in [o_orderdate, o_orderdate + 7d) —
+    an operator Ray Data lacks, composed from the asof-join machinery.
+
+    Physical shape: events and per-order interval BOUNDARIES (start with
+    weight -1, end with weight +1) bucket by hash(user_id) — the shared
+    partitioning key again — and one vectorized pass per bucket sorts
+    (user, time, boundary-before-event) and takes the running event
+    count at each boundary: count(order) = c[end] - c[start]. The
+    interval join never materializes a pair list; cost is sort + cumsum,
+    independent of match multiplicity. Boundary priority encodes the
+    half-open interval exactly: at t_start the boundary precedes events
+    (inclusive), at t_end it also precedes them (exclusive)."""
+    from pandas.util import hash_array
+
+    from ..pipeline import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ensure_serializable()
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        n = len(uid)
+        return pa.table(
+            {
+                "_b": pa.array((hash_array(uid) % num_buckets).astype(np.int32)),
+                "user_id": batch["user_id"],
+                "t_us": pc.cast(batch["ts"], pa.int64()),
+                "is_event": pa.array(np.ones(n, dtype=np.int8)),
+                "order_key": pa.array(np.zeros(n, dtype=np.int64)),
+                "sign": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    def tag_order_bounds(batch: pa.Table) -> pa.Table:
+        uid = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        start = (
+            pc.cast(pc.cast(batch["o_orderdate"], pa.timestamp("us")), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        n = len(uid)
+        uid2 = np.concatenate([uid, uid])
+        t2 = np.concatenate([start, start + INTERVAL_WIDTH_US])
+        okey2 = np.concatenate([okey, okey])
+        sign2 = np.concatenate(
+            [np.full(n, -1, dtype=np.int8), np.ones(n, dtype=np.int8)]
+        )
+        return pa.table(
+            {
+                "_b": pa.array((hash_array(uid2) % num_buckets).astype(np.int32)),
+                "user_id": pa.array(uid2),
+                "t_us": pa.array(t2),
+                "is_event": pa.array(np.zeros(2 * n, dtype=np.int8)),
+                "order_key": pa.array(okey2),
+                "sign": pa.array(sign2),
+            }
+        )
+
+    tagged = events.map_batches(
+        tag_events, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        orders.map_batches(tag_order_bounds, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def count_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        tus = t["t_us"].to_numpy(zero_copy_only=False)
+        is_event = t["is_event"].to_numpy(zero_copy_only=False)
+        okey = t["order_key"].to_numpy(zero_copy_only=False)
+        sign = t["sign"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(uid) == 0:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        # boundaries (is_event=0) sort before events at equal (uid, t):
+        # start inclusive, end exclusive — both want boundary-first.
+        order = np.lexsort((is_event, tus, uid))
+        uid, tus, is_event = uid[order], tus[order], is_event[order]
+        okey, sign = okey[order], sign[order]
+        c_excl = np.cumsum(is_event, dtype=np.int64) - is_event
+        b = is_event == 0
+        contrib = pa.table(
+            {
+                "o_orderkey": pa.array(okey[b]),
+                "user_id": pa.array(uid[b]),
+                "part": pa.array(sign[b] * c_excl[b]),
+            }
+        )
+        agg = contrib.group_by(["o_orderkey", "user_id"]).aggregate(
+            [("part", "sum")]
+        )
+        return pa.table(
+            {
+                "o_orderkey": agg["o_orderkey"],
+                "user_id": agg["user_id"],
+                "n_events": pc.cast(agg["part_sum"], pa.int64()),
+            }
+        )
+
+    return tagged.groupby("_b").map_groups(
+        lambda g: count_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
+    )
+
+
+SLIDE_US = 900_000_000          # 15-min slide
+SLIDES_PER_WINDOW = 4           # 1h window = 4 slides exactly
+
+
+def sliding_window_events(sf_dir: str) -> ray.data.Dataset:
+    """SLIDING 1h window, 15-min slide, over the events stream (completes
+    the §2.10 streaming-analog family: tumbling / session / sliding).
+
+    Because the window width is an exact multiple of the slide, an event
+    at t belongs to precisely the windows floor(t/slide) - k for
+    k in 0..3 — so the operator is a 4x in-batch expansion (vectorized
+    concat, no per-row work) followed by the same partial-aggregate +
+    tiny-groupby shape as the tumbling window. Nothing streams state
+    across batches; the shuffle moves one row per (window, batch)."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        w0 = ts_us // SLIDE_US
+        v = _fixed_point(batch["value"], 1_000_000).to_numpy(zero_copy_only=False)
+        ks = np.arange(SLIDES_PER_WINDOW, dtype=np.int64)
+        windows = (w0[:, None] - ks[None, :]).ravel() * 900
+        vals = np.repeat(v, SLIDES_PER_WINDOW)
+        t = pa.table(
+            {
+                "window_start_s": pa.array(windows),
+                "v_micro": pa.array(vals),
+            }
+        )
+        return t.group_by(["window_start_s"]).aggregate(
+            [("v_micro", "count"), ("v_micro", "sum")]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("window_start_s").aggregate(
+        Sum("v_micro_count", alias_name="n_events"),
+        Sum("v_micro_sum", alias_name="sum_value_micro"),
+    )
+
+
 def top_event_per_user(sf_dir: str) -> ray.data.Dataset:
     """Per-user argmax by value (SURVEY A5's greedy-argmax as a grouped
     operator): per-batch partial argmax, then a tiny per-user reduce.

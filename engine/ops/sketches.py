@@ -1,0 +1,277 @@
+"""Sampling and sketch operators for large-scale pipeline triage.
+
+The reference's bench harness repeatedly needs "how big / how diverse is
+this corpus" answers before committing to a full pass (stage roll-ups at
+/root/reference/crates/cli/src/bench.rs:139-172); at 10^12-row scale the
+standing tools for that are deterministic samples, cardinality sketches
+and order-statistic summaries. All four operators here are single-pass,
+shuffle-light, and mergeable:
+
+- ``sample_events`` / ``stratified_sample_events``: DETERMINISTIC hash
+  sampling (a multiplicative Knuth hash both the engine and the DuckDB
+  oracle compute bit-identically) instead of RNG sampling — re-runs and
+  resumed partitions pick the exact same rows, which is what makes a
+  sample usable as a checkpointable artifact.
+- ``approx_distinct_users``: HyperLogLog (Flajolet et al. 2007, the
+  public HLL paper) — per-batch 2^p register partials, merged with a
+  tiny ``groupby(register).max`` shuffle of at most 2^p rows per batch.
+- ``quantile_events_value``: EXACT distributed quantiles via the
+  fixed-point value-histogram identity: quantize values to int64 micros
+  (the engine's exact-aggregate discipline, relational._fixed_point),
+  count per distinct value with partial aggregation, and take order
+  statistics on the tiny (distinct-values)-row histogram. Exactness
+  replaces t-digest-style approximation whenever the value domain is
+  bounded-resolution (money, ratings, latencies at fixed precision) —
+  the common case for telemetry columns.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Max, Sum
+
+from .._rayutil import ensure_serializable
+
+# --- deterministic sampling hash -------------------------------------
+# Knuth multiplicative hash over event_id, reproducible in ANSI SQL with
+# plain BIGINT arithmetic (no md5 loop, no engine-specific hash()).
+# Domain note: exact in int64 for keys < ~3.4e9; a 10^12-key table
+# should switch to _splitmix64 below (not SQL-expressible, rows-only).
+_MULT = 2654435761
+_INC = 12345
+_MOD = 1 << 32
+SAMPLE_PCT = 5
+
+
+def _sample_hash(keys: np.ndarray) -> np.ndarray:
+    return (keys * _MULT + _INC) % _MOD
+
+
+def _read_events(sf_dir: str, columns):
+    ensure_serializable()
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=columns
+    )
+
+
+def sample_events(sf_dir: str, pct: int = SAMPLE_PCT) -> ray.data.Dataset:
+    """Bernoulli ``pct``% sample of events, deterministic in the key.
+
+    Scale shape: a stateless vectorized filter per batch — no shuffle, no
+    state, embarrassingly parallel; the sample of a resumed partition is
+    identical to the sample of the original run."""
+    ds = _read_events(sf_dir, ["event_id", "user_id", "event_type", "value"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = _sample_hash(batch["event_id"].to_numpy(zero_copy_only=False))
+        return batch.filter(pa.array(h % 100 < pct))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _bottom_k_per_group(
+    group_codes: np.ndarray, order_a: np.ndarray, order_b: np.ndarray, k: int
+) -> np.ndarray:
+    """Row indices of the first-k rows per group under (order_a, order_b)
+    ascending — one lexsort + run-length rank, no Python loop."""
+    n = len(group_codes)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    order = np.lexsort((order_b, order_a, group_codes))
+    g = group_codes[order]
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = g[1:] != g[:-1]
+    starts = np.flatnonzero(new_grp)
+    run_start = np.repeat(starts, np.diff(np.append(starts, n)))
+    rank = np.arange(n) - run_start
+    return order[rank < k]
+
+
+def stratified_sample_events(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """Bottom-k-by-hash sample PER event_type stratum.
+
+    Bottom-k of a uniform hash is the classic mergeable uniform sample
+    (KMV): per-batch partials keep at most k rows per stratum, so the
+    final per-stratum reduce sees k rows per (stratum, batch) — never the
+    raw table. Tie-break on event_id keeps the pick deterministic even on
+    hash collisions, matching the SQL oracle's ORDER BY h, event_id."""
+    ds = _read_events(sf_dir, ["event_id", "user_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        h = _sample_hash(eid)
+        codes = pc.dictionary_encode(batch["event_type"].combine_chunks())
+        grp = np.asarray(codes.indices)
+        idx = _bottom_k_per_group(grp, h, eid, k)
+        return batch.append_column("h", pa.array(h, pa.int64())).take(
+            pa.array(idx)
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        h = t["h"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        idx = _bottom_k_per_group(np.zeros(len(h), dtype=np.int64), h, eid, k)
+        return t.take(pa.array(np.sort(idx)))
+
+    return partials.groupby("event_type").map_groups(
+        final, batch_format="pyarrow"
+    )
+
+
+# --- HyperLogLog ------------------------------------------------------
+
+HLL_P = 12
+_HLL_M = 1 << HLL_P
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer (public-domain constant set, Steele et al.) —
+    a full-avalanche 64-bit mixer, vectorized in uint64."""
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length over uint64 without float log (exact at every
+    boundary, unlike floor(log2))."""
+    out = np.zeros(w.shape, dtype=np.int64)
+    w = w.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        s = np.uint64(shift)
+        big = w >= (np.uint64(1) << s)
+        out[big] += shift
+        w[big] >>= s
+    out[w > 0] += 1
+    return out
+
+
+def _hll_partial(keys: np.ndarray) -> pa.Table:
+    """Per-batch HLL register partial: at most 2^p (register, rho) rows."""
+    h = _splitmix64(keys.astype(np.uint64))
+    reg = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = h & np.uint64((1 << (64 - HLL_P)) - 1)
+    # rho = position of the leftmost 1-bit in the low 64-p bits (1-based);
+    # all-zero rest gets the max rank 64-p+1 per the HLL paper.
+    rho = (64 - HLL_P) - _bit_length_u64(rest) + 1
+    regs = np.zeros(_HLL_M, dtype=np.int64)
+    np.maximum.at(regs, reg, rho)
+    nz = np.flatnonzero(regs)
+    return pa.table(
+        {"register": pa.array(nz), "rho": pa.array(regs[nz])}
+    )
+
+
+def hll_estimate(ds: ray.data.Dataset, column: str) -> pd.DataFrame:
+    """HyperLogLog distinct-count estimate of ``column`` (int64 keys).
+
+    Physical shape: per-batch register partials (<= 2^p rows each) ->
+    ``groupby(register).max(rho)`` over at most 2^p distinct keys -> the
+    <=4096-row merged register table reduces on the driver. The only
+    shuffle is the tiny register merge; the raw column never moves.
+    Standard bias handling from the public HLL paper: linear counting
+    below 2.5m, the 2^32 correction left out (64-bit hash)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[column].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _hll_partial(keys)
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("register")
+        .aggregate(Max("rho", alias_name="rho"))
+        .to_pandas()
+    )
+    m = _HLL_M
+    regs = np.zeros(m, dtype=np.int64)
+    if len(merged):
+        regs[merged["register"].to_numpy()] = merged["rho"].to_numpy()
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return pd.DataFrame(
+        {
+            "estimate": np.array([int(round(est))], dtype=np.int64),
+            "precision_p": np.array([HLL_P], dtype=np.int64),
+        }
+    )
+
+
+def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """HLL cardinality of events.user_id (rows-only query: the estimate is
+    sketch-defined, not SQL-reproducible; accuracy is asserted against the
+    exact distinct in tests/test_ops.py)."""
+    return hll_estimate(_read_events(sf_dir, ["user_id"]), "user_id")
+
+
+# --- exact quantiles over a fixed-point histogram ---------------------
+
+QUANTILES_PERMILLE = (500, 900, 950, 990)
+
+
+def quantile_events_value(sf_dir: str) -> pd.DataFrame:
+    """Exact p50/p90/p95/p99 of events.value at micro resolution.
+
+    quantile_disc semantics (verified against DuckDB across n=1..200 and
+    large n): the order statistic at index max(ceil(p*n), 1) - 1 with p*n
+    evaluated in float64 — replicated bit-for-bit here. The histogram
+    identity makes this single-shuffle: per-batch ``group_by(v_micro)``
+    partials, one global groupby over DISTINCT values (bounded by the
+    value domain's resolution, not the row count), cumsum on the tiny
+    sorted histogram. Driver materializes only the histogram."""
+    ds = _read_events(sf_dir, ["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = pc.cast(
+            pc.round(
+                pc.multiply(batch["value"], 1_000_000.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return (
+            pa.table({"v_micro": v})
+            .group_by(["v_micro"])
+            .aggregate([("v_micro", "count")])
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("v_micro")
+        .aggregate(Sum("v_micro_count", alias_name="n"))
+        .to_pandas()
+        .sort_values("v_micro")
+    )
+    counts = hist["n"].to_numpy()
+    values = hist["v_micro"].to_numpy()
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_p, out_v = [], []
+    for pm in QUANTILES_PERMILLE:
+        idx = max(math.ceil(np.float64(pm / 1000.0) * n), 1) - 1
+        pos = int(np.searchsorted(cum, idx + 1))
+        out_p.append(pm)
+        out_v.append(int(values[pos]))
+    return pd.DataFrame(
+        {
+            "p_permille": np.array(out_p, dtype=np.int64),
+            "value_micro": np.array(out_v, dtype=np.int64),
+        }
+    )

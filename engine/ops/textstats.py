@@ -209,6 +209,39 @@ def bpe_token_counts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+WORD_COUNT_K = 100
+
+
+def word_counts(sf_dir: str, k: int = WORD_COUNT_K) -> ray.data.Dataset:
+    """Corpus-wide top-k word frequencies over documents.text — the
+    vocabulary/heavy-hitter roll-up every training-data pipeline runs.
+
+    Tokenization is a literal single-space split (identical on both
+    engines: Arrow ``split_pattern`` / DuckDB ``string_split``), empties
+    dropped. Scale shape: per-batch ``group_by(word).count`` partials so
+    the global shuffle moves one row per (word, batch) — vocabulary-
+    bounded, not token-bounded; final ordering (count desc, word asc)
+    makes the k-boundary deterministic."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(batch["text"], " "))
+        words = words.filter(pc.not_equal(words, ""))
+        return (
+            pa.table({"word": words})
+            .group_by(["word"])
+            .aggregate([("word", "count")])
+        )
+
+    partials = _read_documents(sf_dir, ["text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = partials.groupby("word").aggregate(
+        _Sum("word_count", alias_name="n")
+    )
+    return agg.sort(["n", "word"], descending=[True, False]).limit(k)
+
+
 def normalize_documents(sf_dir: str) -> ray.data.Dataset:
     """Corpus-wide normalize_text (M5 analog) using the pipeline's
     vectorized Arrow fast path."""

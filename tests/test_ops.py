@@ -39,14 +39,22 @@ SQL_CHECKED = [
     "knn_bruteforce",
     "quality_score", "lang_id", "lang_id_accuracy", "bpe_token_counts",
     "normalize_documents", "doc_fingerprint",
+    "grouped_topn_events", "sliding_window_events",
+    "interval_join_events_orders", "anti_join_customers",
+    "sample_events", "stratified_sample_events", "quantile_events_value",
+    "word_counts",
 ]
+
+
+def _as_df(result) -> pd.DataFrame:
+    return result if isinstance(result, pd.DataFrame) else result.to_pandas()
 
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
 def test_query_matches_oracle(name, duck):
     import __ray_entry__ as entrymod
 
-    got = canon(entrymod.queries()[name](SF).to_pandas())
+    got = canon(_as_df(entrymod.queries()[name](SF)))
     want = canon(duck.sql(entrymod.oracle_sql()[name]).df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
@@ -64,7 +72,7 @@ def test_all_queries_have_oracle_or_are_documented():
         "dedup_minhash", "dedup_simhash", "dedup_embedding_lsh",
         "knn_ivf", "rolling_fingerprint",
         "image_metadata", "image_resize", "video_frame_sample",
-        "audio_features",
+        "audio_features", "approx_distinct_users",
     }
 
 
@@ -469,3 +477,76 @@ def test_audio_features_plumbing():
     rms = np.sqrt((padded.reshape(nf, AUDIO_FRAME) ** 2).mean(axis=1))
     assert abs(feats.loc[doc_id, "rms_mean"] - round(float(rms.mean()), 6)) < 1e-9
     assert feats.loc[doc_id, "peak"] == int(np.abs(samples.astype(np.int64)).max())
+
+
+def test_hll_estimate_error_bound():
+    """HLL at p=12 has relative standard error ~1.04/sqrt(4096) = 1.6%;
+    assert within 5% on a cardinality far above the linear-counting
+    crossover (2.5 * 4096 = 10240)."""
+    import ray.data
+
+    from engine.ops.sketches import hll_estimate
+
+    n = 200_000
+    est = int(hll_estimate(ray.data.range(n), "id")["estimate"].iloc[0])
+    assert abs(est - n) / n < 0.05
+
+
+def test_interval_join_boundary_semantics(tmp_path):
+    """Half-open [start, start+7d): an event exactly at the order date is
+    counted, one at start+7d is not; a customer with no events in any
+    window still appears with n_events = 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops.relational import (
+        INTERVAL_WIDTH_US, interval_join_events_orders,
+    )
+
+    day = 86_400_000_000
+    t0 = 100 * day
+    events = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 9], pa.int64()),
+            "ts": pa.array(
+                [t0, t0 + INTERVAL_WIDTH_US - 1, t0 + INTERVAL_WIDTH_US,
+                 t0 - 1],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([100, 200], pa.int64()),
+            "o_custkey": pa.array([7, 8], pa.int64()),
+            "o_orderdate": pa.array([t0, t0], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(events, str(tmp_path / "events.parquet"))
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    out = (
+        interval_join_events_orders(str(tmp_path), num_buckets=4)
+        .to_pandas()
+        .set_index("o_orderkey")
+        .sort_index()
+    )
+    assert len(out) == 2
+    assert out.loc[100, "n_events"] == 2   # t0 in, t0+7d-1us in, t0+7d out
+    assert out.loc[200, "n_events"] == 0   # user 8 has no events at all
+
+
+def test_bottom_k_per_group_matches_pandas():
+    """Vectorized first-k-per-group vs the obvious pandas groupby.head."""
+    from engine.ops.sketches import _bottom_k_per_group
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    grp = rng.integers(0, 37, n)
+    a = rng.integers(0, 50, n)   # coarse -> exercises the (a, b) tie-break
+    b = rng.permutation(n)
+    idx = _bottom_k_per_group(grp, a, b, 4)
+    got = sorted(map(tuple, np.stack([grp[idx], a[idx], b[idx]], axis=1)))
+    df = pd.DataFrame({"g": grp, "a": a, "b": b})
+    want = df.sort_values(["g", "a", "b"]).groupby("g").head(4)
+    assert got == sorted(map(tuple, want.to_numpy()))
