@@ -200,11 +200,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_events_orders": relational.asof_join_events_orders,
         "interval_join_events_orders": relational.interval_join_events_orders,
         "anti_join_customers": relational.anti_join_customers,
+        "q3_shipping_priority": relational.q3_shipping_priority,
         # sampling / sketches / order statistics
         "sample_events": sketches.sample_events,
         "stratified_sample_events": sketches.stratified_sample_events,
         "approx_distinct_users": sketches.approx_distinct_users,
         "quantile_events_value": sketches.quantile_events_value,
+        "quantile_events_by_type": sketches.quantile_events_by_type,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -216,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_ivf": similarity.knn_ivf,
+        "embedding_centroids": similarity.embedding_centroids,
         # text analysis
         "quality_score": textstats.quality_score,
         "lang_id": textstats.lang_id,
@@ -546,6 +549,53 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 900, quantile_disc(vm, 0.9) FROM v
             UNION ALL SELECT 950, quantile_disc(vm, 0.95) FROM v
             UNION ALL SELECT 990, quantile_disc(vm, 0.99) FROM v
+        """,
+        "quantile_events_by_type": """
+            WITH v AS (
+              SELECT event_type,
+                     CAST(round(value * 1000000) AS BIGINT) AS vm FROM events)
+            SELECT event_type, CAST(500 AS BIGINT) AS p_permille,
+                   quantile_disc(vm, 0.5) AS value_micro FROM v GROUP BY event_type
+            UNION ALL SELECT event_type, 900, quantile_disc(vm, 0.9) FROM v GROUP BY event_type
+            UNION ALL SELECT event_type, 950, quantile_disc(vm, 0.95) FROM v GROUP BY event_type
+            UNION ALL SELECT event_type, 990, quantile_disc(vm, 0.99) FROM v GROUP BY event_type
+        """,
+        "q3_shipping_priority": """
+            -- revenue in exact e4 fixed point: cents x (100 - disc_pct),
+            -- same per-element quantization as the engine
+            SELECT o_orderkey,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_e4,
+                   epoch_us(o_orderdate) AS o_orderdate_us,
+                   o_orderpriority
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY o_orderkey, o_orderdate_us, o_orderpriority
+            ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10
+        """,
+        "embedding_centroids": """
+            -- floor(sum/n): DuckDB's // truncates toward zero while the
+            -- engine floor-divides int64; floor() matches numpy exactly
+            -- (sums stay far below 2^53 so the double floor is exact)
+            WITH comp AS (
+              SELECT label, g.i AS dim,
+                     -- CAST first: FLOAT * 1000000 would multiply in
+                     -- float32; the engine multiplies in float64
+                     CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000000)
+                          AS BIGINT) AS micro
+              FROM embeddings
+              CROSS JOIN generate_series(1, 64) g(i))
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(dim AS BIGINT) AS dim,
+                   CAST(sum(micro) AS BIGINT) AS sum_micro,
+                   count(*) AS n_vecs,
+                   CAST(floor(sum(micro) / count(*)) AS BIGINT) AS avg_micro
+            FROM comp GROUP BY label, dim
         """,
         "asof_join_events_orders": """
             -- per-date tie pre-dedup (max order key wins) keeps the ASOF

@@ -693,6 +693,158 @@ def interval_join_events_orders(
     )
 
 
+Q3_CUTOFF = np.datetime64("1998-06-01", "us")
+
+
+def q3_shipping_priority(
+    sf_dir: str, num_buckets: int | None = None, k: int = 10
+) -> ray.data.Dataset:
+    """TPC-H-Q3-shaped three-table join: top-k unshipped BUILDING-segment
+    orders by revenue — the canonical big-big join benchmark.
+
+    Join strategy by side size: customer (small) BROADCASTS its
+    BUILDING custkeys (``ray.put`` once, read in every orders batch —
+    a semi-join filter, not a shuffle); lineitem (largest) pre-aggregates
+    revenue per orderkey per batch so the shuffle carries one
+    (orderkey, revenue_e4) row per batch instead of line items; then
+    orders and the revenue partials co-locate by hash(orderkey) — the
+    single shared partitioning key — and each bucket joins with one
+    searchsorted. Revenue is exact int64 e4 fixed point (cents x
+    (100 - disc_pct)); the final top-k is a sort over at most
+    (qualifying orders) aggregated rows."""
+    from ..pipeline import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ensure_serializable()
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    keys = np.sort(
+        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+        .to_numpy(zero_copy_only=False)
+    )
+    keys_ref = ray.put(keys)
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=(pc.field("o_orderdate") < pa.scalar(Q3_CUTOFF)),
+    )
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") > pa.scalar(Q3_CUTOFF)),
+    )
+
+    class TagOrders:
+        def __init__(self, ref):
+            self._keys = ray.get(ref)  # sorted BUILDING custkeys
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ckey = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            if len(self._keys) == 0:
+                hit = np.zeros(len(ckey), dtype=bool)
+            else:
+                pos = np.clip(
+                    np.searchsorted(self._keys, ckey), 0, len(self._keys) - 1
+                )
+                hit = self._keys[pos] == ckey
+            t = batch.filter(pa.array(hit))
+            okey = t["o_orderkey"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "_b": pa.array((okey % num_buckets).astype(np.int32)),
+                    "okey": pa.array(okey.astype(np.int64)),
+                    "odate_us": pc.cast(t["o_orderdate"], pa.int64()),
+                    "prio": t["o_orderpriority"],
+                    "rev_e4": pa.array(np.zeros(len(okey), dtype=np.int64)),
+                    "is_order": pa.array(np.ones(len(okey), dtype=np.int8)),
+                }
+            )
+
+    def revenue_partial(batch: pa.Table) -> pa.Table:
+        cents = _fixed_point(batch["l_extendedprice"], 100)
+        disc_pct = _fixed_point(batch["l_discount"], 100)
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100), disc_pct))
+        agg = (
+            pa.table({"okey": batch["l_orderkey"], "rev_e4": rev})
+            .group_by(["okey"])
+            .aggregate([("rev_e4", "sum")])
+        )
+        okey = agg["okey"].to_numpy(zero_copy_only=False)
+        n = len(okey)
+        return pa.table(
+            {
+                "_b": pa.array((okey % num_buckets).astype(np.int32)),
+                "okey": pa.array(okey.astype(np.int64)),
+                "odate_us": pa.array(np.zeros(n, dtype=np.int64)),
+                "prio": pa.array([""] * n, pa.string()),
+                "rev_e4": agg["rev_e4_sum"],
+                "is_order": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    tagged = orders.map_batches(
+        TagOrders,
+        fn_constructor_args=(keys_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        num_cpus=1,
+    ).union(
+        lineitem.map_batches(
+            revenue_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        is_order = t["is_order"].to_numpy(zero_copy_only=False) == 1
+        okey = t["okey"].to_numpy(zero_copy_only=False)
+        rev = t["rev_e4"].to_numpy(zero_copy_only=False)
+        o_keys, r_keys = okey[is_order], okey[~is_order]
+        if len(o_keys) == 0 or len(r_keys) == 0:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "revenue_e4": pa.array([], pa.int64()),
+                    "o_orderdate_us": pa.array([], pa.int64()),
+                    "o_orderpriority": pa.array([], pa.string()),
+                }
+            )
+        order_sort = np.argsort(o_keys)
+        o_sorted = o_keys[order_sort]
+        # merge the lineitem revenue partials per orderkey, then probe
+        ru, inv = np.unique(r_keys, return_inverse=True)
+        rsum = np.zeros(len(ru), dtype=np.int64)
+        np.add.at(rsum, inv, rev[~is_order])
+        pos = np.searchsorted(o_sorted, ru)
+        pos_c = np.clip(pos, 0, len(o_sorted) - 1)
+        hit = o_sorted[pos_c] == ru
+        sel = order_sort[pos_c[hit]]
+        odate = t["odate_us"].to_numpy(zero_copy_only=False)[is_order][sel]
+        prio = t["prio"].to_numpy(zero_copy_only=False)[is_order][sel]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ru[hit]),
+                "revenue_e4": pa.array(rsum[hit]),
+                "o_orderdate_us": pa.array(odate),
+                "o_orderpriority": pa.array(prio, pa.string()),
+            }
+        )
+
+    joined = tagged.groupby("_b").map_groups(
+        lambda g: join_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
+    )
+    return joined.sort(
+        ["revenue_e4", "o_orderkey"], descending=[True, False]
+    ).limit(k)
+
+
 SLIDE_US = 900_000_000          # 15-min slide
 SLIDES_PER_WINDOW = 4           # 1h window = 4 slides exactly
 

@@ -297,3 +297,85 @@ def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 10) -> ray.data.Dataset:
     return partial.groupby("query_id").map_groups(
         _topk_reduce(k), batch_format="pyarrow"
     )
+
+
+def embedding_centroids(sf_dir: str) -> ray.data.Dataset:
+    """Per-label centroid of the embedding column — the VECTOR AGGREGATE
+    (a groupby whose value is a fixed-dim vector) every clustering /
+    class-prototype pipeline needs.
+
+    Exact-aggregate discipline: each component is quantized to int64
+    micros per element (float sums are accumulation-order-dependent;
+    int64 sums are exact in any order), so the result is bit-stable
+    under any Ray scheduling and matches the SQL oracle. Physical shape:
+    per-batch (label x dim) partial sums via one np.add.at over the
+    zero-copy (n, dim) matrix — the shuffle carries n_labels x dim rows
+    per batch, never the vectors. avg_micro uses floor division of
+    exact integers on both engines."""
+    from ray.data.aggregate import Sum
+
+    ensure_serializable()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["label", "embedding"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = emb_matrix(batch["embedding"])
+        n, dim = mat.shape
+        # per-element quantization with DuckDB's round (half away from
+        # zero) — the same round-mode discipline as relational._fixed_point
+        micros = (
+            pc.cast(
+                pc.round(
+                    pc.multiply(pa.array(mat.ravel()), 1_000_000.0),
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+            .to_numpy(zero_copy_only=False)
+            .reshape(n, dim)
+        )
+        labels = batch["label"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(sums, inv, micros)
+        cnt = np.bincount(inv)
+        return pa.table(
+            {
+                "label": pa.array(
+                    np.repeat(uniq, dim).astype(np.int64)
+                ),
+                "dim": pa.array(
+                    np.tile(np.arange(1, dim + 1, dtype=np.int64), len(uniq))
+                ),
+                "sum_micro": pa.array(sums.ravel()),
+                "n_vecs": pa.array(
+                    np.repeat(cnt, dim).astype(np.int64)
+                ),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["label", "dim"])
+        .aggregate(
+            Sum("sum_micro", alias_name="sum_micro"),
+            Sum("n_vecs", alias_name="n_vecs"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        s = batch["sum_micro"].to_numpy(zero_copy_only=False)
+        n = batch["n_vecs"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "label": pc.cast(batch["label"], pa.int64()),
+                "dim": batch["dim"],
+                "sum_micro": batch["sum_micro"],
+                "n_vecs": batch["n_vecs"],
+                "avg_micro": pa.array(s // n),
+            }
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow")

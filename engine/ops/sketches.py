@@ -226,6 +226,21 @@ def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
 QUANTILES_PERMILLE = (500, 900, 950, 990)
 
 
+def _disc_quantiles(values: np.ndarray, counts: np.ndarray) -> list[tuple[int, int]]:
+    """Order statistics from a (sorted values, counts) histogram using
+    quantile_disc's index rule max(ceil(p*n), 1) - 1, with p*n evaluated
+    in float64 exactly as DuckDB does (verified across n = 1..200 and
+    large n)."""
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out = []
+    for pm in QUANTILES_PERMILLE:
+        idx = max(math.ceil(np.float64(pm / 1000.0) * n), 1) - 1
+        pos = int(np.searchsorted(cum, idx + 1))
+        out.append((pm, int(values[pos])))
+    return out
+
+
 def quantile_events_value(sf_dir: str) -> pd.DataFrame:
     """Exact p50/p90/p95/p99 of events.value at micro resolution.
 
@@ -259,19 +274,60 @@ def quantile_events_value(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
         .sort_values("v_micro")
     )
-    counts = hist["n"].to_numpy()
-    values = hist["v_micro"].to_numpy()
-    cum = np.cumsum(counts)
-    n = int(cum[-1]) if len(cum) else 0
-    out_p, out_v = [], []
-    for pm in QUANTILES_PERMILLE:
-        idx = max(math.ceil(np.float64(pm / 1000.0) * n), 1) - 1
-        pos = int(np.searchsorted(cum, idx + 1))
-        out_p.append(pm)
-        out_v.append(int(values[pos]))
+    qs = _disc_quantiles(hist["v_micro"].to_numpy(), hist["n"].to_numpy())
     return pd.DataFrame(
         {
-            "p_permille": np.array(out_p, dtype=np.int64),
-            "value_micro": np.array(out_v, dtype=np.int64),
+            "p_permille": np.array([p for p, _ in qs], dtype=np.int64),
+            "value_micro": np.array([v for _, v in qs], dtype=np.int64),
         }
+    )
+
+
+def quantile_events_by_type(sf_dir: str) -> ray.data.Dataset:
+    """Per-GROUP exact quantiles: p50/p90/p95/p99 of value per
+    event_type, fully distributed — the (group, v_micro) histogram
+    partials shuffle once, and each group's order statistics reduce
+    inside ``groupby(event_type).map_groups`` (no driver materialization,
+    unlike the global variant whose histogram is driver-final)."""
+    ensure_serializable()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = pc.cast(
+            pc.round(
+                pc.multiply(batch["value"], 1_000_000.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return (
+            pa.table({"event_type": batch["event_type"], "v_micro": v})
+            .group_by(["event_type", "v_micro"])
+            .aggregate([("v_micro", "count")])
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = partials.groupby(["event_type", "v_micro"]).aggregate(
+        Sum("v_micro_count", alias_name="n")
+    )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("v_micro", "ascending")]).combine_chunks()
+        qs = _disc_quantiles(
+            t["v_micro"].to_numpy(zero_copy_only=False),
+            t["n"].to_numpy(zero_copy_only=False),
+        )
+        k = len(qs)
+        return pa.table(
+            {
+                "event_type": pa.array([t["event_type"][0].as_py()] * k),
+                "p_permille": pa.array([p for p, _ in qs], pa.int64()),
+                "value_micro": pa.array([v for _, v in qs], pa.int64()),
+            }
+        )
+
+    return merged.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow"
     )

@@ -43,6 +43,7 @@ SQL_CHECKED = [
     "interval_join_events_orders", "anti_join_customers",
     "sample_events", "stratified_sample_events", "quantile_events_value",
     "word_counts",
+    "quantile_events_by_type", "embedding_centroids", "q3_shipping_priority",
 ]
 
 
