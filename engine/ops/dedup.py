@@ -53,32 +53,43 @@ NEAR_DUP_OFFSET = 200_000
 def dup_corpus(sf_dir: str) -> ray.data.Dataset:
     """documents UNION exact copies (every doc, id+100000) UNION word-dropped
     near-copies (every 2nd doc, id+200000). Deterministic; SQL-expressible
-    for the exact part (see __ray_entry__.oracle_sql)."""
+    for the exact part (see __ray_entry__.oracle_sql).
+
+    Synthesized in ONE map_batches emitting all three variants per batch
+    (a batch transform may return more rows than it got): a 3-branch
+    ``Dataset.union`` re-executed the read per branch and tripled the
+    block count, which tripled every downstream shuffle's per-block
+    overhead — measured 4.2s -> 0.5s for the corpus and 192 -> 64
+    blocks at sf0.1."""
     ensure_serializable()
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 
-    def exact_copies(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": pc.add(batch["doc_id"], EXACT_DUP_OFFSET),
-                "text": batch["text"],
-            }
-        )
-
-    def near_copies(batch: pa.Table) -> pa.Table:
-        keep = pc.equal(pc.bit_wise_and(batch["doc_id"], 1), 0)
-        batch = batch.filter(keep)
+    def synth_variants(batch: pa.Table) -> pa.Table:
+        near = batch.filter(pc.equal(pc.bit_wise_and(batch["doc_id"], 1), 0))
         # drop the last whitespace-delimited token -> high-Jaccard near-dup
-        trimmed = pc.replace_substring_regex(batch["text"], r"\s+\S+$", "")
-        return pa.table(
-            {"doc_id": pc.add(batch["doc_id"], NEAR_DUP_OFFSET), "text": trimmed}
+        trimmed = pc.replace_substring_regex(near["text"], r"\s+\S+$", "")
+        return pa.concat_tables(
+            [
+                batch,
+                pa.table(
+                    {
+                        "doc_id": pc.add(batch["doc_id"], EXACT_DUP_OFFSET),
+                        "text": batch["text"],
+                    }
+                ),
+                pa.table(
+                    {
+                        "doc_id": pc.add(near["doc_id"], NEAR_DUP_OFFSET),
+                        "text": trimmed,
+                    }
+                ),
+            ]
         )
 
-    return ds.union(
-        ds.map_batches(exact_copies, batch_format="pyarrow", zero_copy_batch=True),
-        ds.map_batches(near_copies, batch_format="pyarrow", zero_copy_batch=True),
+    return ds.map_batches(
+        synth_variants, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
@@ -173,6 +184,63 @@ def _pairs_within_runs(new_run: np.ndarray):
     t = np.arange(total) - np.repeat(block_start, counts)
     jj = ii + 1 + t
     return ii, jj
+
+
+_PAIR_LOW32 = np.int64(0xFFFFFFFF)
+
+
+def _combine_pairs_bucketed(pairs: ray.data.Dataset, finalize) -> ray.data.Dataset:
+    """Global (doc_a, doc_b) pair combine WITHOUT a millions-of-distinct-
+    keys shuffle.
+
+    A native ``groupby(["doc_a", "doc_b"]).aggregate(...)`` sort-shuffles
+    on the pair key itself — measured 83s for 8.4M pair rows / 7.0M
+    distinct pairs at sf0.1 because the sort cost scales with distinct
+    keys. Instead: pack the pair into one int64 (doc ids < 2^31 — the
+    same documented key-domain assumption as the SQL-reproducible sample
+    hash; at larger id domains swap in a 2-int64 key), tag a HASH BUCKET
+    of the packed key, and reduce each bucket with one vectorized
+    ``np.unique`` — the shuffle key drops to ``_pair_num_buckets()``
+    distinct values (7.4s for the same input, 11x).
+
+    ``pairs`` columns: doc_a, doc_b (+ pair-constant value columns).
+    ``finalize(doc_a, doc_b, cnt, extras)`` gets per-distinct-pair
+    arrays (extras = one representative value per pair column) and
+    returns the op's output table."""
+    num_qb = _pair_num_buckets()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = (a << 32) | b
+        h = (pk.astype(np.uint64) * _GOLDEN) >> np.uint64(32)
+        cols = {
+            "_qb": pa.array((h % np.uint64(num_qb)).astype(np.int32)),
+            "pk": pa.array(pk),
+        }
+        for name in batch.column_names:
+            if name not in ("doc_a", "doc_b"):
+                cols[name] = batch[name]
+        return pa.table(cols)
+
+    def count_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        pk = t["pk"].to_numpy(zero_copy_only=False)
+        uniq, inv, cnt = np.unique(pk, return_inverse=True, return_counts=True)
+        extras = {}
+        for name in t.column_names:
+            if name == "pk":
+                continue
+            col = t[name].to_numpy(zero_copy_only=False)
+            rep = np.empty(len(uniq), dtype=col.dtype)
+            rep[inv] = col  # pair-constant columns: any representative
+            extras[name] = rep
+        return finalize(uniq >> 32, uniq & _PAIR_LOW32, cnt.astype(np.int64), extras)
+
+    tagged = pairs.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("_qb").map_groups(
+        lambda g: count_bucket(g.drop_columns(["_qb"])), batch_format="pyarrow"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -291,8 +359,6 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
     permutations), strictly higher recall than banded LSH (a pair needs
     one shared perm value to be counted, not a full shared band), and
     the shuffle never moves a signature."""
-    from ray.data.aggregate import Count
-
     num_buckets = _pair_num_buckets()
     ds = dup_corpus(sf_dir)
     exploded = ds.map_batches(
@@ -307,20 +373,18 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
         lambda g: _minhash_bucket_pairs(g.drop_columns(["_pb"])),
         batch_format="pyarrow",
     )
-    counted = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="m"))
-
-    def finish(batch: pa.Table) -> pa.Table:
-        est = batch["m"].to_numpy(zero_copy_only=False) / float(N_PERM)
-        out = pa.table(
+    def finalize(doc_a, doc_b, cnt, extras):
+        est = cnt / float(N_PERM)
+        keep = est >= threshold
+        return pa.table(
             {
-                "doc_a": batch["doc_a"],
-                "doc_b": batch["doc_b"],
-                "est_jaccard": pa.array(est),
+                "doc_a": pa.array(doc_a[keep]),
+                "doc_b": pa.array(doc_b[keep]),
+                "est_jaccard": pa.array(est[keep]),
             }
         )
-        return out.filter(pa.array(est >= threshold))
 
-    return counted.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return _combine_pairs_bucketed(pairs, finalize)
 
 
 # ---------------------------------------------------------------------------
@@ -424,10 +488,9 @@ def _simhash_bucket_pairs(max_hamming: int):
 def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     """SimHash near-dup pairs via 16-bit-chunk banding (pigeonhole: any
     pair within hamming<=3 of 64 bits shares at least one of 4 chunks).
-    One vectorized pair expansion per shuffle bucket; pair dedup is a
-    native Max aggregate (hamming is pair-constant across chunks)."""
-    from ray.data.aggregate import Max
-
+    One vectorized pair expansion per shuffle bucket; pair dedup rides
+    the bucketed pair combine (hamming is pair-constant across chunks,
+    so any representative survives)."""
     num_buckets = _pair_num_buckets()
     ds = dup_corpus(sf_dir)
     banded = ds.map_batches(
@@ -442,9 +505,17 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
         lambda g: _simhash_bucket_pairs(max_hamming)(g.drop_columns(["_pb"])),
         batch_format="pyarrow",
     )
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("hamming", alias_name="hamming")
-    )
+
+    def finalize(doc_a, doc_b, cnt, extras):
+        return pa.table(
+            {
+                "doc_a": pa.array(doc_a),
+                "doc_b": pa.array(doc_b),
+                "hamming": pa.array(extras["hamming"].astype(np.int64)),
+            }
+        )
+
+    return _combine_pairs_bucketed(pairs, finalize)
 
 
 # ---------------------------------------------------------------------------
@@ -541,8 +612,6 @@ def dedup_jaccard(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> ray.data
     co-occurrences per pair (= exact intersection size), finish with
     c/(na+nb-c) >= threshold. The shuffle moves (int64 x 4) rows only;
     no text, no gram sets, no joins."""
-    from ray.data.aggregate import Count, Max
-
     num_buckets = _pair_num_buckets()
     ds = dup_corpus(sf_dir)
     exploded = ds.map_batches(
@@ -557,27 +626,21 @@ def dedup_jaccard(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> ray.data
         lambda g: _gram_bucket_pairs(g.drop_columns(["_pb"])),
         batch_format="pyarrow",
     )
-    counted = pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="c"),
-        Max("na", alias_name="na"),
-        Max("nb", alias_name="nb"),
-    )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.float64)
-        na = batch["na"].to_numpy(zero_copy_only=False).astype(np.float64)
-        nb = batch["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
+    def finalize(doc_a, doc_b, cnt, extras):
+        c = cnt.astype(np.float64)
+        na = extras["na"].astype(np.float64)
+        nb = extras["nb"].astype(np.float64)
         jac = np.round(c / (na + nb - c), _G_DECIMALS)
-        out = pa.table(
+        keep = jac >= threshold
+        return pa.table(
             {
-                "doc_a": batch["doc_a"],
-                "doc_b": batch["doc_b"],
-                "jaccard": pa.array(jac),
+                "doc_a": pa.array(doc_a[keep]),
+                "doc_b": pa.array(doc_b[keep]),
+                "jaccard": pa.array(jac[keep]),
             }
         )
-        return out.filter(pa.array(jac >= threshold))
 
-    return counted.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return _combine_pairs_bucketed(pairs, finalize)
 
 
 # ---------------------------------------------------------------------------
@@ -903,8 +966,6 @@ def dedup_embedding_lsh(
     dedup. The scale path: no broadcast corpus, shuffle moves band rows.
     Recall vs the exact variant is unit-tested (~1 at the injected
     near-dup similarity; misses need all 8 bands to differ)."""
-    from ray.data.aggregate import Max
-
     num_buckets = _pair_num_buckets()
     ds = emb_dup_corpus(sf_dir)
     banded = ds.map_batches(
@@ -919,7 +980,14 @@ def dedup_embedding_lsh(
         lambda g: _srp_bucket_pairs(threshold)(g.drop_columns(["_pb"])),
         batch_format="pyarrow",
     )
-    # cosine is pair-constant across bands: native Max == "first"
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("cosine", alias_name="cosine")
-    )
+    # cosine is pair-constant across bands: any representative survives
+    def finalize(doc_a, doc_b, cnt, extras):
+        return pa.table(
+            {
+                "doc_a": pa.array(doc_a),
+                "doc_b": pa.array(doc_b),
+                "cosine": pa.array(extras["cosine"]),
+            }
+        )
+
+    return _combine_pairs_bucketed(pairs, finalize)
