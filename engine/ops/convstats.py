@@ -25,6 +25,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from .._rayutil import ensure_serializable
+from ..pipeline import _hash_conv_ids
 
 TOKEN_RE = r"\S+"
 
@@ -34,8 +35,16 @@ def _transcript_ds(transcript_paths, columns) -> ray.data.Dataset:
     return ray.data.read_parquet(transcript_paths, columns=columns)
 
 
-def conv_stats(transcript_paths) -> ray.data.Dataset:
-    """Per-conversation: n_turns, n_tool_turns, n_chars, ts range (us)."""
+def conv_stats(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-conversation: n_turns, n_tool_turns, n_chars, ts range (us).
+
+    Combine shape: per-batch ``group_by(conv_id)`` partials (one row per
+    conv per batch), then a BUCKETED reduce — a native
+    ``groupby(conv_id)`` sort-shuffles on the string key itself, which
+    measured 16s at sf0.1 (24k distinct conv ids); hashing convs into
+    ``num_buckets`` and reducing each bucket with vectorized reduceat
+    makes the shuffle key 64 distinct int32s (~6s). Same pattern as the
+    dedup pair combine."""
     ds = _transcript_ds(
         transcript_paths, ["conv_id", "role", "text", "ts"]
     )
@@ -55,22 +64,60 @@ def conv_stats(transcript_paths) -> ray.data.Dataset:
                 "ts_us": pc.cast(batch["ts"], pa.int64()),
             }
         )
-        return t.group_by(["conv_id"]).aggregate(
+        agg = t.group_by(["conv_id"]).aggregate(
             [
                 ("is_tool", "count"), ("is_tool", "sum"),
                 ("n_chars", "sum"), ("ts_us", "min"), ("ts_us", "max"),
             ]
         )
+        conv = agg["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        bucket = (_hash_conv_ids(conv) % num_buckets).astype(np.int32)
+        return agg.append_column("_b", pa.array(bucket))
 
-    from ray.data.aggregate import Max, Min, Sum
+    def reduce_bucket(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("conv_id", "ascending")]).combine_chunks()
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "n_turns": pa.array([], pa.int64()),
+                    "n_tool_turns": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "first_ts_us": pa.array([], pa.int64()),
+                    "last_ts_us": pa.array([], pa.int64()),
+                }
+            )
+        conv = t.column("conv_id")
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = pc.not_equal(conv.slice(1), conv.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.flatnonzero(new)
+        col = lambda name: t[name].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "conv_id": conv.take(pa.array(starts)),
+                "n_turns": pa.array(
+                    np.add.reduceat(col("is_tool_count"), starts)
+                ),
+                "n_tool_turns": pa.array(
+                    np.add.reduceat(col("is_tool_sum"), starts)
+                ),
+                "n_chars": pa.array(np.add.reduceat(col("n_chars_sum"), starts)),
+                "first_ts_us": pa.array(
+                    np.minimum.reduceat(col("ts_us_min"), starts)
+                ),
+                "last_ts_us": pa.array(
+                    np.maximum.reduceat(col("ts_us_max"), starts)
+                ),
+            }
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return partials.groupby("conv_id").aggregate(
-        Sum("is_tool_count", alias_name="n_turns"),
-        Sum("is_tool_sum", alias_name="n_tool_turns"),
-        Sum("n_chars_sum", alias_name="n_chars"),
-        Min("ts_us_min", alias_name="first_ts_us"),
-        Max("ts_us_max", alias_name="last_ts_us"),
+    return partials.groupby("_b").map_groups(
+        lambda g: reduce_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
     )
 
 

@@ -155,3 +155,62 @@ def test_only_first_system_turn_wins_the_slot():
     )
     assert out.startswith("first\n\n")
     assert "second" not in out
+
+
+def test_kernel_renders_match_python_renderers(t1_files):
+    """Differential: the Arrow-kernel bucket renderer must be bit-identical
+    to the Python registry function for EVERY builtin template over the
+    whole t1 fixture (same parity-twin discipline as normalize_arrow)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.templates import _KERNEL_SET, render_conversations
+
+    full = (
+        pa.concat_tables(
+            [
+                pq.read_table(p, columns=["conv_id", "turn_idx", "role", "text"])
+                for p in t1_files
+            ]
+        )
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+    )
+    for name in sorted(_KERNEL_SET):
+        fn = TEMPLATES[name]
+        want = (
+            full.groupby("conv_id", sort=True)
+            .apply(
+                lambda g: fn(
+                    list(zip(g["role"].fillna(""), g["text"].fillna("")))
+                )
+            )
+            .rename("rendered")
+            .reset_index()
+        )
+        got = (
+            render_conversations(t1_files, template=name)
+            .to_pandas()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want), name
+        assert (got["rendered"].values == want["rendered"].values).all(), name
+
+
+def test_overridden_builtin_falls_back_to_python_path(t1_files):
+    """register_template(..., override=True) on a builtin name must win
+    over the kernel fast path."""
+    from engine.templates import register_template, render_conversations
+
+    register_template("plain", lambda turns: f"N={len(turns)}", override=True)
+    try:
+        out = render_conversations(t1_files, template="plain").to_pandas()
+        assert out["rendered"].str.match(r"N=\d+").all()
+        assert (
+            out["rendered"] == "N=" + out["n_turns"].astype(str)
+        ).all()
+    finally:
+        from engine.templates import _BUILTIN_TEMPLATES
+
+        register_template("plain", _BUILTIN_TEMPLATES["plain"], override=True)
