@@ -123,8 +123,12 @@ def run_bench() -> dict:
         "pricing_summary",
         "windowed_events",
         "dedup_exact",
+        "dedup_jaccard",
         "knn_bruteforce",
+        "knn_ivf",
         "quality_score",
+        "render_conversations",
+        "q3_shipping_priority",
     ):
         t0 = time.perf_counter()
         qs[name](sf_dir).to_pandas()

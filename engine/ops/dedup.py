@@ -688,15 +688,19 @@ def dedup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> ray.dat
     'hash-to-min'): labels L=(node,label) and symmetric edges E=(u,v)
     union into one stream bucketed by hash(key); one vectorized
     map_groups per bucket emits each node's current min label along its
-    edges; a native groupby(node).Min combines. Labels only decrease and
-    sum(label) is computed per iteration — unchanged sum == fixpoint
-    (exact: labels are monotone). Each iteration MATERIALIZES the label
-    table (one int64 pair per doc — tiny next to the corpus) because a
-    lazy Dataset would re-execute the whole lineage every loop; the
-    pair-generation stage runs exactly once. Iterations ~ graph
-    diameter; near-dup clusters are shallow (test corpus: 2-3)."""
-    from ray.data.aggregate import Min
+    edges; a second bucketed map_groups min-reduces per node. Labels
+    only decrease and sum(label) is computed per iteration — unchanged
+    sum == fixpoint (exact: labels are monotone). Each iteration
+    MATERIALIZES the label table because a lazy Dataset would re-execute
+    the whole lineage every loop; the pair-generation stage runs once.
 
+    Scale posture: iterations run ONLY over edge-INCIDENT nodes — the
+    near-dup graph, which is the dup-rate fraction of the corpus, not
+    the corpus itself. Every never-paired document is a singleton whose
+    cluster_id is its own id; those join in one final bucketed merge
+    pass, so a 10^12-doc corpus with 1% near-dups iterates over 10^10
+    label rows instead of 10^12. Iterations ~ graph diameter; near-dup
+    clusters are shallow (test corpus: 2-3)."""
     ensure_serializable()
     num_buckets = _pair_num_buckets()
 
@@ -718,58 +722,86 @@ def dedup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> ray.dat
     edges = pairs.map_batches(
         sym_edges, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+    # propagation shuffles carry only the dup GRAPH (edges + incident
+    # labels), typically orders of magnitude smaller than the corpus the
+    # outer bucket count is sized for — size the per-iteration bucket
+    # count to the graph so each of ~diameter iterations doesn't pay
+    # 64 reduce tasks to move a few thousand rows
+    graph_buckets = int(max(8, min(num_buckets, edges.count() // 20_000 + 8)))
+    # compact the graph to graph_buckets blocks ONCE: edges re-enter the
+    # union every iteration, and the per-iteration sort cost here is
+    # per-block task overhead, not data volume (64 near-empty blocks per
+    # side measured 3.5-5s/iter; compacted ~1s)
+    edges = edges.repartition(graph_buckets).materialize()
 
-    def init_labels(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    def init_incident_labels(batch: pa.Table) -> pa.Table:
+        # per-batch distinct endpoints; the first min-reduce dedups globally
+        ids = pc.unique(batch["key"])
+        n = len(ids)
         return pa.table(
             {
-                "key": pa.array(ids),
-                "v": pa.array(np.full(len(ids), -1, dtype=np.int64)),
-                "label": pa.array(ids),
+                "key": ids,
+                "v": pa.array(np.full(n, -1, dtype=np.int64)),
+                "label": ids,
             }
         )
 
-    labels = (
-        dup_corpus(sf_dir)
-        .select_columns(["doc_id"])
-        .map_batches(init_labels, batch_format="pyarrow", zero_copy_batch=True)
-        .materialize()
-    )
+    labels = edges.map_batches(
+        init_incident_labels, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
+    def add_key_bucket(batch: pa.Table) -> pa.Table:
         key = batch["key"].to_numpy(zero_copy_only=False)
         return batch.append_column(
-            "_pb", pa.array(_bucket_of(key, num_buckets=num_buckets))
+            "_pb", pa.array(_bucket_of(key, num_buckets=graph_buckets))
+        )
+
+    def add_node_bucket(batch: pa.Table, nb: int) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_nb", pa.array(_bucket_of(node, num_buckets=nb))
+        )
+
+    def min_label_per_node(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        node = t["node"].to_numpy(zero_copy_only=False)
+        label = t["label"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(node, return_inverse=True)
+        mins = np.full(len(uniq), _I64_MAX, dtype=np.int64)
+        np.minimum.at(mins, inv, label)
+        return pa.table(
+            {
+                "key": pa.array(uniq),
+                "v": pa.array(np.full(len(uniq), -1, dtype=np.int64)),
+                "label": pa.array(mins),
+            }
         )
 
     prev_sum = None
     for _it in range(MAX_CC_ITERS):
         candidates = (
             labels.union(edges)
-            .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(add_key_bucket, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("_pb")
             .map_groups(
                 lambda g: _attach_min_labels(g.drop_columns(["_pb"])),
                 batch_format="pyarrow",
             )
         )
-        combined = candidates.groupby("node").aggregate(
-            Min("label", alias_name="label")
-        )
-
-        def relabel(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            return pa.table(
-                {
-                    "key": batch["node"],
-                    "v": pa.array(np.full(n, -1, dtype=np.int64)),
-                    "label": batch["label"],
-                }
+        labels = (
+            candidates.map_batches(
+                add_node_bucket,
+                fn_kwargs={"nb": graph_buckets},
+                batch_format="pyarrow",
+                zero_copy_batch=True,
             )
-
-        labels = combined.map_batches(
-            relabel, batch_format="pyarrow", zero_copy_batch=True
-        ).materialize()
+            .groupby("_nb")
+            .map_groups(
+                lambda g: min_label_per_node(g.drop_columns(["_nb"])),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:  # monotone labels: equal sum == fixpoint
             break
@@ -777,12 +809,41 @@ def dedup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> ray.dat
     else:  # pragma: no cover
         raise RuntimeError(f"label propagation did not converge in {MAX_CC_ITERS}")
 
-    def finish(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {"doc_id": batch["key"], "cluster_id": batch["label"]}
-        )
+    # singleton merge: every corpus doc starts labeled with itself; the
+    # propagated labels (edge-incident docs only) override via min
+    def init_self(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        return pa.table({"node": ids, "label": ids})
 
-    return labels.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    corpus_self = (
+        dup_corpus(sf_dir)
+        .select_columns(["doc_id"])
+        .map_batches(init_self, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    propagated = labels.map_batches(
+        lambda t: pa.table({"node": t["key"], "label": t["label"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def finish(group: pa.Table) -> pa.Table:
+        t = min_label_per_node(group)
+        return pa.table({"doc_id": t["key"], "cluster_id": t["label"]})
+
+    # corpus-sized pass: use the full, cluster-scaled bucket count
+    return (
+        corpus_self.union(propagated)
+        .map_batches(
+            add_node_bucket,
+            fn_kwargs={"nb": num_buckets},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("_nb")
+        .map_groups(
+            lambda g: finish(g.drop_columns(["_nb"])), batch_format="pyarrow"
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
