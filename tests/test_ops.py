@@ -551,3 +551,25 @@ def test_bottom_k_per_group_matches_pandas():
     df = pd.DataFrame({"g": grp, "a": a, "b": b})
     want = df.sort_values(["g", "a", "b"]).groupby("g").head(4)
     assert got == sorted(map(tuple, want.to_numpy()))
+
+
+def test_disc_quantile_rule_matches_duckdb_adversarially():
+    """The histogram order-statistic rule must equal DuckDB quantile_disc
+    on adversarial value sets: duplicates, negatives, tiny and odd n."""
+    import duckdb
+
+    from engine.ops.sketches import QUANTILES_PERMILLE, _disc_quantiles
+
+    rng = np.random.default_rng(11)
+    con = duckdb.connect()
+    for n in (1, 2, 3, 7, 100, 999):
+        vals = rng.integers(-50, 50, n)
+        uniq, cnt = np.unique(vals, return_counts=True)
+        got = dict(_disc_quantiles(uniq, cnt))
+        con.execute("CREATE OR REPLACE TABLE v AS SELECT * FROM (VALUES "
+                    + ",".join(f"({int(x)})" for x in vals) + ") t(x)")
+        for pm in QUANTILES_PERMILLE:
+            want = con.execute(
+                f"SELECT quantile_disc(x, {pm / 1000.0}) FROM v"
+            ).fetchone()[0]
+            assert got[pm] == want, (n, pm, got[pm], want)
