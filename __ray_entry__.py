@@ -195,6 +195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_events": relational.windowed_events,
         "sessionized_events": relational.sessionized_events,
         "sliding_window_events": relational.sliding_window_events,
+        "running_total_events": relational.running_total_events,
+        "event_gaps": relational.event_gaps,
         "top_event_per_user": relational.top_event_per_user,
         "grouped_topn_events": relational.grouped_topn_events,
         "asof_join_events_orders": relational.asof_join_events_orders,
@@ -509,6 +511,22 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_value_micro
             FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) k(k)
             GROUP BY window_start_s
+        """,
+        "running_total_events": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER w AS BIGINT) AS cum_n,
+                   CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS cum_value_micro
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "event_gaps": """
+            SELECT event_id, user_id,
+                   epoch_us(ts) - epoch_us(lag(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+            FROM events
         """,
         "interval_join_events_orders": """
             SELECT o.o_orderkey, o.o_custkey AS user_id,

@@ -885,6 +885,116 @@ def sliding_window_events(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def _per_user_ordered(sf_dir: str, num_buckets: int | None, finalize):
+    """Shared machinery for per-user ordered window functions (running
+    totals, lag): bucket events by hash(user_id) — the engine's one
+    partitioning key for the events stream — and hand each bucket,
+    sorted by (user_id, ts, event_id), to a vectorized ``finalize``
+    along with its per-user run starts. One shuffle, no per-row or
+    per-user Python."""
+    from pandas.util import hash_array
+
+    from ..pipeline import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        bucket = (hash_array(uid) % num_buckets).astype(np.int32)
+        return batch.append_column("_ub", pa.array(bucket))
+
+    def run(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"),
+             ("event_id", "ascending")]
+        ).combine_chunks()
+        n = t.num_rows
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        new_user = np.empty(n, dtype=bool)
+        if n:
+            new_user[0] = True
+            new_user[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_user)
+        return finalize(t, starts, n)
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed.groupby("_ub").map_groups(
+        lambda g: run(g.drop_columns(["_ub"])), batch_format="pyarrow"
+    )
+
+
+def running_total_events(
+    sf_dir: str, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Per-user RUNNING TOTALS ordered by time (the cumulative window
+    function: SUM ... OVER (PARTITION BY user ORDER BY ts ROWS UNBOUNDED
+    PRECEDING)): each event carries its 1-based position and the exact
+    int64 cumulative value so far. Global cumsum minus the per-user-run
+    base makes the reset free — the same trick as sessionization."""
+
+    def finalize(t: pa.Table, starts: np.ndarray, n: int) -> pa.Table:
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "cum_n": pa.array([], pa.int64()),
+                    "cum_value_micro": pa.array([], pa.int64()),
+                }
+            )
+        sizes = np.diff(np.append(starts, n))
+        v = _fixed_point(t.column("value"), 1_000_000).combine_chunks()
+        v = v.to_numpy(zero_copy_only=False)
+        cum = np.cumsum(v)
+        base = np.repeat(cum[starts] - v[starts], sizes)
+        pos = np.arange(n) - np.repeat(starts, sizes) + 1
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "cum_n": pa.array(pos.astype(np.int64)),
+                "cum_value_micro": pa.array(cum - base),
+            }
+        )
+
+    return _per_user_ordered(sf_dir, num_buckets, finalize)
+
+
+def event_gaps(sf_dir: str, num_buckets: int | None = None) -> ray.data.Dataset:
+    """Per-user LAG: microseconds since the user's previous event (null
+    for each user's first event) — the gap feature sessionization
+    thresholds on, exposed as its own operator."""
+
+    def finalize(t: pa.Table, starts: np.ndarray, n: int) -> pa.Table:
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "gap_us": pa.array([], pa.int64()),
+                }
+            )
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        first = np.zeros(n, dtype=bool)
+        first[starts] = True
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "gap_us": pc.if_else(
+                    pa.array(first), pa.scalar(None, pa.int64()), pa.array(gap)
+                ),
+            }
+        )
+
+    return _per_user_ordered(sf_dir, num_buckets, finalize)
+
+
 def top_event_per_user(sf_dir: str) -> ray.data.Dataset:
     """Per-user argmax by value (SURVEY A5's greedy-argmax as a grouped
     operator): per-batch partial argmax, then a tiny per-user reduce.
