@@ -574,3 +574,55 @@ def test_disc_quantile_rule_matches_duckdb_adversarially():
                 f"SELECT quantile_disc(x, {pm / 1000.0}) FROM v"
             ).fetchone()[0]
             assert got[pm] == want, (n, pm, got[pm], want)
+
+
+def test_interval_join_random_matches_duckdb(tmp_path):
+    """Randomized interval-join check: 500 events / 80 orders with
+    colliding timestamps and users missing from either side must match a
+    direct DuckDB range join on the same files."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops.relational import interval_join_events_orders
+
+    rng = np.random.default_rng(23)
+    day = 86_400_000_000
+    ev_uid = rng.integers(0, 25, 500)           # users 0..24
+    ev_ts = rng.integers(0, 40 * day, 500)
+    events = pa.table(
+        {
+            "event_id": pa.array(np.arange(500, dtype=np.int64)),
+            "user_id": pa.array(ev_uid.astype(np.int64)),
+            "ts": pa.array(ev_ts.astype("datetime64[us]"), pa.timestamp("us")),
+        }
+    )
+    o_uid = rng.integers(5, 32, 80)             # users 5..31: some eventless
+    o_ts = rng.integers(0, 40 * day, 80)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(1, 81, dtype=np.int64)),
+            "o_custkey": pa.array(o_uid.astype(np.int64)),
+            "o_orderdate": pa.array(o_ts.astype("datetime64[us]"), pa.timestamp("us")),
+        }
+    )
+    pq.write_table(events, str(tmp_path / "events.parquet"))
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    got = (
+        interval_join_events_orders(str(tmp_path), num_buckets=8)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = con.sql(f"""
+        SELECT o.o_orderkey, o.o_custkey AS user_id,
+               count(e.event_id) AS n_events
+        FROM '{tmp_path}/orders.parquet' o
+        LEFT JOIN '{tmp_path}/events.parquet' e
+          ON e.user_id = o.o_custkey
+         AND e.ts >= o.o_orderdate
+         AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+        GROUP BY 1, 2 ORDER BY o_orderkey
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
