@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_stages": relational.top_stages,
         "distinct_event_types": relational.distinct_event_types,
         "orders_by_segment": relational.orders_by_segment,
+        "enrich_events_with_segment": relational.enrich_events_with_segment,
         "windowed_events": relational.windowed_events,
         "sessionized_events": relational.sessionized_events,
         "sliding_window_events": relational.sliding_window_events,
@@ -457,6 +458,10 @@ def oracle_sql() -> dict[str, str]:
                      AS revenue_cents
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "enrich_events_with_segment": """
+            SELECT event_id, user_id, event_type, c_mktsegment
+            FROM events LEFT JOIN customer ON user_id = c_custkey
         """,
         "windowed_events": """
             SELECT user_id,

@@ -239,6 +239,63 @@ def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+class _SegmentEnrich:
+    """Row-level broadcast LEFT-join actor: sorted custkey -> segment
+    arrays fetched once per actor from the object store (J2 lookup shape,
+    like _SegmentLookup, but emitting enriched ROWS instead of an
+    aggregate — the reusable dimension-attach primitive)."""
+
+    def __init__(self, lookup_ref):
+        lookup = ray.get(lookup_ref)
+        self._keys = lookup["keys"]
+        self._segments = lookup["segments"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(self._keys, uid), 0, len(self._keys) - 1)
+        hit = self._keys[pos] == uid
+        seg = pa.array(self._segments[pos], pa.string())
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "c_mktsegment": pc.if_else(
+                    pa.array(hit), seg, pa.scalar(None, pa.string())
+                ),
+            }
+        )
+
+
+def enrich_events_with_segment(sf_dir: str) -> ray.data.Dataset:
+    """Events LEFT JOIN customer on user_id — the row-level broadcast
+    enrichment join (attach a dimension attribute to every fact row).
+    The dimension ships once via ``ray.put``; unmatched users keep a
+    null segment (left semantics). No shuffle at all: enrichment is
+    embarrassingly parallel once the small side is broadcast."""
+    ensure_serializable()
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    order = pc.sort_indices(cust["c_custkey"])
+    keys = cust["c_custkey"].take(order).to_numpy()
+    segments = np.asarray(cust["c_mktsegment"].take(order).to_pylist())
+    lookup_ref = ray.put({"keys": keys, "segments": segments})
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+    return ds.map_batches(
+        _SegmentEnrich,
+        fn_constructor_args=(lookup_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        num_cpus=1,
+    )
+
+
 WINDOW_US = 3_600_000_000  # 1h tumbling window in microseconds
 
 

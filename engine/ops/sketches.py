@@ -231,8 +231,11 @@ def _disc_quantiles(values: np.ndarray, counts: np.ndarray) -> list[tuple[int, i
     quantile_disc's index rule max(ceil(p*n), 1) - 1, with p*n evaluated
     in float64 exactly as DuckDB does (verified across n = 1..200 and
     large n)."""
+    if len(values) == 0:
+        # mirror quantile_disc over zero rows: no output rows at all
+        return []
     cum = np.cumsum(counts)
-    n = int(cum[-1]) if len(cum) else 0
+    n = int(cum[-1])
     out = []
     for pm in QUANTILES_PERMILLE:
         idx = max(math.ceil(np.float64(pm / 1000.0) * n), 1) - 1

@@ -44,7 +44,7 @@ SQL_CHECKED = [
     "sample_events", "stratified_sample_events", "quantile_events_value",
     "word_counts",
     "quantile_events_by_type", "embedding_centroids", "q3_shipping_priority",
-    "running_total_events", "event_gaps",
+    "running_total_events", "event_gaps", "enrich_events_with_segment",
 ]
 
 
