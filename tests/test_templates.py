@@ -214,3 +214,44 @@ def test_overridden_builtin_falls_back_to_python_path(t1_files):
         from engine.templates import _BUILTIN_TEMPLATES
 
         register_template("plain", _BUILTIN_TEMPLATES["plain"], override=True)
+
+
+def test_kernel_render_tolerates_null_role_and_text(tmp_path):
+    """Null role/text rows must render as empty strings (M15 posture) on
+    the kernel path, identically to the Python fallback."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.templates import TEMPLATES, _KERNEL_SET, render_conversations
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c1"] * 4 + ["c2"] * 2),
+            "turn_idx": pa.array([0, 1, 2, 3, 0, 1], pa.int32()),
+            "role": pa.array(["system", None, "user", "assistant", None, "user"]),
+            "text": pa.array(["sys msg", "tool out", None, "answer", None, "  q  "]),
+            "tool": pa.array([""] * 6),
+            "ts": pa.array([0, 1, 2, 3, 4, 5], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "part.parquet"))
+    files = [str(tmp_path / "part.parquet")]
+    df = t.to_pandas()
+    for name in sorted(_KERNEL_SET):
+        got = (
+            render_conversations(files, template=name)
+            .to_pandas()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        fn = TEMPLATES[name]
+        want = (
+            df.sort_values(["conv_id", "turn_idx"])
+            .groupby("conv_id", sort=True)
+            .apply(lambda g: fn(list(zip(g["role"].fillna(""), g["text"].fillna("")))))
+            .rename("rendered")
+            .reset_index()
+        )
+        assert (got["rendered"].values == want["rendered"].values).all(), (
+            name, got["rendered"].tolist(), want["rendered"].tolist()
+        )
