@@ -354,10 +354,19 @@ def write_transcripts(
     # Arrow's int32 string offsets once the corpus passes ~2 GB
     ti = table.schema.get_field_index("text")
     big = table.set_column(ti, "text", table["text"].cast(pa.large_string()))
+    # ONE scattered gather for the whole shuffle, then a CONTIGUOUS take
+    # per file: scattered per-file takes re-scan the entire corpus per
+    # file (O(n_files x corpus) — ~2h for the 128-file stress tier),
+    # while a contiguous take copies only that file's rows into fresh
+    # sub-2GB buffers (a plain slice can't be cast back to string: the
+    # view keeps the parent's >2GB offsets). File i still receives
+    # exactly perm[i*r:(i+1)*r] in that order.
+    shuffled = big.take(pa.array(perm))
+    n_rows = shuffled.num_rows
     for i in range(n_files):
-        # file i receives exactly perm[i*r:(i+1)*r] in that order
-        idx = perm[i * rows_per : (i + 1) * rows_per]
-        chunk = big.take(pa.array(idx))
+        lo = i * rows_per
+        idx = np.arange(lo, min(lo + rows_per, n_rows))
+        chunk = shuffled.take(pa.array(idx))
         chunk = chunk.set_column(ti, "text", chunk["text"].cast(pa.string()))
         path = os.path.join(out_dir, f"transcripts-{i:04d}.parquet")
         pq.write_table(chunk, path)
@@ -376,6 +385,13 @@ TIERS = {
     "t2": {"n_convs": 2000, "n_files": 8},      # ~60k turns
     "bench": {
         "n_convs": 24000, "n_files": 32,        # ~620k turns
+        "heavy": True, "html_p": 0.32, "pdf_p": 0.15,
+    },
+    # scale-validation tier (~2.5M turns, ~2.5 GB): 4x bench, used to
+    # verify the flagship streams (stable memory, linear wall) rather
+    # than for recorded benchmarks — see BASELINE.md 'Scale validation'
+    "stress": {
+        "n_convs": 96000, "n_files": 128,
         "heavy": True, "html_p": 0.32, "pdf_p": 0.15,
     },
 }
