@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stage_totals": relational.stage_totals,
         "top_stages": relational.top_stages,
         "distinct_event_types": relational.distinct_event_types,
+        "distinct_users_per_type": relational.distinct_users_per_type,
         "orders_by_segment": relational.orders_by_segment,
         "enrich_events_with_segment": relational.enrich_events_with_segment,
         "windowed_events": relational.windowed_events,
@@ -452,6 +453,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY total_value_micro DESC LIMIT 3
         """,
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "distinct_users_per_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
         "orders_by_segment": """
             SELECT c_mktsegment, count(*) AS n_orders,
                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

@@ -239,6 +239,51 @@ def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def distinct_users_per_type(sf_dir: str) -> ray.data.Dataset:
+    """Grouped COUNT DISTINCT — count of distinct users per event_type.
+
+    The two-level distinct shape: per-batch ``unique`` over (type, user)
+    pairs is the combiner (the shuffle moves one row per distinct pair
+    per batch, never raw events), a groupby over the pair dedups
+    globally, and a per-batch re-aggregation + tiny second groupby
+    counts pairs per type. Distinct-heavy columns never meet a
+    high-cardinality sort: the pair groupby's key count is bounded by
+    (types x users), and the count groupby by types alone."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {"event_type": batch["event_type"], "user_id": batch["user_id"]}
+            )
+            .group_by(["event_type", "user_id"])
+            .aggregate([])
+        )
+
+    pairs = ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+    distinct_pairs = pairs.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="_n")
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by(["event_type"]).aggregate([("one", "sum")])
+
+    counted = distinct_pairs.map_batches(
+        count_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return counted.groupby("event_type").aggregate(
+        Sum("one_sum", alias_name="n_users")
+    )
+
+
 class _SegmentEnrich:
     """Row-level broadcast LEFT-join actor: sorted custkey -> segment
     arrays fetched once per actor from the object store (J2 lookup shape,

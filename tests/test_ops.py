@@ -45,6 +45,7 @@ SQL_CHECKED = [
     "word_counts",
     "quantile_events_by_type", "embedding_centroids", "q3_shipping_priority",
     "running_total_events", "event_gaps", "enrich_events_with_segment",
+    "distinct_users_per_type",
 ]
 
 
