@@ -159,6 +159,12 @@ def _compact_history(sf_dir: str):
     return compact_history(_transcript_files(sf_dir))
 
 
+def _redact_transcripts(sf_dir: str):
+    from engine.ops.convstats import redact_transcripts
+
+    return redact_transcripts(_transcript_files(sf_dir))
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale; driver smoke-checks rows>=0."""
     return _extract_transcripts("/root/testdata/sf0.001")
@@ -186,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_history": _compact_history,
         "conv_stats": _conv_stats,
         "turn_token_counts": _turn_token_counts,
+        "redact_transcripts": _redact_transcripts,
         # relational operators (SURVEY SS2.6-2.7, SS2.10)
         "pricing_summary": relational.pricing_summary,
         "stage_totals": relational.stage_totals,
@@ -205,6 +212,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join_events_orders": relational.interval_join_events_orders,
         "anti_join_customers": relational.anti_join_customers,
         "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_region_revenue": relational.q5_region_revenue,
+        "grouped_stats_events": relational.grouped_stats_events,
+        "histogram_events": relational.histogram_events,
         # sampling / sketches / order statistics
         "sample_events": sketches.sample_events,
         "stratified_sample_events": sketches.stratified_sample_events,
@@ -229,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_accuracy": textstats.lang_id_accuracy,
         "bpe_token_counts": textstats.bpe_token_counts,
         "word_counts": textstats.word_counts,
+        "tfidf_top_terms": textstats.tfidf_top_terms,
         "normalize_documents": textstats.normalize_documents,
         "doc_fingerprint": textstats.doc_fingerprint,
         "rolling_fingerprint": textstats.rolling_fingerprint,
@@ -253,6 +264,36 @@ def _transcripts_sql_source() -> str:
 
 
 _PY_WS = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+
+
+def _redact_sql(transcripts: str) -> str:
+    """Nested regexp_replace mirroring engine.ops.convstats.REDACT_PATTERNS
+    pass-for-pass (counts taken on the text as it stands BEFORE each
+    pass). Patterns are imported from the engine so both sides always run
+    the identical RE2."""
+    from engine.ops.convstats import REDACT_PATTERNS
+
+    (_, p_url, r_url), (_, p_em, r_em), (_, p_num, r_num) = REDACT_PATTERNS
+    return f"""
+        WITH s0 AS (
+          SELECT conv_id, turn_idx, coalesce(text, '') AS t
+          FROM {transcripts}),
+        s1 AS (
+          SELECT conv_id, turn_idx,
+                 length(regexp_extract_all(t, '{p_url}')) AS n0,
+                 regexp_replace(t, '{p_url}', '{r_url}', 'g') AS t
+          FROM s0),
+        s2 AS (
+          SELECT conv_id, turn_idx, n0,
+                 length(regexp_extract_all(t, '{p_em}')) AS n1,
+                 regexp_replace(t, '{p_em}', '{r_em}', 'g') AS t
+          FROM s1)
+        SELECT conv_id, turn_idx,
+               regexp_replace(t, '{p_num}', '{r_num}', 'g') AS redacted,
+               CAST(n0 + n1 + length(regexp_extract_all(t, '{p_num}'))
+                    AS BIGINT) AS n_redactions
+        FROM s2
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -730,6 +771,74 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "redact_transcripts": _redact_sql(transcripts),
+        "grouped_stats_events": """
+            -- sufficient statistics in exact int64 (centi-quantized value,
+            -- integral hour-of-day): sums and cross-moments are order-
+            -- independent on both engines
+            WITH q AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS x,
+                     (epoch_us(ts) // 3600000000) % 24 AS y
+              FROM events)
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(x) AS BIGINT) AS sum_x_centi,
+                   CAST(sum(x * x) AS BIGINT) AS sum_xx_centi2,
+                   CAST(sum(y) AS BIGINT) AS sum_y_hour,
+                   CAST(sum(y * y) AS BIGINT) AS sum_yy_hour2,
+                   CAST(sum(x * y) AS BIGINT) AS sum_xy
+            FROM q GROUP BY event_type
+        """,
+        "histogram_events": """
+            -- floor(centi/2500.0) not integer //: DuckDB's integer
+            -- division truncates toward zero while numpy floors
+            WITH b AS (
+              SELECT CAST(floor(CAST(round(value * 100) AS BIGINT) / 2500.0)
+                          AS BIGINT) AS bin
+              FROM events)
+            SELECT bin, bin * 2500 AS lo_centi, (bin + 1) * 2500 AS hi_centi,
+                   count(*) AS n_events
+            FROM b GROUP BY bin
+        """,
+        "q5_region_revenue": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_e4
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON c_nationkey = n_nationkey
+                         AND s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "tfidf_top_terms": """
+            -- linear-idf tf-idf in exact integers: score = tf*1e9 // df
+            -- (all positive, so trunc == floor); top-3 per doc by
+            -- (score desc, word asc) — bytewise word order on both sides
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents),
+            ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
+            tf AS (
+              SELECT doc_id, word, count(*) AS tf FROM ww GROUP BY 1, 2),
+            df AS (
+              SELECT word, count(DISTINCT doc_id) AS df FROM ww GROUP BY 1),
+            scored AS (
+              SELECT t.doc_id, t.word, t.tf, d.df,
+                     CAST(t.tf * 1000000000 // d.df AS BIGINT) AS score_e9
+              FROM tf t JOIN df d ON t.word = d.word)
+            SELECT doc_id, word, tf, df, score_e9,
+                   CAST(row_number() OVER w AS BIGINT) AS rank
+            FROM scored
+            WINDOW w AS (PARTITION BY doc_id ORDER BY score_e9 DESC, word)
+            QUALIFY row_number() OVER w <= 3
+        """,
         "word_counts": """
             SELECT word, count(*) AS n FROM (
               SELECT unnest(string_split(text, ' ')) AS word FROM documents)

@@ -140,3 +140,46 @@ def turn_token_counts(transcript_paths) -> ray.data.Dataset:
         )
 
     return ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# PII-redaction patterns, applied in order. Every pattern is RE2 with no
+# escape sequence that diverges between Arrow and DuckDB (both run RE2),
+# so engine/oracle parity is structural. URL first: URLs contain digit
+# runs the NUM pass would otherwise mangle.
+REDACT_PATTERNS = [
+    ("url", r'https?://[^ \t\n\r\f\v"<>]+', "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("num", r"\b\d\d+\b", "<NUM>"),
+]
+
+
+def redact_transcripts(transcript_paths) -> ray.data.Dataset:
+    """PII/noise redaction over transcript turn text — the scrubbing pass
+    a training-data pipeline runs before anything ships: URLs, email
+    addresses and multi-digit runs (ids, phone fragments, page numbers)
+    are masked with typed placeholders.
+
+    Entirely ``pc.replace_substring_regex`` / ``pc.count_substring_regex``
+    Arrow kernels — zero Python per row, embarrassingly parallel, no
+    shuffle. Counts are taken per pass on the text as it stands BEFORE
+    that pass (so a URL's digits count once, as a URL), matching the
+    nested-``regexp_replace`` oracle structurally."""
+    ds = _transcript_ds(transcript_paths, ["conv_id", "turn_idx", "text"])
+
+    def redact(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"], "")
+        total = None
+        for _, pat, rep in REDACT_PATTERNS:
+            n = pc.count_substring_regex(text, pat)
+            total = n if total is None else pc.add(total, n)
+            text = pc.replace_substring_regex(text, pat, rep)
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "redacted": text,
+                "n_redactions": pc.cast(total, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(redact, batch_format="pyarrow", zero_copy_batch=True)

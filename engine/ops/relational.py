@@ -1125,3 +1125,292 @@ def top_event_per_user(sf_dir: str) -> ray.data.Dataset:
     return partials.groupby("user_id").map_groups(
         final_argmax, batch_format="pyarrow"
     )
+
+
+HOUR_US = 3_600_000_000
+HIST_BIN_CENTI = 2_500          # 25.00-unit value bins
+
+
+def grouped_stats_events(sf_dir: str) -> ray.data.Dataset:
+    """Per-event-type sufficient statistics for mean / variance /
+    correlation between value and hour-of-day — the distributed-stats
+    primitive (count, Σx, Σx², Σy, Σy², Σxy) every downstream moment
+    derives from without a second pass.
+
+    Exact-aggregate discipline: value is quantized to int64 centi units
+    PER ELEMENT (see ``_fixed_point``), hour-of-day is already integral,
+    so every sum and cross-moment is an int64 sum of int64 products —
+    exact in any accumulation order on any number of workers. Combine
+    shape: per-batch ``group_by(event_type)`` partials, then a global
+    groupby over ~|event types| rows per batch. int64 headroom: centi ≤
+    ~5e4 → x² ≤ 2.5e9/row → overflows int64 only past ~3.7e9 rows per
+    event type; at larger scale drop to e1 units (documented contract).
+
+    Analog of the reference's per-stage count/total/min/max bench rollup
+    (/root/reference/crates/cli/src/bench.rs:139-172) widened to second
+    moments."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _fixed_point(batch["value"], 100).to_numpy(zero_copy_only=False)
+        ts_us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        y = (ts_us // HOUR_US) % 24
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "x": pa.array(x),
+                "xx": pa.array(x * x),
+                "y": pa.array(y),
+                "yy": pa.array(y * y),
+                "xy": pa.array(x * y),
+            }
+        )
+        return t.group_by(["event_type"]).aggregate(
+            [
+                ("x", "count"), ("x", "sum"), ("xx", "sum"),
+                ("y", "sum"), ("yy", "sum"), ("xy", "sum"),
+            ]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("event_type").aggregate(
+        Sum("x_count", alias_name="n"),
+        Sum("x_sum", alias_name="sum_x_centi"),
+        Sum("xx_sum", alias_name="sum_xx_centi2"),
+        Sum("y_sum", alias_name="sum_y_hour"),
+        Sum("yy_sum", alias_name="sum_yy_hour2"),
+        Sum("xy_sum", alias_name="sum_xy"),
+    )
+
+
+def histogram_events(sf_dir: str) -> ray.data.Dataset:
+    """Fixed-width value histogram over the events stream: bin =
+    floor(value_centi / 2500) (25-unit bins). The classic
+    distribution-sketch primitive; per-batch bincount partials mean the
+    shuffle carries one row per (bin, batch) — a few dozen rows — no
+    matter how many events stream through.
+
+    floor semantics match the oracle exactly: numpy ``//`` floors, and
+    the SQL uses CAST(floor(x / 2500.0) AS BIGINT) (DuckDB's integer
+    ``//`` truncates toward zero, which diverges on negatives)."""
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        centi = _fixed_point(batch["value"], 100).to_numpy(zero_copy_only=False)
+        bins = centi // HIST_BIN_CENTI
+        u, c = np.unique(bins, return_counts=True)
+        return pa.table(
+            {"bin": pa.array(u), "n": pa.array(c.astype(np.int64))}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby("bin").aggregate(Sum("n", alias_name="n_events"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        b = batch["bin"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bin": batch["bin"],
+                "lo_centi": pa.array(b * HIST_BIN_CENTI),
+                "hi_centi": pa.array((b + 1) * HIST_BIN_CENTI),
+                "n_events": batch["n_events"],
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q5_LO = np.datetime64("1996-01-01", "us")
+Q5_HI = np.datetime64("1997-01-01", "us")
+
+
+def q5_region_revenue(
+    sf_dir: str, region: str = "ASIA", num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """TPC-H-Q5-shaped six-table join: revenue per nation for orders
+    whose customer AND line-item supplier sit in the same nation of one
+    region, within a one-year order-date window.
+
+    Join strategy by side size (the engine's standing rule): region,
+    nation, customer and supplier are DIMENSIONS — region/nation resolve
+    driver-side (a handful of rows); customer→nation and supplier→nation
+    become two sorted int64 lookup arrays broadcast once via ``ray.put``
+    and probed with searchsorted inside every batch (no shuffle). The
+    two FACT tables co-locate on the single shared partitioning key
+    hash(orderkey): orders ships (okey, cust_nation) for region hits
+    only, lineitem pre-aggregates revenue_e4 per (okey, supp_nation) per
+    batch, and each bucket joins with one searchsorted, keeps
+    cust_nation == supp_nation rows, and emits per-nation partials. The
+    final groupby moves ~|nations| rows per bucket. Revenue is exact
+    int64 e4 fixed point (cents × (100 − disc_pct)), same as q3."""
+    from ..pipeline import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ensure_serializable()
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    reg = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    )
+    rkeys = reg.filter(pc.equal(reg["r_name"], region))["r_regionkey"]
+    nat = nation.filter(pc.is_in(nation["n_regionkey"], value_set=rkeys))
+    nat_keys = nat["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nat_names = nat["n_name"].to_pylist()
+
+    def _sorted_lookup(table: str, key: str, val: str) -> tuple:
+        t = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"),
+                          columns=[key, val])
+        t = t.filter(pc.is_in(pc.cast(t[val], pa.int64()),
+                              value_set=pa.array(nat_keys)))
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[val].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(k)
+        return k[order], v[order]
+
+    cust_ref = ray.put(_sorted_lookup("customer", "c_custkey", "c_nationkey"))
+    supp_ref = ray.put(_sorted_lookup("supplier", "s_suppkey", "s_nationkey"))
+
+    def _probe(keys_sorted, vals, probe):
+        """searchsorted hit-test: returns (hit mask, value per hit)."""
+        if len(keys_sorted) == 0:
+            return np.zeros(len(probe), dtype=bool), np.array([], np.int64)
+        pos = np.clip(np.searchsorted(keys_sorted, probe), 0, len(keys_sorted) - 1)
+        hit = keys_sorted[pos] == probe
+        return hit, vals[pos[hit]]
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(
+            (pc.field("o_orderdate") >= pa.scalar(Q5_LO))
+            & (pc.field("o_orderdate") < pa.scalar(Q5_HI))
+        ),
+    )
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    class TagOrders:
+        def __init__(self, ref):
+            self._keys, self._nat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ckey = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            hit, cnat = _probe(self._keys, self._nat, ckey)
+            okey = batch["o_orderkey"].to_numpy(zero_copy_only=False)[hit]
+            n = len(okey)
+            return pa.table(
+                {
+                    "_b": pa.array((okey % num_buckets).astype(np.int32)),
+                    "okey": pa.array(okey.astype(np.int64)),
+                    "nat": pa.array(cnat),
+                    "rev_e4": pa.array(np.zeros(n, dtype=np.int64)),
+                    "is_order": pa.array(np.ones(n, dtype=np.int8)),
+                }
+            )
+
+    class TagLineitem:
+        def __init__(self, ref):
+            self._keys, self._nat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            skey = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+            hit, snat = _probe(self._keys, self._nat, skey)
+            t = batch.filter(pa.array(hit))
+            cents = _fixed_point(t["l_extendedprice"], 100)
+            disc_pct = _fixed_point(t["l_discount"], 100)
+            rev = pc.multiply(cents, pc.subtract(pa.scalar(100), disc_pct))
+            agg = (
+                pa.table(
+                    {
+                        "okey": t["l_orderkey"],
+                        "nat": pa.array(snat),
+                        "rev_e4": rev,
+                    }
+                )
+                .group_by(["okey", "nat"])
+                .aggregate([("rev_e4", "sum")])
+            )
+            okey = agg["okey"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "_b": pa.array((okey % num_buckets).astype(np.int32)),
+                    "okey": pa.array(okey.astype(np.int64)),
+                    "nat": agg["nat"],
+                    "rev_e4": agg["rev_e4_sum"],
+                    "is_order": pa.array(np.zeros(len(okey), dtype=np.int8)),
+                }
+            )
+
+    tagged = orders.map_batches(
+        TagOrders,
+        fn_constructor_args=(cust_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        num_cpus=1,
+    ).union(
+        lineitem.map_batches(
+            TagLineitem,
+            fn_constructor_args=(supp_ref,),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=pool_size(),
+            num_cpus=1,
+        )
+    )
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        is_order = t["is_order"].to_numpy(zero_copy_only=False) == 1
+        okey = t["okey"].to_numpy(zero_copy_only=False)
+        nat_col = t["nat"].to_numpy(zero_copy_only=False)
+        rev = t["rev_e4"].to_numpy(zero_copy_only=False)
+        o_keys, o_nat = okey[is_order], nat_col[is_order]
+        if len(o_keys) == 0 or not (~is_order).any():
+            return pa.table(
+                {
+                    "nat": pa.array([], pa.int64()),
+                    "rev_e4": pa.array([], pa.int64()),
+                }
+            )
+        order_sort = np.argsort(o_keys)
+        o_sorted = o_keys[order_sort]
+        l_keys, l_nat, l_rev = okey[~is_order], nat_col[~is_order], rev[~is_order]
+        pos = np.clip(np.searchsorted(o_sorted, l_keys), 0, len(o_sorted) - 1)
+        hit = o_sorted[pos] == l_keys
+        cust_nat = o_nat[order_sort[pos[hit]]]
+        same = cust_nat == l_nat[hit]
+        nat_hit = l_nat[hit][same]
+        rev_hit = l_rev[hit][same]
+        u, inv = np.unique(nat_hit, return_inverse=True)
+        sums = np.zeros(len(u), dtype=np.int64)
+        np.add.at(sums, inv, rev_hit)
+        return pa.table({"nat": pa.array(u), "rev_e4": pa.array(sums)})
+
+    joined = tagged.groupby("_b").map_groups(
+        lambda g: join_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
+    )
+    agg = joined.groupby("nat").aggregate(Sum("rev_e4", alias_name="revenue_e4"))
+
+    name_by_key = dict(zip(nat_keys.tolist(), nat_names))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        keys = batch["nat"].to_pylist()
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    [name_by_key[k] for k in keys], pa.string()
+                ),
+                "revenue_e4": batch["revenue_e4"],
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)

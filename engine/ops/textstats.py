@@ -327,3 +327,128 @@ def rolling_fingerprint(sf_dir: str) -> ray.data.Dataset:
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         fp, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+TFIDF_SCALE = 1_000_000_000
+
+
+def tfidf_top_terms(
+    sf_dir: str, k: int = 3, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """Per-document top-k terms by tf·idf with a LINEAR idf (score =
+    tf/df, fixed-point e9) — the keyword-extraction primitive, scored in
+    exact integer arithmetic so the DuckDB oracle matches bit-for-bit
+    (a log-idf would hinge on libm rounding parity; linear idf ranks
+    documents' terms identically for fixed tf).
+
+    Scale shape — two bucketed shuffles, no broadcast of the vocabulary:
+    1. ``map_batches``: split + flatten (Arrow kernels), per-batch
+       ``group_by(doc_id, word)`` → exact tf rows (a document lives in
+       exactly one batch row, so batch-local tf is global tf).
+    2. shuffle on hash(word): every row of a word co-locates, so df is a
+       run length — no count-distinct machinery; score_e9 = tf·1e9 // df
+       (all positive, so numpy floor == DuckDB trunc).
+    3. shuffle on doc_id % buckets: per-doc top-k by (score desc, word
+       asc) via one lexsort per bucket.
+    Both shuffles carry int32 bucket keys (~|buckets| distinct values —
+    the sort-shuffle scales with distinct keys, not bytes)."""
+    from ..pipeline import _hash_conv_ids
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(words)
+        doc = batch["doc_id"].take(pc.list_parent_indices(words))
+        mask = pc.not_equal(flat, "")
+        t = pa.table({"doc_id": doc.filter(mask), "word": flat.filter(mask)})
+        tf = t.group_by(["doc_id", "word"]).aggregate([("doc_id", "count")])
+        w = tf["word"].combine_chunks().to_numpy(zero_copy_only=False)
+        bucket = (_hash_conv_ids(w) % num_buckets).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": tf["doc_id"],
+                "word": tf["word"],
+                "tf": pc.cast(tf["doc_id_count"], pa.int64()),
+                "_b": pa.array(bucket),
+            }
+        )
+
+    def score_bucket(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("word", "ascending")]).combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "word": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "score_e9": pa.array([], pa.int64()),
+                    "_b": pa.array([], pa.int32()),
+                }
+            )
+        w = t["word"]
+        n = t.num_rows
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = pc.not_equal(w.slice(1), w.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        run_id = np.cumsum(new) - 1
+        df = np.bincount(run_id)[run_id]  # run length = docs per word
+        tf = t["tf"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "word": w,
+                "tf": t["tf"],
+                "df": pa.array(df.astype(np.int64)),
+                "score_e9": pa.array(tf * TFIDF_SCALE // df),
+                "_b": pa.array((doc % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def topk_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "word": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "score_e9": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        score = t["score_e9"].to_numpy(zero_copy_only=False)
+        word = t["word"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((word, -score, doc))
+        d_sorted = doc[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = d_sorted[1:] != d_sorted[:-1]
+        run_id = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        rank = np.arange(len(order)) - starts[run_id] + 1
+        keep = order[rank <= k]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(pa.array(keep)),
+                "word": t["word"].take(pa.array(keep)),
+                "tf": t["tf"].take(pa.array(keep)),
+                "df": t["df"].take(pa.array(keep)),
+                "score_e9": t["score_e9"].take(pa.array(keep)),
+                "rank": pa.array(rank[rank <= k].astype(np.int64)),
+            }
+        )
+
+    tf_rows = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        tf_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    scored = tf_rows.groupby("_b").map_groups(
+        lambda g: score_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
+    )
+    return scored.groupby("_b").map_groups(
+        lambda g: topk_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
+    )

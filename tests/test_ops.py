@@ -46,6 +46,8 @@ SQL_CHECKED = [
     "quantile_events_by_type", "embedding_centroids", "q3_shipping_priority",
     "running_total_events", "event_gaps", "enrich_events_with_segment",
     "distinct_users_per_type",
+    "grouped_stats_events", "histogram_events", "q5_region_revenue",
+    "tfidf_top_terms",
 ]
 
 
@@ -82,7 +84,7 @@ def test_all_queries_have_oracle_or_are_documented():
 @pytest.mark.parametrize(
     "name",
     ["render_conversations", "render_deepseek", "compact_history", "conv_stats",
-     "turn_token_counts"],
+     "turn_token_counts", "redact_transcripts"],
 )
 def test_transcript_query_matches_oracle(name, duck):
     """These oracles read the transcript fixture by path at the driver's
@@ -627,3 +629,46 @@ def test_interval_join_random_matches_duckdb(tmp_path):
         GROUP BY 1, 2 ORDER BY o_orderkey
     """).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_redact_patterns_mask_expected_tokens():
+    """Pattern-level semantics on crafted strings: URLs keep their digits
+    masked as one <URL>, emails one <EMAIL>, and only runs of >=2 digits
+    become <NUM> (single digits survive)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from engine.ops.convstats import REDACT_PATTERNS
+
+    text = pa.array(
+        [
+            "see https://ex.com/a?id=12345 now",
+            "mail me a.b+c@ex-ample.co.uk today",
+            "page 7 of 42, shard-123",
+            "plain text only",
+        ]
+    )
+    out = text
+    for _, pat, rep in REDACT_PATTERNS:
+        out = pc.replace_substring_regex(out, pat, rep)
+    assert out.to_pylist() == [
+        "see <URL> now",
+        "mail me <EMAIL> today",
+        "page 7 of <NUM>, shard-<NUM>",
+        "plain text only",
+    ]
+
+
+def test_tfidf_rare_term_outranks_common_term():
+    """Semantic check independent of the SQL oracle: a term unique to one
+    document must outscore (linear idf) a corpus-wide common term with
+    the same tf, and ranks are 1..k dense per doc."""
+    import __ray_entry__ as entrymod
+
+    df = _as_df(entrymod.queries()["tfidf_top_terms"](SF))
+    assert (df.groupby("doc_id")["rank"].min() == 1).all()
+    assert (df.groupby("doc_id")["rank"].apply(
+        lambda r: sorted(r) == list(range(1, len(r) + 1))
+    )).all()
+    # linear idf: score_e9 == tf * 1e9 // df exactly
+    assert (df["score_e9"] == df["tf"] * 1_000_000_000 // df["df"]).all()
