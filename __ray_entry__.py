@@ -165,6 +165,12 @@ def _redact_transcripts(sf_dir: str):
     return redact_transcripts(_transcript_files(sf_dir))
 
 
+def _dedup_turns(sf_dir: str):
+    from engine.ops.convstats import dedup_turns
+
+    return dedup_turns(_transcript_files(sf_dir))
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale; driver smoke-checks rows>=0."""
     return _extract_transcripts("/root/testdata/sf0.001")
@@ -193,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_stats": _conv_stats,
         "turn_token_counts": _turn_token_counts,
         "redact_transcripts": _redact_transcripts,
+        "dedup_turns": _dedup_turns,
         # relational operators (SURVEY SS2.6-2.7, SS2.10)
         "pricing_summary": relational.pricing_summary,
         "stage_totals": relational.stage_totals,
@@ -213,8 +220,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_customers": relational.anti_join_customers,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_region_revenue": relational.q5_region_revenue,
+        "q14_promo_revenue": relational.q14_promo_revenue,
         "grouped_stats_events": relational.grouped_stats_events,
         "histogram_events": relational.histogram_events,
+        "parse_event_props": relational.parse_event_props,
         # sampling / sketches / order statistics
         "sample_events": sketches.sample_events,
         "stratified_sample_events": sketches.stratified_sample_events,
@@ -240,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": textstats.bpe_token_counts,
         "word_counts": textstats.word_counts,
         "tfidf_top_terms": textstats.tfidf_top_terms,
+        "filter_quality_docs": textstats.filter_quality_docs,
         "normalize_documents": textstats.normalize_documents,
         "doc_fingerprint": textstats.doc_fingerprint,
         "rolling_fingerprint": textstats.rolling_fingerprint,
@@ -772,6 +782,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
         "redact_transcripts": _redact_sql(transcripts),
+        "dedup_turns": f"""
+            -- grouped by full text on the oracle side; the engine groups
+            -- by a 128-bit content hash and ships only int keys
+            SELECT min(conv_id) AS conv_id,
+                   CAST(min(turn_idx) AS BIGINT) AS min_turn_idx,
+                   count(*) AS n_dups
+            FROM {transcripts}
+            GROUP BY coalesce(text, '')
+        """,
+        "q14_promo_revenue": """
+            WITH q AS (
+              SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4,
+                     p_type = 'PROMO' AS is_promo
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-02-01')
+            SELECT CAST(sum(CASE WHEN is_promo THEN rev_e4 ELSE 0 END) AS BIGINT)
+                     AS promo_revenue_e4,
+                   CAST(sum(rev_e4) AS BIGINT) AS total_revenue_e4,
+                   CAST(sum(CASE WHEN is_promo THEN rev_e4 ELSE 0 END) * 1000
+                        // greatest(sum(rev_e4), 1) AS BIGINT) AS promo_permille
+            FROM q
+        """,
+        "parse_event_props": """
+            SELECT event_id, event_type,
+                   CAST(nullif(regexp_extract(props, '"k":\\s*(-?\\d+)', 1), '')
+                        AS BIGINT) AS k
+            FROM events
+        """,
+        "filter_quality_docs": f"""
+            -- exact integer predicate: stop_hits*1000 <= n_tokens*120
+            SELECT doc_id, n_tokens, stop_hits FROM (
+              SELECT doc_id,
+                     CAST(length(regexp_extract_all(text, '{TOKEN_PATTERN}'))
+                          AS BIGINT) AS n_tokens,
+                     CAST({stop_sql} AS BIGINT) AS stop_hits
+              FROM documents)
+            WHERE n_tokens BETWEEN 40 AND 120
+              AND stop_hits * 1000 <= n_tokens * 120
+        """,
         "grouped_stats_events": """
             -- sufficient statistics in exact int64 (centi-quantized value,
             -- integral hour-of-day): sums and cross-moments are order-

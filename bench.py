@@ -129,6 +129,9 @@ def run_bench() -> dict:
         "quality_score",
         "render_conversations",
         "q3_shipping_priority",
+        "q5_region_revenue",
+        "tfidf_top_terms",
+        "redact_transcripts",
     ):
         t0 = time.perf_counter()
         qs[name](sf_dir).to_pandas()

@@ -183,3 +183,46 @@ def redact_transcripts(transcript_paths) -> ray.data.Dataset:
         )
 
     return ds.map_batches(redact, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dedup_turns(transcript_paths) -> ray.data.Dataset:
+    """Turn-level exact dedup across the whole transcript corpus: one
+    representative per distinct turn text plus its duplication count —
+    repeated tool outputs and boilerplate turns are the bulk of
+    transcript redundancy.
+
+    Same scale shape as ``dedup.dedup_exact``: a vectorized 128-bit
+    content hash (two independent fixed-key siphashes) inside
+    ``map_batches`` means the shuffle moves (h1, h2, conv_id, turn_idx)
+    only — never the text — and the reduce is a NATIVE Min/Count
+    aggregate (no per-group Python). min(conv_id)/min(turn_idx) are
+    independent aggregates (not one row's pair), matching the SQL
+    oracle's min()/min()."""
+    from pandas.util import hash_array
+
+    from ray.data.aggregate import Count, Min
+
+    ds = _transcript_ds(transcript_paths, ["conv_id", "turn_idx", "text"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        texts = np.asarray(
+            pc.fill_null(batch["text"], "").to_pylist(), dtype=object
+        )
+        h1 = hash_array(texts, hash_key="engine-turndup01").view(np.int64)
+        h2 = hash_array(texts, hash_key="engine-turndup02").view(np.int64)
+        return pa.table(
+            {
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
+                "conv_id": batch["conv_id"],
+                "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            }
+        )
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    agg = hashed.groupby(["h1", "h2"]).aggregate(
+        Min("conv_id", alias_name="conv_id"),
+        Min("turn_idx", alias_name="min_turn_idx"),
+        Count(alias_name="n_dups"),
+    )
+    return agg.select_columns(["conv_id", "min_turn_idx", "n_dups"])

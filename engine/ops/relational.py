@@ -1414,3 +1414,122 @@ def q5_region_revenue(
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q14_LO = np.datetime64("1996-01-01", "us")
+Q14_HI = np.datetime64("1996-02-01", "us")
+
+
+def q14_promo_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q14-shaped promo-revenue share: of one month's lineitem
+    revenue, how much came from PROMO-type parts. First consumer of the
+    part table.
+
+    Join strategy: part is the small side — its PROMO partkeys broadcast
+    once as a sorted int64 array (``ray.put`` + searchsorted per batch, a
+    semi-join flag with no shuffle); lineitem is pruned at the read
+    (columns + shipdate row filter) and pre-aggregates a TWO-number
+    partial (promo_e4, total_e4) per batch, so the "shuffle" is a
+    single-group sum of batch partials. The share is an exact integer
+    permille (numerator*1000 // denominator) — no float anywhere."""
+    ensure_serializable()
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    promo = np.sort(
+        part.filter(pc.equal(part["p_type"], "PROMO"))["p_partkey"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    promo_ref = ray.put(promo)
+
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= pa.scalar(Q14_LO))
+            & (pc.field("l_shipdate") < pa.scalar(Q14_HI))
+        ),
+    )
+
+    class Partial:
+        def __init__(self, ref):
+            self._promo = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cents = _fixed_point(batch["l_extendedprice"], 100)
+            disc_pct = _fixed_point(batch["l_discount"], 100)
+            rev = pc.multiply(
+                cents, pc.subtract(pa.scalar(100), disc_pct)
+            ).to_numpy(zero_copy_only=False)
+            pkey = batch["l_partkey"].to_numpy(zero_copy_only=False)
+            if len(self._promo):
+                pos = np.clip(
+                    np.searchsorted(self._promo, pkey), 0, len(self._promo) - 1
+                )
+                is_promo = self._promo[pos] == pkey
+            else:
+                is_promo = np.zeros(len(pkey), dtype=bool)
+            return pa.table(
+                {
+                    "promo_e4": pa.array([int(rev[is_promo].sum())]),
+                    "total_e4": pa.array([int(rev.sum())]),
+                }
+            )
+
+    partials = lineitem.map_batches(
+        Partial,
+        fn_constructor_args=(promo_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        num_cpus=1,
+    )
+    agg = partials.sum(["promo_e4", "total_e4"])
+
+    import ray.data as rd
+
+    promo_e4 = int(agg["sum(promo_e4)"])
+    total_e4 = int(agg["sum(total_e4)"])
+    return rd.from_arrow(
+        pa.table(
+            {
+                "promo_revenue_e4": pa.array([promo_e4], pa.int64()),
+                "total_revenue_e4": pa.array([total_e4], pa.int64()),
+                "promo_permille": pa.array(
+                    [promo_e4 * 1000 // max(total_e4, 1)], pa.int64()
+                ),
+            }
+        )
+    )
+
+
+PROPS_K_RE = r'"k":\s*(-?\d+)'
+
+
+def parse_event_props(sf_dir: str) -> ray.data.Dataset:
+    """Semi-structured field extraction: pull the integer ``k`` out of the
+    events table's JSON ``props`` column — the log-pipeline staple of
+    parsing a JSON payload column without a Python json.loads per row.
+
+    ``pc.extract_regex`` runs the RE2 capture over the whole batch in C;
+    rows whose props lack a parsable k yield null (never an error).
+    Embarrassingly parallel, no shuffle."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "props"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(
+            pc.fill_null(batch["props"], ""), PROPS_K_RE.replace("(-?", "(?P<k>-?", 1)
+        )
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "k": k,
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)

@@ -452,3 +452,52 @@ def tfidf_top_terms(
     return scored.groupby("_b").map_groups(
         lambda g: topk_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
     )
+
+
+FILTER_MIN_TOKENS = 40
+FILTER_MAX_TOKENS = 120
+FILTER_STOP_PERMILLE = 120      # stop_hits/n_tokens <= 0.12
+
+
+def filter_quality_docs(sf_dir: str) -> ray.data.Dataset:
+    """C4-style quality cleaning filter: keep documents whose token count
+    sits in [40, 120] and whose stopword ratio is <= 0.12 — the
+    row-pruning pass a training-data pipeline runs before tokenization.
+
+    The ratio threshold is evaluated as an exact integer cross-product
+    (stop_hits * 1000 <= n_tokens * 120) so no float — and no rounding-
+    parity question — exists anywhere in the predicate. Embarrassingly
+    parallel Arrow kernels; the filter prunes rows INSIDE the batch, so
+    downstream stages never see rejected documents."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_tokens = pc.cast(
+            pc.count_substring_regex(text, TOKEN_PATTERN), pa.int64()
+        )
+        stop_hits = None
+        for w in STOPWORDS:
+            hits = pc.count_substring_regex(text, rf"\b{w}\b")
+            stop_hits = hits if stop_hits is None else pc.add(stop_hits, hits)
+        stop_hits = pc.cast(stop_hits, pa.int64())
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(n_tokens, FILTER_MIN_TOKENS),
+                pc.less_equal(n_tokens, FILTER_MAX_TOKENS),
+            ),
+            pc.less_equal(
+                pc.multiply(stop_hits, pa.scalar(1000, pa.int64())),
+                pc.multiply(n_tokens, pa.scalar(FILTER_STOP_PERMILLE, pa.int64())),
+            ),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": n_tokens,
+                "stop_hits": stop_hits,
+            }
+        ).filter(mask)
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -48,6 +48,7 @@ SQL_CHECKED = [
     "distinct_users_per_type",
     "grouped_stats_events", "histogram_events", "q5_region_revenue",
     "tfidf_top_terms",
+    "q14_promo_revenue", "parse_event_props", "filter_quality_docs",
 ]
 
 
@@ -84,7 +85,7 @@ def test_all_queries_have_oracle_or_are_documented():
 @pytest.mark.parametrize(
     "name",
     ["render_conversations", "render_deepseek", "compact_history", "conv_stats",
-     "turn_token_counts", "redact_transcripts"],
+     "turn_token_counts", "redact_transcripts", "dedup_turns"],
 )
 def test_transcript_query_matches_oracle(name, duck):
     """These oracles read the transcript fixture by path at the driver's
@@ -672,3 +673,32 @@ def test_tfidf_rare_term_outranks_common_term():
     )).all()
     # linear idf: score_e9 == tf * 1e9 // df exactly
     assert (df["score_e9"] == df["tf"] * 1_000_000_000 // df["df"]).all()
+
+
+def test_dedup_turns_finds_pool_reuse():
+    """The synthesizer reuses pooled payload/tool texts across turns, so
+    turn-level dedup must find real duplicate groups (n_dups > 1) and
+    the per-group representatives must be unique."""
+    import __ray_entry__ as entrymod
+
+    df = _as_df(entrymod.queries()["dedup_turns"]("/root/testdata/sf0.001"))
+    assert (df["n_dups"] >= 1).all()
+    assert df["n_dups"].max() > 1
+
+
+def test_filter_quality_docs_predicate_is_exact():
+    import __ray_entry__ as entrymod
+
+    df = _as_df(entrymod.queries()["filter_quality_docs"](SF))
+    assert df["n_tokens"].between(40, 120).all()
+    assert (df["stop_hits"] * 1000 <= df["n_tokens"] * 120).all()
+    assert 0 < len(df) < 500  # filters some, not all
+
+
+def test_parse_event_props_total_matches_sum():
+    """k parses for every fixture row and survives an integer roll-up."""
+    import __ray_entry__ as entrymod
+
+    df = _as_df(entrymod.queries()["parse_event_props"](SF))
+    assert df["k"].notna().all()
+    assert df["k"].between(0, 99).all()
