@@ -224,6 +224,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_stats_events": relational.grouped_stats_events,
         "histogram_events": relational.histogram_events,
         "parse_event_props": relational.parse_event_props,
+        "q4_order_priority": relational.q4_order_priority,
+        "q13_customer_distribution": relational.q13_customer_distribution,
+        "pivot_events_by_day": relational.pivot_events_by_day,
+        "rollup_events": relational.rollup_events,
         # sampling / sketches / order statistics
         "sample_events": sketches.sample_events,
         "stratified_sample_events": sketches.stratified_sample_events,
@@ -811,6 +815,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(nullif(regexp_extract(props, '"k":\\s*(-?\\d+)', 1), '')
                         AS BIGINT) AS k
             FROM events
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate <  TIMESTAMP '1996-10-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "q13_customer_distribution": """
+            WITH per_cust AS (
+              SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey)
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM per_cust GROUP BY c_count
+        """,
+        "pivot_events_by_day": """
+            SELECT epoch_us(ts) // 86400000000 AS day,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+                     AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT)
+                     AS n_signup,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+                   CAST(count(*) AS BIGINT) AS n_total
+            FROM events GROUP BY day
+        """,
+        "rollup_events": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(epoch_us(ts) // 86400000000, -1) AS day,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_cents
+            FROM events
+            GROUP BY ROLLUP (event_type, (epoch_us(ts) // 86400000000))
         """,
         "filter_quality_docs": f"""
             -- exact integer predicate: stop_hits*1000 <= n_tokens*120

@@ -1533,3 +1533,301 @@ def parse_event_props(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q4_LO = np.datetime64("1996-07-01", "us")
+Q4_HI = np.datetime64("1996-10-01", "us")
+Q4_LATE_US = 30 * 86_400_000_000  # "late" = shipped >30 days after order
+
+
+def q4_order_priority(sf_dir: str, num_buckets: int | None = None) -> ray.data.Dataset:
+    """TPC-H-Q4-shaped EXISTS semi-join: per order priority, how many
+    orders placed in 1996Q3 have at least one lineitem shipped more than
+    30 days after the order date.
+
+    EXISTS collapses to a max-reduction — ``EXISTS(l_shipdate > d)`` ⟺
+    ``max(l_shipdate) > d`` — so the lineitem side never ships rows:
+    each batch pre-reduces to one (orderkey, max_shipdate) row (combiner
+    discipline), both sides hash-bucket on orderkey (the shared
+    partitioning key of the whole Q-family), and each bucket re-reduces
+    the max per orderkey with one sort + ``np.maximum.reduceat``, then
+    emits per-priority partial counts. Final shuffle: ~|priorities|
+    rows per bucket. Analog of the reference's request-dispatch
+    fan-in counting (SURVEY J*/A1 family)."""
+    from ..pipeline import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ensure_serializable()
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(
+            (pc.field("o_orderdate") >= Q4_LO) & (pc.field("o_orderdate") < Q4_HI)
+        ),
+    )
+    lineitem = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        key = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        od = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array((key % num_buckets).astype(np.int32)),
+                "key": pa.array(key.astype(np.int64)),
+                "t_us": pa.array(od + Q4_LATE_US),
+                "priority": batch["o_orderpriority"],
+                "is_probe": pa.array(np.zeros(len(key), dtype=np.int8)),
+            }
+        )
+
+    def tag_lineitem(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "key": batch["l_orderkey"],
+                "ship_us": pc.cast(batch["l_shipdate"], pa.int64()),
+            }
+        ).group_by(["key"]).aggregate([("ship_us", "max")])
+        key = t["key"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array((key % num_buckets).astype(np.int32)),
+                "key": pa.array(key.astype(np.int64)),
+                "t_us": t["ship_us_max"],
+                "priority": pa.array([""] * len(key), pa.string()),
+                "is_probe": pa.array(np.ones(len(key), dtype=np.int8)),
+            }
+        )
+
+    tagged = orders.map_batches(
+        tag_orders, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        lineitem.map_batches(tag_lineitem, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def semi_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        key = t["key"].to_numpy(zero_copy_only=False)
+        tus = t["t_us"].to_numpy(zero_copy_only=False)
+        probe = t["is_probe"].to_numpy(zero_copy_only=False) == 1
+        pk, pt = key[probe], tus[probe]
+        if pk.size:
+            order = np.argsort(pk, kind="stable")
+            pk, pt = pk[order], pt[order]
+            starts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+            uk = pk[starts]
+            umax = np.maximum.reduceat(pt, starts)
+        else:
+            uk = np.empty(0, dtype=np.int64)
+            umax = np.empty(0, dtype=np.int64)
+        ok, odeadline = key[~probe], tus[~probe]
+        pos = np.searchsorted(uk, ok)
+        pos_ok = pos < uk.size
+        hit = np.zeros(ok.size, dtype=bool)
+        hit[pos_ok] = (uk[pos[pos_ok]] == ok[pos_ok]) & (
+            umax[pos[pos_ok]] > odeadline[pos_ok]
+        )
+        pr = t.filter(pa.array(~probe))["priority"].filter(pa.array(hit))
+        u = pa.table({"o_orderpriority": pr}).group_by(
+            ["o_orderpriority"]
+        ).aggregate([([], "count_all")])
+        return u.rename_columns(["o_orderpriority", "n"])
+
+    partials = tagged.groupby("_b").map_groups(
+        lambda g: semi_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
+    )
+    return partials.groupby("o_orderpriority").aggregate(
+        Sum("n", alias_name="order_count")
+    )
+
+
+def q13_customer_distribution(
+    sf_dir: str, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """TPC-H-Q13-shaped LEFT OUTER JOIN distribution: for every customer,
+    their count of non-urgent orders (zero included — the LEFT-ness),
+    then the distribution custdist(c_count) = how many customers share
+    each order count.
+
+    Physical shape: the orders side pre-reduces to per-batch (custkey,
+    partial count) — never rows; customers ship one key each; both
+    bucket on hash(custkey); each bucket sums counts per custkey,
+    fills absent customers with zero via one ``np.searchsorted`` probe,
+    and bincounts the per-customer totals, so the final shuffle carries
+    one (c_count, partial custdist) row per distinct count per bucket."""
+    from ..pipeline import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ensure_serializable()
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"],
+        filter=(pc.field("o_orderpriority") != "1-URGENT"),
+    )
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        key = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array((key % num_buckets).astype(np.int32)),
+                "key": pa.array(key.astype(np.int64)),
+                "n": pa.array(np.zeros(len(key), dtype=np.int64)),
+                "is_cust": pa.array(np.ones(len(key), dtype=np.int8)),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        t = pa.table({"key": batch["o_custkey"]}).group_by(["key"]).aggregate(
+            [([], "count_all")]
+        )
+        key = t["key"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array((key % num_buckets).astype(np.int32)),
+                "key": pa.array(key.astype(np.int64)),
+                "n": t.column(1).cast(pa.int64()),
+                "is_cust": pa.array(np.zeros(len(key), dtype=np.int8)),
+            }
+        )
+
+    tagged = cust.map_batches(
+        tag_cust, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        orders.map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def dist_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        key = t["key"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        is_cust = t["is_cust"].to_numpy(zero_copy_only=False) == 1
+        ck = np.unique(key[is_cust])
+        ok, on = key[~is_cust], n[~is_cust]
+        order = np.argsort(ok, kind="stable")
+        ok, on = ok[order], on[order]
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]]) if ok.size else np.empty(0, dtype=np.int64)
+        uk = ok[starts] if ok.size else ok
+        totals = np.add.reduceat(on, starts) if ok.size else on
+        counts = np.zeros(ck.size, dtype=np.int64)
+        pos = np.searchsorted(uk, ck)
+        pos_ok = pos < uk.size
+        match = np.zeros(ck.size, dtype=bool)
+        match[pos_ok] = uk[pos[pos_ok]] == ck[pos_ok]
+        counts[match] = totals[pos[match]]
+        u, c = np.unique(counts, return_counts=True)
+        return pa.table(
+            {"c_count": pa.array(u), "custdist": pa.array(c.astype(np.int64))}
+        )
+
+    partials = tagged.groupby("_b").map_groups(
+        lambda g: dist_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
+    )
+    return partials.groupby("c_count").aggregate(Sum("custdist", alias_name="custdist"))
+
+
+DAY_US = 86_400_000_000
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_events_by_day(sf_dir: str) -> ray.data.Dataset:
+    """PIVOT: events long → wide, one row per day with one count column
+    per event type plus the row total — the conditional-aggregation
+    pivot every reporting pipeline ends with. The type set is a fixed
+    schema contract (pivot output columns cannot be data-dependent in a
+    streaming engine); unknown types would surface as a row-total
+    mismatch rather than silently dropping.
+
+    Per-batch partials: one boolean mask cast to int64 per type, summed
+    by day with Arrow ``group_by`` — the shuffle carries |days|×7 ints
+    per batch regardless of event volume. No per-row Python."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+    ensure_serializable()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(batch["ts"], pa.int64()), DAY_US)
+        cols = {"day": day}
+        for et in EVENT_TYPES:
+            cols[f"n_{et}"] = pc.cast(
+                pc.equal(batch["event_type"], et), pa.int64()
+            )
+        t = pa.table(cols)
+        return t.group_by(["day"]).aggregate(
+            [(f"n_{et}", "sum") for et in EVENT_TYPES] + [([], "count_all")]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("day").aggregate(
+        *[Sum(f"n_{et}_sum", alias_name=f"n_{et}") for et in EVENT_TYPES],
+        Sum("count_all", alias_name="n_total"),
+    )
+
+
+ROLLUP_ALL = -1  # sentinel for the rolled-up day level
+ROLLUP_ALL_TYPE = "ALL"
+
+
+def rollup_events(sf_dir: str) -> ray.data.Dataset:
+    """GROUP BY ROLLUP(event_type, day): exact counts and cent-sums at
+    three grains — (type, day), (type, ALL), (ALL, ALL) — in one pass.
+
+    The base (type, day) aggregate IS the only shuffle; both coarser
+    levels are re-aggregations of the tiny base table (|types|×|days|
+    rows), computed in a single-block finalize (``repartition(1)`` on
+    the already-small aggregate, not on the input stream). Sentinels
+    ('ALL' / -1) keep the output schema non-null and hashable."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    ensure_serializable()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "day": pc.divide(pc.cast(batch["ts"], pa.int64()), DAY_US),
+                "cents": _fixed_point(batch["value"], 100),
+            }
+        )
+        return t.group_by(["event_type", "day"]).aggregate(
+            [("cents", "count"), ("cents", "sum")]
+        )
+
+    base = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "day"])
+        .aggregate(
+            Sum("cents_count", alias_name="n"),
+            Sum("cents_sum", alias_name="sum_cents"),
+        )
+    )
+
+    def add_levels(batch: pa.Table) -> pa.Table:
+        per_type = batch.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("sum_cents", "sum")]
+        )
+        lvl2 = pa.table(
+            {
+                "event_type": per_type["event_type"],
+                "day": pa.array([ROLLUP_ALL] * per_type.num_rows, pa.int64()),
+                "n": per_type["n_sum"],
+                "sum_cents": per_type["sum_cents_sum"],
+            }
+        )
+        lvl3 = pa.table(
+            {
+                "event_type": pa.array([ROLLUP_ALL_TYPE], pa.string()),
+                "day": pa.array([ROLLUP_ALL], pa.int64()),
+                "n": pa.array([pc.sum(batch["n"]).as_py() or 0], pa.int64()),
+                "sum_cents": pa.array(
+                    [pc.sum(batch["sum_cents"]).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+        cols = ["event_type", "day", "n", "sum_cents"]
+        return pa.concat_tables([batch.select(cols), lvl2, lvl3])
+
+    return base.repartition(1).map_batches(
+        add_levels, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -49,6 +49,8 @@ SQL_CHECKED = [
     "grouped_stats_events", "histogram_events", "q5_region_revenue",
     "tfidf_top_terms",
     "q14_promo_revenue", "parse_event_props", "filter_quality_docs",
+    "q4_order_priority", "q13_customer_distribution",
+    "pivot_events_by_day", "rollup_events",
 ]
 
 
