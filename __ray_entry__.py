@@ -228,6 +228,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_customer_distribution": relational.q13_customer_distribution,
         "pivot_events_by_day": relational.pivot_events_by_day,
         "rollup_events": relational.rollup_events,
+        "rank_events_per_user": relational.rank_events_per_user,
+        "moving_sum_events": relational.moving_sum_events,
+        "user_type_setops": relational.user_type_setops,
         # sampling / sketches / order statistics
         "sample_events": sketches.sample_events,
         "stratified_sample_events": sketches.stratified_sample_events,
@@ -246,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_ivf": similarity.knn_ivf,
         "embedding_centroids": similarity.embedding_centroids,
+        "unnest_embeddings": similarity.unnest_embeddings,
         # text analysis
         "quality_score": textstats.quality_score,
         "lang_id": textstats.lang_id,
@@ -856,6 +860,38 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_cents
             FROM events
             GROUP BY ROLLUP (event_type, (epoch_us(ts) // 86400000000))
+        """,
+        "rank_events_per_user": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY user_id
+                     ORDER BY value DESC, ts, event_id) AS BIGINT) AS rn
+            FROM events
+        """,
+        "moving_sum_events": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+                     AS w3_cents
+            FROM events
+        """,
+        "user_type_setops": """
+            SELECT user_id, epoch_us(ts) // 86400000000 AS day
+            FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id, epoch_us(ts) // 86400000000
+            FROM events WHERE event_type = 'purchase'
+            EXCEPT
+            SELECT user_id, epoch_us(ts) // 86400000000
+            FROM events WHERE event_type = 'error'
+        """,
+        "unnest_embeddings": """
+            SELECT vec_id,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                        AS BIGINT) AS val_micro
+            FROM embeddings
         """,
         "filter_quality_docs": f"""
             -- exact integer predicate: stop_hits*1000 <= n_tokens*120

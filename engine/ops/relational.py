@@ -987,19 +987,23 @@ def sliding_window_events(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def _per_user_ordered(sf_dir: str, num_buckets: int | None, finalize):
+def _per_user_ordered(sf_dir: str, num_buckets: int | None, finalize, sort_keys=None):
     """Shared machinery for per-user ordered window functions (running
-    totals, lag): bucket events by hash(user_id) — the engine's one
-    partitioning key for the events stream — and hand each bucket,
-    sorted by (user_id, ts, event_id), to a vectorized ``finalize``
-    along with its per-user run starts. One shuffle, no per-row or
-    per-user Python."""
+    totals, lag, ranks): bucket events by hash(user_id) — the engine's
+    one partitioning key for the events stream — and hand each bucket,
+    sorted by ``sort_keys`` (default (user_id, ts, event_id)), to a
+    vectorized ``finalize`` along with its per-user run starts. One
+    shuffle, no per-row or per-user Python."""
     from pandas.util import hash_array
 
     from ..pipeline import default_num_buckets
 
     if num_buckets is None:
         num_buckets = default_num_buckets()
+    if sort_keys is None:
+        sort_keys = [
+            ("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")
+        ]
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -1008,10 +1012,7 @@ def _per_user_ordered(sf_dir: str, num_buckets: int | None, finalize):
         return batch.append_column("_ub", pa.array(bucket))
 
     def run(group: pa.Table) -> pa.Table:
-        t = group.sort_by(
-            [("user_id", "ascending"), ("ts", "ascending"),
-             ("event_id", "ascending")]
-        ).combine_chunks()
+        t = group.sort_by(list(sort_keys)).combine_chunks()
         n = t.num_rows
         uid = t.column("user_id").to_numpy(zero_copy_only=False)
         new_user = np.empty(n, dtype=bool)
@@ -1830,4 +1831,166 @@ def rollup_events(sf_dir: str) -> ray.data.Dataset:
 
     return base.repartition(1).map_batches(
         add_levels, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def rank_events_per_user(
+    sf_dir: str, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """ROW_NUMBER() OVER (PARTITION BY user ORDER BY value DESC, ts,
+    event_id): every event tagged with its per-user rank by value —
+    the ranking window function (vs ``grouped_topn_events``, which
+    truncates; this one emits the full numbering).
+
+    Same physical shape as the other per-user windows: one
+    hash(user_id) bucket shuffle, per-bucket vectorized sort + run
+    arithmetic. Ties are impossible to mis-order: the (ts, event_id)
+    tiebreak makes the numbering total and engine-independent."""
+
+    def finalize(t: pa.Table, starts: np.ndarray, n: int) -> pa.Table:
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "rn": pa.array([], pa.int64()),
+                }
+            )
+        sizes = np.diff(np.append(starts, n))
+        rn = np.arange(n) - np.repeat(starts, sizes) + 1
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "rn": pa.array(rn.astype(np.int64)),
+            }
+        )
+
+    return _per_user_ordered(
+        sf_dir, num_buckets, finalize,
+        sort_keys=[
+            ("user_id", "ascending"), ("value", "descending"),
+            ("ts", "ascending"), ("event_id", "ascending"),
+        ],
+    )
+
+
+MOVING_FRAME = 3  # current row + 2 preceding
+
+
+def moving_sum_events(
+    sf_dir: str, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Frame window: per-user SUM(cents) OVER (ORDER BY ts, event_id
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) — the bounded-frame
+    moving aggregate, computed as cum[i] − cum[i−3] with the frame
+    clipped at each user's run start. Exact int64 cents; one bucket
+    shuffle, no per-row Python."""
+
+    def finalize(t: pa.Table, starts: np.ndarray, n: int) -> pa.Table:
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "w3_cents": pa.array([], pa.int64()),
+                }
+            )
+        sizes = np.diff(np.append(starts, n))
+        v = _fixed_point(t.column("value"), 100).combine_chunks()
+        v = v.to_numpy(zero_copy_only=False)
+        cum = np.cumsum(v)
+        run_start = np.repeat(starts, sizes)
+        idx = np.arange(n)
+        lo = np.maximum(idx - (MOVING_FRAME - 1), run_start)
+        w = cum - np.where(lo > 0, cum[lo - 1], 0)
+        # frames that start at global row 0 subtract nothing
+        w = np.where(lo == 0, cum, w)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "w3_cents": pa.array(w.astype(np.int64)),
+            }
+        )
+
+    return _per_user_ordered(sf_dir, num_buckets, finalize)
+
+
+def user_type_setops(sf_dir: str, num_buckets: int | None = None) -> ray.data.Dataset:
+    """Distributed SET OPS on a compound key: (user, day) pairs with a
+    'click' INTERSECT pairs with a 'purchase' EXCEPT pairs with an
+    'error' — "days a user both browsed and bought, with no error".
+
+    Set membership is three booleans per key, so the whole op is a
+    grouped MAX of flag columns: per-batch ``group_by(user, day)``
+    partials (the combiner — each batch ships ≤3 ints per distinct
+    key), one hash(user) bucket shuffle (day rides along — bucketing by
+    the user half of the key alone keeps ONE partitioning key for the
+    events stream), and a vectorized per-bucket OR + mask. No sort
+    shuffle, no pair lists, no native high-cardinality groupby (the
+    sort-shuffle cost scales with distinct keys — bucketing keeps the
+    key space at ``num_buckets``)."""
+    from pandas.util import hash_array
+
+    from ..pipeline import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ensure_serializable()
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+        filter=(pc.field("event_type").isin(["click", "purchase", "error"])),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "day": pc.divide(pc.cast(batch["ts"], pa.int64()), DAY_US),
+                "f_click": pc.cast(pc.equal(batch["event_type"], "click"), pa.int8()),
+                "f_purchase": pc.cast(
+                    pc.equal(batch["event_type"], "purchase"), pa.int8()
+                ),
+                "f_error": pc.cast(pc.equal(batch["event_type"], "error"), pa.int8()),
+            }
+        ).group_by(["user_id", "day"]).aggregate(
+            [("f_click", "max"), ("f_purchase", "max"), ("f_error", "max")]
+        )
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_b", pa.array((hash_array(uid) % num_buckets).astype(np.int32))
+        )
+
+    def setop_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        day = t["day"].to_numpy(zero_copy_only=False)
+        fc = t["f_click_max"].to_numpy(zero_copy_only=False)
+        fp = t["f_purchase_max"].to_numpy(zero_copy_only=False)
+        fe = t["f_error_max"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, uid))
+        uid, day, fc, fp, fe = uid[order], day[order], fc[order], fp[order], fe[order]
+        if not uid.size:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()), "day": pa.array([], pa.int64())}
+            )
+        new = np.r_[True, (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])]
+        starts = np.flatnonzero(new)
+        click = np.maximum.reduceat(fc, starts) > 0
+        purch = np.maximum.reduceat(fp, starts) > 0
+        err = np.maximum.reduceat(fe, starts) > 0
+        keep = click & purch & ~err
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts][keep]),
+                "day": pa.array(day[starts][keep]),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("_b").map_groups(
+        lambda g: setop_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
     )

@@ -429,3 +429,48 @@ def embedding_centroids(sf_dir: str) -> ray.data.Dataset:
         )
 
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def unnest_embeddings(sf_dir: str) -> ray.data.Dataset:
+    """UNNEST / explode with ordinality: the embeddings list column blown
+    out to one (vec_id, pos, val_micro) row per element — the
+    long-format bridge every vector table needs for columnar downstream
+    math (and the engine's 1→N flat-map shape on a list column, the
+    relational cousin of ``video_frame_sample``).
+
+    Zero-copy expansion: ``list_flatten`` reuses the child buffer,
+    positions come from the list offsets (arange minus repeated run
+    starts), ids from one ``np.repeat``. Embarrassingly parallel — no
+    shuffle. Values quantize float32 → int64 micro AFTER an explicit
+    cast to float64, the same float-widening contract as
+    ``embedding_centroids`` (float32*1e6 in single precision would
+    diverge from the oracle's DOUBLE math)."""
+    ensure_serializable()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"]
+        lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(col)
+        vals = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(flat, pa.float64()), 1_000_000.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        n = int(lengths.sum())
+        starts = np.cumsum(lengths) - lengths
+        pos = np.arange(n) - np.repeat(starts, lengths)
+        vid = np.repeat(batch["vec_id"].to_numpy(zero_copy_only=False), lengths)
+        return pa.table(
+            {
+                "vec_id": pa.array(vid.astype(np.int64)),
+                "pos": pa.array(pos.astype(np.int64)),
+                "val_micro": vals,
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)

@@ -51,6 +51,8 @@ SQL_CHECKED = [
     "q14_promo_revenue", "parse_event_props", "filter_quality_docs",
     "q4_order_priority", "q13_customer_distribution",
     "pivot_events_by_day", "rollup_events",
+    "rank_events_per_user", "moving_sum_events", "user_type_setops",
+    "unnest_embeddings",
 ]
 
 
