@@ -171,6 +171,12 @@ def _dedup_turns(sf_dir: str):
     return dedup_turns(_transcript_files(sf_dir))
 
 
+def _chunk_conversations(sf_dir: str):
+    from engine.ops.convstats import chunk_conversations
+
+    return chunk_conversations(_transcript_files(sf_dir))
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale; driver smoke-checks rows>=0."""
     return _extract_transcripts("/root/testdata/sf0.001")
@@ -200,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_token_counts": _turn_token_counts,
         "redact_transcripts": _redact_transcripts,
         "dedup_turns": _dedup_turns,
+        "chunk_conversations": _chunk_conversations,
         # relational operators (SURVEY SS2.6-2.7, SS2.10)
         "pricing_summary": relational.pricing_summary,
         "stage_totals": relational.stage_totals,
@@ -237,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": sketches.approx_distinct_users,
         "quantile_events_value": sketches.quantile_events_value,
         "quantile_events_by_type": sketches.quantile_events_by_type,
+        "heavy_hitter_words": sketches.heavy_hitter_words,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -798,6 +806,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups
             FROM {transcripts}
             GROUP BY coalesce(text, '')
+        """,
+        "chunk_conversations": f"""
+            WITH tok AS (
+              SELECT conv_id, turn_idx,
+                     CAST(length(regexp_extract_all(coalesce(text, ''), '\\S+'))
+                          AS BIGINT) AS n_tokens
+              FROM {transcripts})
+            SELECT conv_id, turn_idx,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                     PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256
+                     AS BIGINT) AS chunk_id,
+                   n_tokens
+            FROM tok
         """,
         "q14_promo_revenue": """
             WITH q AS (

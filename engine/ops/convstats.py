@@ -226,3 +226,75 @@ def dedup_turns(transcript_paths) -> ray.data.Dataset:
         Count(alias_name="n_dups"),
     )
     return agg.select_columns(["conv_id", "min_turn_idx", "n_dups"])
+
+
+CHUNK_TOKENS = 256  # token budget per packed training chunk
+
+
+def chunk_conversations(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
+    """SEQUENCE PACKING: assign each turn to a fixed-budget training
+    chunk — chunk_id = floor(tokens_before_this_turn / CHUNK_TOKENS)
+    within its conversation, turns in turn_idx order. The
+    context-window chunking pass an LLM training pipeline runs between
+    extraction and tokenized shard writing; deterministic (a pure
+    function of the conversation prefix) so resumed runs re-derive
+    identical chunk boundaries.
+
+    Physical shape: token counts are an Arrow regex kernel per batch;
+    the only shuffle buckets rows by hash(conv_id) — the engine's one
+    transcript partitioning key — and each bucket sorts (conv_id,
+    turn_idx) once and takes a cumsum-minus-run-base. No per-row or
+    per-conversation Python."""
+    ds = _transcript_ds(transcript_paths, ["conv_id", "turn_idx", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        conv = np.asarray(batch["conv_id"].to_pylist(), dtype=object)
+        b = (_hash_conv_ids(conv) % num_buckets).astype(np.int32)
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(
+                        pc.fill_null(batch["text"], ""), TOKEN_RE
+                    ),
+                    pa.int64(),
+                ),
+                "_b": pa.array(b),
+            }
+        )
+
+    def pack_bucket(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")]
+        ).combine_chunks()
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "turn_idx": pa.array([], pa.int64()),
+                    "chunk_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                }
+            )
+        conv = np.asarray(t["conv_id"].to_pylist(), dtype=object)
+        tok = t["n_tokens"].to_numpy(zero_copy_only=False)
+        new = np.r_[True, conv[1:] != conv[:-1]]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, n))
+        cum = np.cumsum(tok)
+        before = cum - tok - np.repeat(cum[starts] - tok[starts], sizes)
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "chunk_id": pa.array((before // CHUNK_TOKENS).astype(np.int64)),
+                "n_tokens": t["n_tokens"],
+            }
+        )
+
+    counted = ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+    return counted.groupby("_b").map_groups(
+        lambda g: pack_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
+    )

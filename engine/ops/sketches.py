@@ -334,3 +334,95 @@ def quantile_events_by_type(sf_dir: str) -> ray.data.Dataset:
     return merged.groupby("event_type").map_groups(
         finalize, batch_format="pyarrow"
     )
+
+
+MG_CAPACITY = 64  # Misra-Gries summary size per partial
+
+
+def _mg_compress(words: np.ndarray, counts: np.ndarray, k: int):
+    """Compress a (word, count) multiset to ≤ k survivors with the
+    Misra-Gries decrement rule, vectorized: keep the k largest counters
+    and subtract the (k+1)-th largest count from every survivor — the
+    standard batched/mergeable MG step (Agarwal et al., "Mergeable
+    Summaries", PODS 2012). Guarantees undercount ≤ N/ (k+1) overall."""
+    if words.size <= k:
+        return words, counts
+    order = np.argsort(counts, kind="stable")[::-1]
+    thresh = counts[order[k]]
+    keep = order[:k]
+    new_counts = counts[keep] - thresh
+    pos = new_counts > 0
+    return words[keep][pos], new_counts[pos]
+
+
+def heavy_hitter_words(sf_dir: str, k: int = 16) -> pd.DataFrame:
+    """Approximate heavy hitters over the documents word stream via
+    mergeable Misra-Gries summaries — the bounded-memory answer to
+    "top words" when the vocabulary won't fit anywhere (word_counts is
+    the exact cousin; this one's state is O(k) per partial no matter
+    the vocabulary size).
+
+    Per-batch: exact word counts (Arrow regex split + np.unique), then
+    an MG compress to ``MG_CAPACITY`` counters; the shuffle carries ≤
+    MG_CAPACITY rows per batch. Merge: sum counters per word, compress
+    once more to MG_CAPACITY, report the top ``k`` with their
+    guaranteed bounds: true_count ∈ [mg_count, mg_count + err] where
+    err = (dropped total) / (MG_CAPACITY+1) is returned alongside.
+    Deterministic — no RNG anywhere."""
+    ensure_serializable()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # same tokenizer as the exact cousin word_counts: literal space
+        # split, empties dropped — so the MG bounds are checkable against it
+        flat = pc.list_flatten(
+            pc.split_pattern(pc.fill_null(batch["text"], ""), " ")
+        )
+        flat = flat.filter(pc.not_equal(flat, ""))
+        w = np.asarray(flat.to_pylist(), dtype=object)
+        if not w.size:
+            return pa.table(
+                {
+                    "word": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "dropped": pa.array([], pa.int64()),
+                }
+            )
+        uw, uc = np.unique(w, return_counts=True)
+        total = int(uc.sum())
+        kw, kc = _mg_compress(uw, uc.astype(np.int64), MG_CAPACITY)
+        dropped = total - int(kc.sum())
+        d = np.zeros(kw.size, dtype=np.int64)
+        if d.size:
+            d[0] = dropped
+        return pa.table(
+            {
+                "word": pa.array(list(kw), pa.string()),
+                "n": pa.array(kc),
+                "dropped": pa.array(d),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = partials.groupby("word").aggregate(
+        Sum("n", alias_name="n"), Sum("dropped", alias_name="dropped")
+    )
+    t = merged.to_pandas()  # ≤ MG_CAPACITY × n_batches rows — tiny
+    w = t["word"].to_numpy(dtype=object)
+    c = t["n"].to_numpy(dtype=np.int64)
+    dropped_before = int(t["dropped"].sum())
+    kw, kc = _mg_compress(w, c, MG_CAPACITY)
+    dropped_total = dropped_before + int(c.sum()) - int(kc.sum())
+    order = np.argsort(kc, kind="stable")[::-1][:k]
+    err = dropped_total // (MG_CAPACITY + 1) + (
+        1 if dropped_total % (MG_CAPACITY + 1) else 0
+    )
+    return pd.DataFrame(
+        {
+            "word": kw[order],
+            "min_count": kc[order],
+            "max_count": kc[order] + err,
+        }
+    )

@@ -82,14 +82,42 @@ def test_all_queries_have_oracle_or_are_documented():
         "dedup_minhash", "dedup_simhash", "dedup_embedding_lsh",
         "knn_ivf", "rolling_fingerprint",
         "image_metadata", "image_resize", "video_frame_sample",
-        "audio_features", "approx_distinct_users",
+        "audio_features", "approx_distinct_users", "heavy_hitter_words",
     }
+
+
+def test_heavy_hitter_words_bounds(duck):
+    """Misra-Gries guarantees, checked against exact DuckDB counts:
+    (1) every reported word's true count lies in [min_count, max_count];
+    (2) any word whose true count exceeds the summary's error bound
+        appears among the retained counters (here: the reported top-k
+        must contain the exact top-3)."""
+    from engine.ops.sketches import heavy_hitter_words
+
+    got = heavy_hitter_words(SF, k=16)
+    exact = dict(
+        duck.sql(
+            """
+        WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        SELECT word, count(*) FROM w WHERE word <> '' GROUP BY word
+        """
+        ).fetchall()
+    )
+    assert len(got) > 0
+    for _, r in got.iterrows():
+        true = exact.get(r["word"], 0)
+        assert r["min_count"] <= true <= r["max_count"], r["word"]
+    top3 = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    reported = set(got["word"])
+    for w, _ in top3:
+        assert w in reported
 
 
 @pytest.mark.parametrize(
     "name",
     ["render_conversations", "render_deepseek", "compact_history", "conv_stats",
-     "turn_token_counts", "redact_transcripts", "dedup_turns"],
+     "turn_token_counts", "redact_transcripts", "dedup_turns",
+     "chunk_conversations"],
 )
 def test_transcript_query_matches_oracle(name, duck):
     """These oracles read the transcript fixture by path at the driver's
