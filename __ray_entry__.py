@@ -238,6 +238,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_events_per_user": relational.rank_events_per_user,
         "moving_sum_events": relational.moving_sum_events,
         "user_type_setops": relational.user_type_setops,
+        "q10_returned_revenue": relational.q10_returned_revenue,
+        "ntile_events_per_user": relational.ntile_events_per_user,
         # sampling / sketches / order statistics
         "sample_events": sketches.sample_events,
         "stratified_sample_events": sketches.stratified_sample_events,
@@ -264,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_accuracy": textstats.lang_id_accuracy,
         "bpe_token_counts": textstats.bpe_token_counts,
         "word_counts": textstats.word_counts,
+        "bigram_counts": textstats.bigram_counts,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "filter_quality_docs": textstats.filter_quality_docs,
         "normalize_documents": textstats.normalize_documents,
@@ -914,6 +917,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
                         AS BIGINT) AS val_micro
             FROM embeddings
+        """,
+        "q10_returned_revenue": """
+            WITH rev AS (
+              SELECT l_orderkey,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       AS rev_e4
+              FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey)
+            SELECT c_custkey, c_name, n_name,
+                   CAST(sum(rev_e4) AS BIGINT) AS revenue_e4
+            FROM orders
+            JOIN rev ON l_orderkey = o_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue_e4 DESC, c_custkey LIMIT 20
+        """,
+        "ntile_events_per_user": """
+            SELECT event_id, user_id,
+                   CAST(ntile(4) OVER (
+                     PARTITION BY user_id
+                     ORDER BY value, ts, event_id) AS BIGINT) AS tile
+            FROM events
+        """,
+        "bigram_counts": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS word,
+                     generate_subscripts(string_split(text, ' '), 1) AS ord
+              FROM documents)
+            SELECT a.word AS w1, b.word AS w2, CAST(count(*) AS BIGINT) AS n
+            FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+            GROUP BY a.word, b.word
+            ORDER BY n DESC, w1, w2 LIMIT 50
         """,
         "filter_quality_docs": f"""
             -- exact integer predicate: stop_hits*1000 <= n_tokens*120

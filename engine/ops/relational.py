@@ -1994,3 +1994,222 @@ def user_type_setops(sf_dir: str, num_buckets: int | None = None) -> ray.data.Da
     return partials.groupby("_b").map_groups(
         lambda g: setop_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
     )
+
+
+Q10_LO = np.datetime64("1996-01-01", "us")
+Q10_HI = np.datetime64("1996-04-01", "us")
+
+
+def q10_returned_revenue(
+    sf_dir: str, num_buckets: int | None = None, k: int = 20
+) -> ray.data.Dataset:
+    """TPC-H-Q10-shaped top-k: customers ranked by revenue from RETURNED
+    line items ('R') on 1996Q1 orders, with name and nation attached.
+
+    Two co-locations, one broadcast: lineitem (largest) pre-aggregates
+    returned revenue per (orderkey, batch) — the combiner again — and
+    meets the filtered orders on hash(orderkey); each bucket's joined
+    (custkey, rev) rows re-bucket on hash(custkey) for the second
+    reduce, where the customer/nation name lookup (small side) is read
+    from ONE ``ray.put`` broadcast instead of a third shuffle. Revenue
+    is exact int64 e4 fixed point; the final top-k sorts only the
+    per-customer aggregate."""
+    from ..pipeline import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ensure_serializable()
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nkey = nation["n_nationkey"].to_numpy(zero_copy_only=False)
+    nname = np.asarray(nation["n_name"].to_pylist(), dtype=object)
+    n_by_key = dict(zip(nkey.tolist(), nname.tolist()))
+    ckey = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ckey)
+    lookup_ref = ray.put(
+        (
+            ckey[order],
+            np.asarray(cust["c_name"].to_pylist(), dtype=object)[order],
+            np.asarray(
+                [n_by_key[x] for x in cust["c_nationkey"].to_numpy(zero_copy_only=False)],
+                dtype=object,
+            )[order],
+        )
+    )
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+        filter=(
+            (pc.field("o_orderdate") >= Q10_LO) & (pc.field("o_orderdate") < Q10_HI)
+        ),
+    )
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_returnflag") == "R"),
+    )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array((okey % num_buckets).astype(np.int32)),
+                "okey": pa.array(okey.astype(np.int64)),
+                "ckey": pc.cast(batch["o_custkey"], pa.int64()),
+                "rev_e4": pa.array(np.zeros(len(okey), dtype=np.int64)),
+                "is_order": pa.array(np.ones(len(okey), dtype=np.int8)),
+            }
+        )
+
+    def revenue_partial(batch: pa.Table) -> pa.Table:
+        cents = _fixed_point(batch["l_extendedprice"], 100)
+        disc_pct = _fixed_point(batch["l_discount"], 100)
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100), disc_pct))
+        agg = (
+            pa.table({"okey": batch["l_orderkey"], "rev_e4": rev})
+            .group_by(["okey"])
+            .aggregate([("rev_e4", "sum")])
+        )
+        okey = agg["okey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array((okey % num_buckets).astype(np.int32)),
+                "okey": pa.array(okey.astype(np.int64)),
+                "ckey": pa.array(np.zeros(len(okey), dtype=np.int64)),
+                "rev_e4": agg["rev_e4_sum"],
+                "is_order": pa.array(np.zeros(len(okey), dtype=np.int8)),
+            }
+        )
+
+    tagged = orders.map_batches(
+        tag_orders, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        lineitem.map_batches(
+            revenue_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        is_order = t["is_order"].to_numpy(zero_copy_only=False) == 1
+        okey = t["okey"].to_numpy(zero_copy_only=False)
+        rev = t["rev_e4"].to_numpy(zero_copy_only=False)
+        o_keys = okey[is_order]
+        if o_keys.size == 0 or (~is_order).sum() == 0:
+            return pa.table(
+                {
+                    "_b2": pa.array([], pa.int32()),
+                    "ckey": pa.array([], pa.int64()),
+                    "rev_e4": pa.array([], pa.int64()),
+                }
+            )
+        ru, inv = np.unique(okey[~is_order], return_inverse=True)
+        rsum = np.zeros(ru.size, dtype=np.int64)
+        np.add.at(rsum, inv, rev[~is_order])
+        order_sort = np.argsort(o_keys)
+        o_sorted = o_keys[order_sort]
+        pos = np.clip(np.searchsorted(o_sorted, ru), 0, o_sorted.size - 1)
+        hit = o_sorted[pos] == ru
+        ck = t["ckey"].to_numpy(zero_copy_only=False)[is_order][order_sort[pos[hit]]]
+        # pre-reduce per custkey inside the bucket before the second shuffle
+        cu, cinv = np.unique(ck, return_inverse=True)
+        csum = np.zeros(cu.size, dtype=np.int64)
+        np.add.at(csum, cinv, rsum[hit])
+        return pa.table(
+            {
+                "_b2": pa.array((cu % num_buckets).astype(np.int32)),
+                "ckey": pa.array(cu),
+                "rev_e4": pa.array(csum),
+            }
+        )
+
+    joined = tagged.groupby("_b").map_groups(
+        lambda g: join_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
+    )
+
+    def reduce_cust(group: pa.Table) -> pa.Table:
+        keys_sorted, names, nations = ray.get(lookup_ref)
+        t = group.combine_chunks()
+        ck = t["ckey"].to_numpy(zero_copy_only=False)
+        rev = t["rev_e4"].to_numpy(zero_copy_only=False)
+        cu, cinv = np.unique(ck, return_inverse=True)
+        csum = np.zeros(cu.size, dtype=np.int64)
+        np.add.at(csum, cinv, rev)
+        pos = np.clip(np.searchsorted(keys_sorted, cu), 0, keys_sorted.size - 1)
+        assert (keys_sorted[pos] == cu).all(), "custkey missing from lookup"
+        return pa.table(
+            {
+                "c_custkey": pa.array(cu),
+                "c_name": pa.array(list(names[pos]), pa.string()),
+                "n_name": pa.array(list(nations[pos]), pa.string()),
+                "revenue_e4": pa.array(csum),
+            }
+        )
+
+    reduced = joined.groupby("_b2").map_groups(
+        lambda g: reduce_cust(g.drop_columns(["_b2"])), batch_format="pyarrow"
+    )
+    return reduced.sort(
+        ["revenue_e4", "c_custkey"], descending=[True, False]
+    ).limit(k)
+
+
+NTILE_N = 4
+
+
+def ntile_events_per_user(
+    sf_dir: str, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """NTILE(4) OVER (PARTITION BY user ORDER BY value, ts, event_id):
+    per-user quartile binning of event values — the feature-bucketing
+    window function (equal-frequency discretization) a feature pipeline
+    applies before quantile-based encoders.
+
+    Same single bucket shuffle as the other per-user windows; the NTILE
+    assignment replicates SQL's exact rule vectorized: the first
+    ``s mod 4`` tiles get ``s//4 + 1`` rows, the rest ``s//4``."""
+
+    def finalize(t: pa.Table, starts: np.ndarray, n: int) -> pa.Table:
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "tile": pa.array([], pa.int64()),
+                }
+            )
+        sizes = np.diff(np.append(starts, n))
+        s = np.repeat(sizes, sizes)
+        r = np.arange(n) - np.repeat(starts, sizes)
+        base = s // NTILE_N
+        rem = s % NTILE_N
+        boundary = rem * (base + 1)
+        in_big = r < boundary
+        tile = np.where(
+            in_big,
+            r // np.maximum(base + 1, 1),
+            rem + (r - boundary) // np.maximum(base, 1),
+        )
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "tile": pa.array((tile + 1).astype(np.int64)),
+            }
+        )
+
+    return _per_user_ordered(
+        sf_dir, num_buckets, finalize,
+        sort_keys=[
+            ("user_id", "ascending"), ("value", "ascending"),
+            ("ts", "ascending"), ("event_id", "ascending"),
+        ],
+    )

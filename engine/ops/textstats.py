@@ -501,3 +501,50 @@ def filter_quality_docs(sf_dir: str) -> ray.data.Dataset:
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         keep, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+BIGRAM_K = 50
+
+
+def bigram_counts(sf_dir: str, k: int = BIGRAM_K) -> ray.data.Dataset:
+    """Corpus-wide top-k BIGRAM frequencies over documents.text — the
+    n-gram language-statistics pass (the n=2 cousin of ``word_counts``;
+    shingle-based dedup uses the same adjacency machinery with hashes).
+
+    Adjacent pairs never cross a document boundary: the flat word
+    stream's list offsets mark each document's last word, and the pair
+    arrays are two masked views of the same flat array — no per-row
+    Python, no join. Tokenization is the literal single-space split
+    shared with ``word_counts`` (empties kept: dropping them would
+    change adjacency, and the SQL oracle keeps them too). Shuffle is
+    vocabulary²-bounded via per-batch pair-count partials."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words_list = pc.split_pattern(pc.fill_null(batch["text"], ""), " ")
+        lengths = pc.list_value_length(words_list).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words_list)
+        total = len(flat)
+        if total == 0:
+            return pa.table(
+                {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        is_last = np.zeros(total, dtype=bool)
+        ends = np.cumsum(lengths) - 1
+        is_last[ends[lengths > 0]] = True
+        first_idx = np.flatnonzero(~is_last)
+        w1 = flat.take(pa.array(first_idx))
+        w2 = flat.take(pa.array(first_idx + 1))
+        return (
+            pa.table({"w1": w1, "w2": w2})
+            .group_by(["w1", "w2"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["w1", "w2", "n"])
+        )
+
+    partials = _read_documents(sf_dir, ["text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = partials.groupby(["w1", "w2"]).aggregate(_Sum("n", alias_name="n"))
+    return agg.sort(["n", "w1", "w2"], descending=[True, False, False]).limit(k)

@@ -53,6 +53,7 @@ SQL_CHECKED = [
     "pivot_events_by_day", "rollup_events",
     "rank_events_per_user", "moving_sum_events", "user_type_setops",
     "unnest_embeddings",
+    "q10_returned_revenue", "ntile_events_per_user", "bigram_counts",
 ]
 
 
