@@ -240,6 +240,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_setops": relational.user_type_setops,
         "q10_returned_revenue": relational.q10_returned_revenue,
         "ntile_events_per_user": relational.ntile_events_per_user,
+        "ewma_events_per_user": relational.ewma_events_per_user,
+        "anti_join_customers_bloom": relational.anti_join_customers_bloom,
         # sampling / sketches / order statistics
         "sample_events": sketches.sample_events,
         "stratified_sample_events": sketches.stratified_sample_events,
@@ -277,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize": multimodal.image_resize,
         "video_frame_sample": multimodal.video_frame_sample,
         "audio_features": multimodal.audio_features,
+        "image_phash_dedup": multimodal.image_phash_dedup,
     }
 
 
@@ -618,6 +621,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o.o_orderkey, o.o_custkey
         """,
         "anti_join_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (
+              SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        """,
+        # same logical op, Bloom-prefiltered physical plan: results must
+        # be identical to the exact anti join
+        "anti_join_customers_bloom": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN (
               SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')

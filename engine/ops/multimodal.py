@@ -434,3 +434,82 @@ def audio_features(sf_dir: str) -> ray.data.Dataset:
         concurrency=pool_size(),
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash dedup (plumbing-real, decode-fake)
+# ---------------------------------------------------------------------------
+
+PHASH_GRID = 8  # aHash grid: 8x8 -> 64-bit fingerprint
+
+
+class PerceptualHash:
+    """Actor-pool stage: decode (fake/PIL-auto, same policy as
+    ``DecodeImageMeta``) → resample the byte field to an 8×8 grid →
+    64-bit average-hash (bit = cell > mean). The image analog of
+    SimHash: visually identical payloads collide; the downstream
+    grouping is a plain hash-key aggregate."""
+
+    def __init__(self) -> None:
+        self._magic = MAGIC
+
+    def _grid(self, payload: bytes):
+        if payload[:4] != self._magic:
+            return None
+        body = np.frombuffer(payload[8:], dtype=np.uint8)
+        if body.size == 0:
+            return None
+        cells = PHASH_GRID * PHASH_GRID
+        # deterministic nearest-neighbor resample of the byte field
+        idx = (np.arange(cells) * body.size) // cells
+        return body[idx].astype(np.float64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes, ok = [], [], []
+        for doc_id, payload in zip(
+            batch["doc_id"].to_pylist(), batch["image"].to_pylist()
+        ):
+            g = self._grid(payload)
+            ids.append(doc_id)
+            if g is None:
+                hashes.append(0)
+                ok.append(False)
+            else:
+                bits = (g > g.mean()).astype(np.uint64)
+                h = np.uint64(0)
+                for b in bits:
+                    h = np.uint64(h << np.uint64(1)) | b
+                hashes.append(int(h.view(np.int64)))
+                ok.append(True)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "phash": pa.array(hashes, pa.int64()),
+                "decode_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+
+def image_phash_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Image near-dup detection by perceptual hash: encode → actor-pool
+    aHash → group identical fingerprints (keep-first + count), the
+    image-side cousin of ``dedup_exact``. The shuffle moves (phash,
+    doc_id) ints only — payload bytes never leave the hash stage. At
+    100 TB the same fingerprint column feeds a banded Hamming-distance
+    pass (split the 64 bits into 4×16 SimHash-style bands) — the
+    banding machinery exists in ``dedup.dedup_simhash``."""
+    from ray.data.aggregate import Count, Min
+
+    hashed = encode_fake_images(sf_dir).map_batches(
+        PerceptualHash,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=BINARY_BATCH_SIZE,
+        concurrency=pool_size(),
+        num_cpus=1,
+    )
+    return (
+        hashed.filter(expr="decode_ok")
+        .groupby("phash")
+        .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_dups"))
+    )

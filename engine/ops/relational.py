@@ -2213,3 +2213,209 @@ def ntile_events_per_user(
             ("ts", "ascending"), ("event_id", "ascending"),
         ],
     )
+
+
+EWMA_ALPHA = 0.5
+
+
+def ewma_events_per_user(
+    sf_dir: str, num_buckets: int | None = None, alpha: float = EWMA_ALPHA
+) -> ray.data.Dataset:
+    """Per-user EXPONENTIAL moving average of event values in time order
+    (y_i = α·x_i + (1−α)·y_{i−1}, adjust=False recursion) — the
+    streaming-scan operator: state is one number per key, carried along
+    the time axis. Not SQL-expressible as a window frame (infinite
+    impulse response), so rows-only in the driver; the recursion itself
+    is property-tested against a reference recursion in pytest.
+
+    Physical shape: identical to the other per-user windows (one
+    hash(user) bucket shuffle); the scan runs in pandas'
+    grouped-``ewm`` Cython kernel over per-run group labels — no
+    per-row or per-user Python. Determinism: the recursion is evaluated
+    in one fixed (ts, event_id) order per user regardless of
+    bucketing, so re-runs and resumed partitions reproduce bit-equal
+    floats."""
+    import pandas as pd
+
+    def finalize(t: pa.Table, starts: np.ndarray, n: int) -> pa.Table:
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ewma": pa.array([], pa.float64()),
+                }
+            )
+        sizes = np.diff(np.append(starts, n))
+        run_id = np.repeat(np.arange(starts.size), sizes)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        s = pd.Series(v)
+        ew = (
+            s.groupby(run_id).ewm(alpha=alpha, adjust=False).mean()
+            .reset_index(drop=True)
+        )
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ewma": pa.array(ew.to_numpy()),
+            }
+        )
+
+    return _per_user_ordered(sf_dir, num_buckets, finalize)
+
+
+BLOOM_BITS = 1 << 20  # 128 KB bitmap; ~0.1% FP at sf0.1 probe cardinality
+
+
+def _bloom_positions(keys: np.ndarray):
+    """Two bit positions per key from one SplitMix64 mix (upper/lower
+    halves) — k=2 Bloom hashing, vectorized."""
+    from .sketches import _splitmix64
+
+    h = _splitmix64(keys.astype(np.uint64))
+    mask = np.uint64(BLOOM_BITS - 1)
+    return (h & mask).astype(np.int64), (
+        (h >> np.uint64(32)) & mask
+    ).astype(np.int64)
+
+
+def _bloom_test(bitmap: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    p1, p2 = _bloom_positions(keys)
+    w = np.uint64(64)
+    b1 = (bitmap[p1 // 64] >> (p1.astype(np.uint64) % w)) & np.uint64(1)
+    b2 = (bitmap[p2 // 64] >> (p2.astype(np.uint64) % w)) & np.uint64(1)
+    return (b1 & b2).astype(bool)
+
+
+def anti_join_customers_bloom(
+    sf_dir: str, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """The Bloom-prefiltered physical plan for ``anti_join_customers`` —
+    IDENTICAL results (same DuckDB oracle), different shuffle economics
+    for the 100 TB case where most build-side rows DON'T match.
+
+    Pass 1 builds a 2-hash Bloom bitmap over the probe keys: per-batch
+    128 KB partial bitmaps OR-reduced on the driver (batch-count rows,
+    not key-count) and re-broadcast with one ``ray.put``. Pass 2 splits
+    customers at the map stage: Bloom-NEGATIVE rows are definitely
+    unmatched — they become output immediately and NEVER enter the
+    shuffle (no false negatives in a Bloom filter); only the
+    Bloom-positive sliver (true matches + ~0.1% false positives) rides
+    the bucketed exact anti-join to eliminate false positives. With a
+    1% match rate the shuffle shrinks ~99%; correctness never depends
+    on the filter, only the shuffle volume does.
+
+    The customer base is read twice (both branches prune to two
+    columns); at scale the read is storage-parallel and far cheaper
+    than shuffling the negatives would be."""
+    from ..pipeline import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ensure_serializable()
+
+    probe = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"],
+        filter=(pc.field("o_orderpriority") == "1-URGENT"),
+    )
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        keys = pc.unique(batch["o_custkey"]).to_numpy(zero_copy_only=False)
+        bm = np.zeros(BLOOM_BITS // 64, dtype=np.uint64)
+        if keys.size:
+            p1, p2 = _bloom_positions(keys)
+            w = np.uint64(64)
+            np.bitwise_or.at(bm, p1 // 64, np.uint64(1) << (p1.astype(np.uint64) % w))
+            np.bitwise_or.at(bm, p2 // 64, np.uint64(1) << (p2.astype(np.uint64) % w))
+        return pa.table({"bitmap": pa.array([bm.tobytes()], pa.binary())})
+
+    parts = probe.map_batches(
+        bloom_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    bitmap = np.zeros(BLOOM_BITS // 64, dtype=np.uint64)
+    for row in parts:
+        bitmap |= np.frombuffer(row["bitmap"], dtype=np.uint64)
+    bitmap_ref = ray.put(bitmap)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    class EmitNegatives:
+        def __init__(self, ref):
+            self._bm = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
+            neg = ~_bloom_test(self._bm, keys)
+            out = batch.filter(pa.array(neg))
+            return pa.table(
+                {
+                    "c_custkey": pc.cast(out["c_custkey"], pa.int64()),
+                    "c_name": out["c_name"],
+                }
+            )
+
+    class TagPositives:
+        def __init__(self, ref):
+            self._bm = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
+            pos = _bloom_test(self._bm, keys)
+            t = batch.filter(pa.array(pos))
+            key = t["c_custkey"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "_b": pa.array((key % num_buckets).astype(np.int32)),
+                    "key": pa.array(key.astype(np.int64)),
+                    "c_name": t["c_name"],
+                    "is_probe": pa.array(np.zeros(len(key), dtype=np.int8)),
+                }
+            )
+
+    def tag_probe(batch: pa.Table) -> pa.Table:
+        key = pc.unique(batch["o_custkey"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array((key % num_buckets).astype(np.int32)),
+                "key": pa.array(key.astype(np.int64)),
+                "c_name": pa.array([""] * len(key), pa.string()),
+                "is_probe": pa.array(np.ones(len(key), dtype=np.int8)),
+            }
+        )
+
+    def anti_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        key = t["key"].to_numpy(zero_copy_only=False)
+        is_probe = t["is_probe"].to_numpy(zero_copy_only=False) == 1
+        keep = ~is_probe & ~np.isin(key, key[is_probe])
+        out = t.filter(pa.array(keep))
+        return pa.table({"c_custkey": out["key"], "c_name": out["c_name"]})
+
+    negatives = cust.map_batches(
+        EmitNegatives,
+        fn_constructor_args=(bitmap_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        num_cpus=1,
+    )
+    survivors = (
+        cust.map_batches(
+            TagPositives,
+            fn_constructor_args=(bitmap_ref,),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=pool_size(),
+            num_cpus=1,
+        )
+        .union(
+            probe.map_batches(tag_probe, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby("_b")
+        .map_groups(
+            lambda g: anti_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
+        )
+    )
+    return negatives.union(survivors)

@@ -54,6 +54,7 @@ SQL_CHECKED = [
     "rank_events_per_user", "moving_sum_events", "user_type_setops",
     "unnest_embeddings",
     "q10_returned_revenue", "ntile_events_per_user", "bigram_counts",
+    "anti_join_customers_bloom",
 ]
 
 
@@ -84,7 +85,48 @@ def test_all_queries_have_oracle_or_are_documented():
         "knn_ivf", "rolling_fingerprint",
         "image_metadata", "image_resize", "video_frame_sample",
         "audio_features", "approx_distinct_users", "heavy_hitter_words",
+        "ewma_events_per_user", "image_phash_dedup",
     }
+
+
+def test_ewma_matches_reference_recursion(duck):
+    """Grouped-ewm kernel vs a literal per-user y = a*x + (1-a)*y
+    recursion in plain Python over DuckDB-ordered rows."""
+    from engine.ops.relational import EWMA_ALPHA, ewma_events_per_user
+
+    got = (
+        ewma_events_per_user(SF)
+        .to_pandas()
+        .set_index("event_id")["ewma"]
+        .to_dict()
+    )
+    rows = duck.sql(
+        "SELECT event_id, user_id, value FROM events ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    state: dict = {}
+    for eid, uid, v in rows:
+        prev = state.get(uid)
+        y = v if prev is None else EWMA_ALPHA * v + (1 - EWMA_ALPHA) * prev
+        state[uid] = y
+        assert got[eid] == pytest.approx(y, rel=1e-12), eid
+
+
+def test_image_phash_dedup_groups_identical_payloads(duck):
+    """Identical document text -> identical fake payload -> same phash;
+    group counts must cover the corpus exactly once per decoded image."""
+    from engine.ops.multimodal import image_phash_dedup
+
+    got = image_phash_dedup(SF).to_pandas()
+    n_docs = duck.sql("SELECT count(*) FROM documents").fetchone()[0]
+    assert got["n_dups"].sum() == n_docs
+    assert (got["n_dups"] >= 1).all()
+    # injected exact-duplicate texts (same payload bytes) must collide
+    dup_texts = duck.sql(
+        """SELECT min(doc_id), count(*) FROM documents
+           GROUP BY text HAVING count(*) > 1 LIMIT 1"""
+    ).fetchall()
+    if dup_texts:
+        assert (got["n_dups"] > 1).any()
 
 
 def test_heavy_hitter_words_bounds(duck):
