@@ -242,6 +242,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_events_per_user": relational.ntile_events_per_user,
         "ewma_events_per_user": relational.ewma_events_per_user,
         "anti_join_customers_bloom": relational.anti_join_customers_bloom,
+        "dense_rank_events_per_user": relational.dense_rank_events_per_user,
+        "densify_user_days": relational.densify_user_days,
         # sampling / sketches / order statistics
         "sample_events": sketches.sample_events,
         "stratified_sample_events": sketches.stratified_sample_events,
@@ -952,6 +954,27 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id
                      ORDER BY value, ts, event_id) AS BIGINT) AS tile
             FROM events
+        """,
+        "dense_rank_events_per_user": """
+            SELECT event_id, user_id,
+                   CAST(dense_rank() OVER (
+                     PARTITION BY user_id ORDER BY value DESC) AS BIGINT)
+                     AS drank
+            FROM events
+        """,
+        "densify_user_days": """
+            WITH cnt AS (
+              SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY user_id, day),
+            span AS (
+              SELECT user_id, min(day) AS lo, max(day) AS hi
+              FROM cnt GROUP BY user_id),
+            days AS (
+              SELECT user_id, unnest(generate_series(lo, hi)) AS day FROM span)
+            SELECT d.user_id, d.day, coalesce(c.n, 0) AS n_events
+            FROM days d LEFT JOIN cnt c
+              ON d.user_id = c.user_id AND d.day = c.day
         """,
         "bigram_counts": """
             WITH w AS (

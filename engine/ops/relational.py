@@ -2419,3 +2419,135 @@ def anti_join_customers_bloom(
         )
     )
     return negatives.union(survivors)
+
+
+def dense_rank_events_per_user(
+    sf_dir: str, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """DENSE_RANK() OVER (PARTITION BY user ORDER BY value DESC): ties
+    share a rank and no rank is skipped — cumulative sum of
+    value-change flags within each user's sorted run. Both engines
+    compare the same float64 bits, so tie groups are identical."""
+
+    def finalize(t: pa.Table, starts: np.ndarray, n: int) -> pa.Table:
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "drank": pa.array([], pa.int64()),
+                }
+            )
+        sizes = np.diff(np.append(starts, n))
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        changed = np.r_[False, v[1:] != v[:-1]]
+        changed[starts] = False
+        csum = np.cumsum(changed.astype(np.int64))
+        base = np.repeat(csum[starts], sizes)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "drank": pa.array(csum - base + 1),
+            }
+        )
+
+    return _per_user_ordered(
+        sf_dir, num_buckets, finalize,
+        sort_keys=[
+            ("user_id", "ascending"), ("value", "descending"),
+            ("ts", "ascending"), ("event_id", "ascending"),
+        ],
+    )
+
+
+def densify_user_days(sf_dir: str, num_buckets: int | None = None) -> ray.data.Dataset:
+    """Time-series DENSIFY / gap fill: one row per (user, calendar day)
+    for EVERY day in the user's [first, last] activity span, zero-filled
+    where no events happened — the resample step before any
+    fixed-cadence feature window, and the engine's range-generation
+    (1→N by value) shape.
+
+    Per bucket: count per (user, day) with one lexsort + reduceat, then
+    expand each user's span with arange minus repeated offsets and
+    scatter the observed counts in. Output is bounded by users × span
+    days, independent of event volume; the only shuffle is the usual
+    hash(user) bucketing of per-batch (user, day, n) partials."""
+    from pandas.util import hash_array
+
+    from ..pipeline import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    ensure_serializable()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "day": pc.divide(pc.cast(batch["ts"], pa.int64()), DAY_US),
+            }
+        ).group_by(["user_id", "day"]).aggregate([([], "count_all")])
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array((hash_array(uid) % num_buckets).astype(np.int32)),
+                "user_id": t["user_id"],
+                "day": t["day"],
+                "n": t["count_all"].cast(pa.int64()),
+            }
+        )
+
+    def densify_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        day = t["day"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        if uid.size == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "day": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((day, uid))
+        uid, day, n = uid[order], day[order], n[order]
+        new = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], uid.size) - 1
+        # merge duplicate (user, day) partials
+        dnew = new | np.r_[True, day[1:] != day[:-1]]
+        dstarts = np.flatnonzero(dnew)
+        duid = uid[dstarts]
+        dday = day[dstarts]
+        dn = np.add.reduceat(n, dstarts)
+        # span expansion per user
+        ustarts = np.flatnonzero(np.r_[True, duid[1:] != duid[:-1]])
+        uends = np.append(ustarts[1:], duid.size) - 1
+        lo = dday[ustarts]
+        hi = dday[uends]
+        span = (hi - lo + 1).astype(np.int64)
+        total = int(span.sum())
+        off = np.cumsum(span) - span
+        idx = np.arange(total)
+        rel = idx - np.repeat(off, span)
+        out_uid = np.repeat(duid[ustarts], span)
+        out_day = np.repeat(lo, span) + rel
+        out_n = np.zeros(total, dtype=np.int64)
+        # scatter observed counts: position = user offset + (day - lo)
+        upos = np.repeat(np.arange(ustarts.size), np.append(ustarts[1:], duid.size) - ustarts)
+        out_n[off[upos] + (dday - lo[upos])] = dn
+        return pa.table(
+            {
+                "user_id": pa.array(out_uid),
+                "day": pa.array(out_day),
+                "n_events": pa.array(out_n),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("_b").map_groups(
+        lambda g: densify_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
+    )
