@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_customers_bloom": relational.anti_join_customers_bloom,
         "dense_rank_events_per_user": relational.dense_rank_events_per_user,
         "densify_user_days": relational.densify_user_days,
+        "user_journeys": relational.user_journeys,
         # sampling / sketches / order statistics
         "sample_events": sketches.sample_events,
         "stratified_sample_events": sketches.stratified_sample_events,
@@ -251,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_events_value": sketches.quantile_events_value,
         "quantile_events_by_type": sketches.quantile_events_by_type,
         "heavy_hitter_words": sketches.heavy_hitter_words,
+        "outlier_events": sketches.outlier_events,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -961,6 +963,23 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id ORDER BY value DESC) AS BIGINT)
                      AS drank
             FROM events
+        """,
+        "user_journeys": """
+            SELECT user_id,
+                   string_agg(event_type, '->' ORDER BY ts, event_id) AS journey,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "outlier_events": """
+            WITH q AS (
+              SELECT event_type,
+                     quantile_disc(CAST(round(value * 1000000) AS BIGINT), 0.990)
+                       AS p99
+              FROM events GROUP BY event_type)
+            SELECT event_id, e.event_type,
+                   CAST(round(value * 1000000) AS BIGINT) AS value_micro
+            FROM events e JOIN q ON e.event_type = q.event_type
+            WHERE CAST(round(value * 1000000) AS BIGINT) > p99
         """,
         "densify_user_days": """
             WITH cnt AS (

@@ -2551,3 +2551,66 @@ def densify_user_days(sf_dir: str, num_buckets: int | None = None) -> ray.data.D
     return partials.groupby("_b").map_groups(
         lambda g: densify_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
     )
+
+
+def user_journeys(sf_dir: str, num_buckets: int | None = None) -> ray.data.Dataset:
+    """Grouped ordered STRING_AGG: each user's full event-type sequence
+    in time order as one '->'-joined journey string — the
+    session-replay / funnel-mining primitive (and the engine's ordered
+    group-concat shape; rendering conversations is its transcript
+    cousin).
+
+    One hash(user) bucket shuffle of (user, ts, event_id, type) rows;
+    per bucket, one sort and a per-run ``''.join`` via pandas' grouped
+    agg (string concatenation is inherently per-output-element; the
+    per-USER cost is the output string itself, not a shuffle or a
+    Python-per-row scan)."""
+    from pandas.util import hash_array
+
+    from ..pipeline import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    ensure_serializable()
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        bucket = (hash_array(uid) % num_buckets).astype(np.int32)
+        return batch.append_column("_ub", pa.array(bucket))
+
+    def journeys(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        t = group.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "journey": pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "event_type": t["event_type"].to_pandas(),
+            }
+        )
+        agg = df.groupby("user_id", sort=True)["event_type"].agg(
+            ["->".join, "size"]
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(agg.index.to_numpy(), pa.int64()),
+                "journey": pa.array(agg["join"].to_numpy(), pa.string()),
+                "n_events": pa.array(agg["size"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed.groupby("_ub").map_groups(
+        lambda g: journeys(g.drop_columns(["_ub"])), batch_format="pyarrow"
+    )

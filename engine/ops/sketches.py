@@ -426,3 +426,69 @@ def heavy_hitter_words(sf_dir: str, k: int = 16) -> pd.DataFrame:
             "max_count": kc[order] + err,
         }
     )
+
+
+OUTLIER_PERMILLE = 990
+
+
+def outlier_events(sf_dir: str) -> ray.data.Dataset:
+    """Quantile-threshold OUTLIER FILTER: events whose value exceeds
+    their type's exact p99 — the aggregate → broadcast → filter
+    composition (a tiny distributed aggregate flows BACK into a
+    full-stream map) that powers anomaly triage and loss-spike mining.
+
+    Phase 1 is ``quantile_events_by_type`` (distributed, exact);
+    its |types|×|quantiles| result is the only thing materialized —
+    ``ray.put`` once, fetched once per filter actor. Phase 2 streams
+    the events again and keeps value_micro > p99(type) with one
+    vectorized lookup. Strictly-greater semantics on the int64 micro
+    grid match the SQL oracle exactly (no float boundary)."""
+    ensure_serializable()
+    q = quantile_events_by_type(sf_dir).to_pandas()
+    q = q[q["p_permille"] == OUTLIER_PERMILLE]
+    thresholds = dict(zip(q["event_type"], q["value_micro"]))
+    thr_ref = ray.put(thresholds)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    )
+
+    class FilterOutliers:
+        def __init__(self, ref):
+            self._thr = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = pc.cast(
+                pc.round(
+                    pc.multiply(batch["value"], 1_000_000.0),
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+            types = batch["event_type"].to_pylist()
+            thr = np.fromiter(
+                (self._thr.get(t, np.iinfo(np.int64).max) for t in types),
+                dtype=np.int64,
+                count=len(types),
+            )
+            keep = v > thr
+            out = batch.filter(pa.array(keep))
+            return pa.table(
+                {
+                    "event_id": out["event_id"],
+                    "event_type": out["event_type"],
+                    "value_micro": pa.array(v[keep]),
+                }
+            )
+
+    from .._rayutil import pool_size
+
+    return ds.map_batches(
+        FilterOutliers,
+        fn_constructor_args=(thr_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        num_cpus=1,
+    )

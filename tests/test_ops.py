@@ -56,6 +56,7 @@ SQL_CHECKED = [
     "q10_returned_revenue", "ntile_events_per_user", "bigram_counts",
     "anti_join_customers_bloom",
     "dense_rank_events_per_user", "densify_user_days",
+    "user_journeys", "outlier_events",
 ]
 
 
