@@ -245,6 +245,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dense_rank_events_per_user": relational.dense_rank_events_per_user,
         "densify_user_days": relational.densify_user_days,
         "user_journeys": relational.user_journeys,
+        "q18_large_orders": relational.q18_large_orders,
+        "funnel_conversion": relational.funnel_conversion,
         # sampling / sketches / order statistics
         "sample_events": sketches.sample_events,
         "stratified_sample_events": sketches.stratified_sample_events,
@@ -253,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_events_by_type": sketches.quantile_events_by_type,
         "heavy_hitter_words": sketches.heavy_hitter_words,
         "outlier_events": sketches.outlier_events,
+        "train_test_split": sketches.train_test_split,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -261,11 +264,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_embedding": dedup.dedup_embedding,
         "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
+        "decontaminate_documents": dedup.decontaminate_documents,
         # similarity search
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_ivf": similarity.knn_ivf,
         "embedding_centroids": similarity.embedding_centroids,
         "unnest_embeddings": similarity.unnest_embeddings,
+        "kmeans_embeddings": similarity.kmeans_embeddings,
         # text analysis
         "quality_score": textstats.quality_score,
         "lang_id": textstats.lang_id,
@@ -980,6 +985,80 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(value * 1000000) AS BIGINT) AS value_micro
             FROM events e JOIN q ON e.event_type = q.event_type
             WHERE CAST(round(value * 1000000) AS BIGINT) > p99
+        """,
+        "q18_large_orders": """
+            WITH q AS (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                       AS qty_centi
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 30000
+            )
+            SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_centi,
+                   q.qty_centi
+            FROM q
+            JOIN orders o ON o.o_orderkey = q.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "funnel_conversion": """
+            WITH m AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+                     min(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+                     min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+              FROM events GROUP BY user_id)
+            SELECT 'view' AS stage,
+                   CAST(count(*) FILTER (tv IS NOT NULL) AS BIGINT) AS n_users
+            FROM m
+            UNION ALL
+            SELECT 'view>click',
+                   CAST(count(*) FILTER (tv IS NOT NULL AND tc IS NOT NULL
+                                         AND tv < tc) AS BIGINT)
+            FROM m
+            UNION ALL
+            SELECT 'view>click>purchase',
+                   CAST(count(*) FILTER (tv IS NOT NULL AND tc IS NOT NULL
+                                         AND tp IS NOT NULL AND tv < tc
+                                         AND tc < tp) AS BIGINT)
+            FROM m
+        """,
+        "train_test_split": """
+            SELECT doc_id, lang,
+                   CAST((doc_id * 2654435761 + 12345) % 4294967296 % 100
+                        AS BIGINT) AS h,
+                   CASE WHEN (doc_id * 2654435761 + 12345) % 4294967296 % 100
+                             < 90 THEN 'train'
+                        WHEN (doc_id * 2654435761 + 12345) % 4294967296 % 100
+                             < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "decontaminate_documents": """
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     array_to_string(list(w) OVER win, ' ') AS gram,
+                     count(*) OVER win AS glen
+              FROM words
+              WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+            ), bench AS (
+              SELECT DISTINCT gram FROM grams
+              WHERE doc_id % 50 = 0 AND glen = 5
+            ), hits AS (
+              SELECT DISTINCT g.doc_id
+              FROM grams g JOIN bench b USING (gram)
+              WHERE g.doc_id % 50 <> 0 AND g.glen = 5
+            )
+            SELECT d.doc_id,
+                   CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END
+                        AS BIGINT) AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 50 <> 0
         """,
         "densify_user_days": """
             WITH cnt AS (

@@ -1052,3 +1052,83 @@ def dedup_embedding_lsh(
         )
 
     return _combine_pairs_bucketed(pairs, finalize)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+DECON_NGRAM = 5
+DECON_BENCH_MOD = 50  # doc_id % 50 == 0 plays the held-out benchmark set
+
+
+def _doc_ngrams(text: str, n: int = DECON_NGRAM) -> set:
+    """Word ``n``-grams under a literal single-space split (the
+    ``word_counts`` tokenization, reproducible as DuckDB
+    ``string_split(text, ' ')``). Docs with < n words yield no grams."""
+    words = text.split(" ")
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def decontaminate_documents(sf_dir: str) -> ray.data.Dataset:
+    """Benchmark DECONTAMINATION: flag every training document sharing
+    any word 5-gram with a held-out benchmark set — the contamination
+    filter run before any LLM training corpus ships (the n-gram-overlap
+    rule popularized by public LM training reports).
+
+    The benchmark set (doc_id % 50 == 0 here, standing in for a real
+    eval suite) is SMALL by definition, so its distinct grams are a
+    driver materialize + ONE ``ray.put`` broadcast; the training stream
+    then runs a stateless membership filter per batch — no shuffle
+    touches the big side. At 100 TB the broadcast set would hash grams
+    to int64 and front a Bloom filter (``relational._bloom_positions``)
+    exactly like ``anti_join_customers_bloom``; exact strings are kept
+    here for oracle parity."""
+    ensure_serializable()
+
+    bench = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = doc_id % DECON_BENCH_MOD == 0
+        grams: set = set()
+        for t in batch.filter(pa.array(keep))["text"].to_pylist():
+            grams.update(_doc_ngrams(t))
+        return pa.table({"gram": pa.array(sorted(grams), pa.string())})
+
+    gram_rows = bench.map_batches(
+        bench_grams, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    bench_ref = ray.put(frozenset(gram_rows["gram"]))
+
+    class FlagContaminated:
+        def __init__(self, ref):
+            self._bench = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+            train = batch.filter(pa.array(doc_id % DECON_BENCH_MOD != 0))
+            flags = [
+                int(not self._bench.isdisjoint(_doc_ngrams(t)))
+                for t in train["text"].to_pylist()
+            ]
+            return pa.table(
+                {
+                    "doc_id": train["doc_id"],
+                    "contaminated": pa.array(flags, pa.int64()),
+                }
+            )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        FlagContaminated,
+        fn_constructor_args=(bench_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        num_cpus=1,
+    )

@@ -2614,3 +2614,215 @@ def user_journeys(sf_dir: str, num_buckets: int | None = None) -> ray.data.Datas
     return bucketed.groupby("_ub").map_groups(
         lambda g: journeys(g.drop_columns(["_ub"])), batch_format="pyarrow"
     )
+
+
+Q18_MIN_QTY_CENTI = 30_000  # sum(l_quantity) > 300, int64 centi-units
+
+
+def q18_large_orders(
+    sf_dir: str, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """TPC-H-Q18-shaped HAVING + join-back: orders whose total line-item
+    quantity exceeds 300, with customer identity attached — the
+    "aggregate a big table, then enrich the tiny surviving set" shape
+    (the reference's analog is thresholded stage roll-ups feeding a
+    detail report, /root/reference/crates/cli/src/bench.rs:139-172).
+
+    Scale shape: lineitem (the largest table) pre-aggregates quantity
+    per (orderkey, batch) — one row per order per batch reaches the
+    hash(orderkey) bucket reduce; the HAVING filter runs inside the
+    reduce so only qualifying orders (~0.3% at the TPC-H threshold)
+    leave it. That tiny set is a driver materialize + ``ray.put``
+    broadcast; orders then streams once with a vectorized membership
+    filter and customer names come from a second broadcast — no
+    order-table or customer-table shuffle at all."""
+    from ..pipeline import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ensure_serializable()
+    import pyarrow.parquet as pq
+
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    )
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        agg = (
+            pa.table(
+                {
+                    "okey": batch["l_orderkey"],
+                    "qty_centi": _fixed_point(batch["l_quantity"], 100),
+                }
+            )
+            .group_by(["okey"])
+            .aggregate([("qty_centi", "sum")])
+        )
+        okey = agg["okey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array((okey % num_buckets).astype(np.int32)),
+                "okey": pa.array(okey.astype(np.int64)),
+                "qty_centi": agg["qty_centi_sum"],
+            }
+        )
+
+    def qty_reduce(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        okey = t["okey"].to_numpy(zero_copy_only=False)
+        qty = t["qty_centi"].to_numpy(zero_copy_only=False)
+        ou, inv = np.unique(okey, return_inverse=True)
+        osum = np.zeros(ou.size, dtype=np.int64)
+        np.add.at(osum, inv, qty)
+        keep = osum > Q18_MIN_QTY_CENTI
+        return pa.table(
+            {"okey": pa.array(ou[keep]), "qty_centi": pa.array(osum[keep])}
+        )
+
+    big = (
+        lineitem.map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(lambda g: qty_reduce(g.drop_columns(["_b"])), batch_format="pyarrow")
+        .to_pandas()  # qualifying orders only: tiny by the HAVING threshold
+    )
+    qual = np.sort(big["okey"].to_numpy().astype(np.int64))
+    qty_by_pos = big.set_index("okey")["qty_centi"].loc[qual].to_numpy()
+    qual_ref = ray.put((qual, qty_by_pos))
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    )
+    ckey = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    corder = np.argsort(ckey)
+    cust_ref = ray.put(
+        (ckey[corder], np.asarray(cust["c_name"].to_pylist(), dtype=object)[corder])
+    )
+
+    class AttachQ18:
+        def __init__(self, qref, cref):
+            self._qual, self._qty = ray.get(qref)
+            self._ckeys, self._cnames = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            okey = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.clip(
+                np.searchsorted(self._qual, okey), 0, max(self._qual.size - 1, 0)
+            )
+            hit = (
+                self._qual[pos] == okey
+                if self._qual.size
+                else np.zeros(len(okey), dtype=bool)
+            )
+            out = batch.filter(pa.array(hit))
+            if out.num_rows == 0:
+                return pa.table(
+                    {
+                        "c_custkey": pa.array([], pa.int64()),
+                        "c_name": pa.array([], pa.string()),
+                        "o_orderkey": pa.array([], pa.int64()),
+                        "o_orderdate": pa.array([], pa.timestamp("us")),
+                        "total_centi": pa.array([], pa.int64()),
+                        "qty_centi": pa.array([], pa.int64()),
+                    }
+                )
+            ck = out["o_custkey"].to_numpy(zero_copy_only=False)
+            cpos = np.clip(
+                np.searchsorted(self._ckeys, ck), 0, self._ckeys.size - 1
+            )
+            assert (self._ckeys[cpos] == ck).all(), "custkey missing from lookup"
+            return pa.table(
+                {
+                    "c_custkey": pa.array(ck.astype(np.int64)),
+                    "c_name": pa.array(list(self._cnames[cpos]), pa.string()),
+                    "o_orderkey": pc.cast(out["o_orderkey"], pa.int64()),
+                    "o_orderdate": out["o_orderdate"],
+                    "total_centi": _fixed_point(out["o_totalprice"], 100),
+                    "qty_centi": pa.array(self._qty[pos[hit]]),
+                }
+            )
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    return orders.map_batches(
+        AttachQ18,
+        fn_constructor_args=(qual_ref, cust_ref),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        num_cpus=1,
+    )
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_conversion(
+    sf_dir: str, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Ordered FUNNEL over the event stream: how many users had a view,
+    a view then a strictly-later first click, and a view→click→purchase
+    chain (first-occurrence ordering) — the conversion primitive of
+    product analytics and a sequence-pattern test the engine's windows
+    don't otherwise cover.
+
+    Scale shape: per-batch ``group_by(user, type).min(ts)`` partials
+    mean the hash(user) bucket shuffle moves one row per (user, type,
+    batch), never raw events; each bucket pivots its users' three first-
+    occurrence timestamps with pure numpy and emits THREE COUNT rows, so
+    the final stage-sum reduce sees 3 rows per bucket."""
+    from ..pipeline import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = (
+            pa.table(
+                {
+                    "user_id": batch["user_id"],
+                    "event_type": batch["event_type"],
+                    "ts": batch["ts"],
+                }
+            )
+            .group_by(["user_id", "event_type"])
+            .aggregate([("ts", "min")])
+        )
+        uid = agg["user_id"].to_numpy(zero_copy_only=False)
+        return agg.append_column(
+            "_b", pa.array((uid % num_buckets).astype(np.int32))
+        )
+
+    def funnel_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_min"].to_numpy(zero_copy_only=False).view("int64")
+        etype = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        uu, uinv = np.unique(uid, return_inverse=True)
+        i64max = np.iinfo(np.int64).max
+        first = np.full((len(FUNNEL_STAGES), uu.size), i64max, dtype=np.int64)
+        for si, stage in enumerate(FUNNEL_STAGES):
+            mask = etype == stage
+            np.minimum.at(first[si], uinv[mask], ts[mask])
+        has_v = first[0] != i64max
+        vc = has_v & (first[1] != i64max) & (first[0] < first[1])
+        vcp = vc & (first[2] != i64max) & (first[1] < first[2])
+        return pa.table(
+            {
+                "stage": pa.array(
+                    ["view", "view>click", "view>click>purchase"], pa.string()
+                ),
+                "n": pa.array(
+                    [int(has_v.sum()), int(vc.sum()), int(vcp.sum())], pa.int64()
+                ),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    per_bucket = partials.groupby("_b").map_groups(
+        lambda g: funnel_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
+    )
+    return per_bucket.groupby("stage").aggregate(Sum("n", alias_name="n_users"))

@@ -474,3 +474,142 @@ def unnest_embeddings(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (Lloyd's) over the embeddings table
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+def quantize_micro(x: np.ndarray) -> np.ndarray:
+    """Embedding floats -> int64 micros, half away from zero — the
+    engine's exact-aggregate discipline applied to vectors: int64 sums
+    are exact in ANY accumulation order, so the centroid update is
+    bit-identical at every parallelism level (and to the pure-numpy
+    test oracle), which a float64 tree-sum cannot promise."""
+    return (np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5)).astype(np.int64)
+
+
+def kmeans_assign(x_micro: np.ndarray, centroids_micro: np.ndarray) -> np.ndarray:
+    """Nearest-centroid labels via the expanded ||x-c||^2 identity on
+    EXACT micro-grid integers (products fit float64 exactly up to
+    |v| ~ 47; embeddings are unit-scale). Ties break to the lowest
+    cluster index — numpy argmin's rule, shared with the oracle."""
+    x = x_micro.astype(np.float64)
+    c = centroids_micro.astype(np.float64)
+    d2 = -2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
+    return np.argmin(d2, axis=1).astype(np.int32)
+
+
+def kmeans_step(
+    x_micro: np.ndarray, centroids_micro: np.ndarray, k: int
+):
+    """One Lloyd's step on one matrix: (labels, per-cluster int64 micro
+    sums, counts). Shared verbatim by the distributed partials and the
+    pure-local test oracle (parity-kernel discipline, SURVEY M8)."""
+    labels = kmeans_assign(x_micro, centroids_micro)
+    dim = x_micro.shape[1]
+    sums = np.zeros((k, dim), dtype=np.int64)
+    np.add.at(sums, labels, x_micro)
+    counts = np.bincount(labels, minlength=k).astype(np.int64)
+    return labels, sums, counts
+
+
+def _centroid_update(
+    sums: np.ndarray, counts: np.ndarray, prev: np.ndarray
+) -> np.ndarray:
+    """New centroids on the micro grid: round(sum/count) per coordinate
+    (exact integer inputs -> deterministic), empty clusters keep their
+    previous centroid."""
+    out = prev.copy()
+    nz = counts > 0
+    out[nz] = quantize_micro(
+        sums[nz].astype(np.float64) / counts[nz, None] / 1e6
+    )
+    return out
+
+
+def kmeans_embeddings(
+    sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> ray.data.Dataset:
+    """Distributed Lloyd's k-means over embeddings — the semantic-
+    clustering pass (topic bucketing, diversity sampling, IVF codebook
+    training at full quality) that iterative-algorithm support exists
+    for.
+
+    Scale shape per iteration: centroids are ONE ``ray.put`` broadcast;
+    each batch computes labels + per-cluster int64 micro sums, so only
+    k rows (with a dim-length sum list) per batch reach the driver —
+    the combine is k × num_batches rows of integers, never the corpus.
+    Because sums are exact integers, the trajectory is bit-identical at
+    8 or 800 CPUs; the final pass re-labels the stream against frozen
+    centroids. Deterministic init: the k lowest-vec_id embeddings."""
+    ensure_serializable()
+    import pyarrow.parquet as pq
+
+    seed = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    ).sort_by("vec_id")
+    centroids = quantize_micro(emb_matrix(seed["embedding"]))
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+
+    def make_partial(cref, kk):
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            xm = quantize_micro(emb_matrix(batch["embedding"]))
+            _, sums, counts = kmeans_step(xm, c, kk)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(kk, dtype=np.int32)),
+                    "n": pa.array(counts),
+                    "sum_micro": pa.array(list(sums)),
+                }
+            )
+
+        return partial
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+        parts = ds.map_batches(
+            make_partial(cref, k), batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(k, dtype=np.int64)
+        for cl, n, sm in zip(parts["cluster"], parts["n"], parts["sum_micro"]):
+            sums[cl] += np.asarray(sm, dtype=np.int64)
+            counts[cl] += n
+        centroids = _centroid_update(sums, counts, centroids)
+
+    final_ref = ray.put(centroids)
+
+    class Assign:
+        def __init__(self, ref):
+            self._c = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            xm = quantize_micro(emb_matrix(batch["embedding"]))
+            labels = kmeans_assign(xm, self._c)
+            return pa.table(
+                {
+                    "vec_id": batch["vec_id"],
+                    "cluster": pa.array(labels, pa.int32()),
+                }
+            )
+
+    return ds.map_batches(
+        Assign,
+        fn_constructor_args=(final_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        num_cpus=1,
+    )

@@ -492,3 +492,42 @@ def outlier_events(sf_dir: str) -> ray.data.Dataset:
         concurrency=pool_size(),
         num_cpus=1,
     )
+
+
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 5  # remainder (100 - train - val) is test
+
+
+def train_test_split(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic train/val/test ASSIGNMENT over documents — the
+    split every training-data pipeline pins before anything else.
+
+    Splitting by RNG is non-reproducible across resumes and engines, so
+    the split key is the same SQL-expressible Knuth multiplicative hash
+    as ``sample_events``: hash(doc_id) % 100 → [0,90) train, [90,95)
+    val, else test. A resumed partition, a re-run, and the DuckDB
+    oracle all assign every document identically. Scale shape: one
+    stateless vectorized map, no shuffle, no state."""
+    ensure_serializable()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = (_sample_hash(doc_id) % 100).astype(np.int64)
+        split = np.where(
+            h < SPLIT_TRAIN_PCT,
+            "train",
+            np.where(h < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val", "test"),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "h": pa.array(h),
+                "split": pa.array(split.astype(object), pa.string()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -57,6 +57,8 @@ SQL_CHECKED = [
     "anti_join_customers_bloom",
     "dense_rank_events_per_user", "densify_user_days",
     "user_journeys", "outlier_events",
+    "q18_large_orders", "funnel_conversion", "train_test_split",
+    "decontaminate_documents",
 ]
 
 
@@ -87,7 +89,7 @@ def test_all_queries_have_oracle_or_are_documented():
         "knn_ivf", "rolling_fingerprint",
         "image_metadata", "image_resize", "video_frame_sample",
         "audio_features", "approx_distinct_users", "heavy_hitter_words",
-        "ewma_events_per_user", "image_phash_dedup",
+        "ewma_events_per_user", "image_phash_dedup", "kmeans_embeddings",
     }
 
 
@@ -779,3 +781,66 @@ def test_parse_event_props_total_matches_sum():
     df = _as_df(entrymod.queries()["parse_event_props"](SF))
     assert df["k"].notna().all()
     assert df["k"].between(0, 99).all()
+
+
+def test_kmeans_matches_pure_local_lloyds():
+    """Distributed k-means must be BIT-IDENTICAL to a single-matrix
+    Lloyd's run built from the same shared kernels: the int64 micro-sum
+    discipline makes the centroid trajectory independent of batch
+    boundaries, so any divergence is a real bug, not float noise."""
+    import pyarrow.parquet as pq
+
+    from engine.ops import similarity as sim
+
+    got = (
+        sim.kmeans_embeddings(SF)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    tab = pq.read_table(
+        os.path.join(SF, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).sort_by("vec_id")
+    x = sim.quantize_micro(sim.emb_matrix(tab["embedding"]))
+    k = sim.KMEANS_K
+    centroids = x[:k].copy()
+    for _ in range(sim.KMEANS_ITERS):
+        _, sums, counts = sim.kmeans_step(x, centroids, k)
+        centroids = sim._centroid_update(sums, counts, centroids)
+    labels = sim.kmeans_assign(x, centroids)
+
+    assert got["vec_id"].to_numpy().tolist() == tab["vec_id"].to_pylist()
+    assert (got["cluster"].to_numpy() == labels).all()
+    assert len(np.unique(labels)) > 1, "degenerate clustering fixture"
+
+
+def test_decontaminate_flags_verbatim_overlap(tmp_path):
+    """A training doc containing a benchmark doc's exact 5-gram must be
+    flagged; unrelated docs must not be."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops import dedup as dd
+
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    rows = {
+        "doc_id": [0, 1, 2],  # 0 % 50 == 0 -> benchmark
+        "text": [
+            bench_text,
+            "intro words then alpha beta gamma delta epsilon and more",
+            "completely different content with no shared phrasing here",
+        ],
+        "lang": ["en"] * 3,
+        "source": ["t"] * 3,
+        "n_chars": [len(bench_text), 10, 10],
+    }
+    pq.write_table(pa.table(rows), tmp_path / "documents.parquet")
+    out = (
+        dd.decontaminate_documents(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["contaminated"].tolist() == [1, 0]
