@@ -177,6 +177,12 @@ def _chunk_conversations(sf_dir: str):
     return chunk_conversations(_transcript_files(sf_dir))
 
 
+def _valid_role_alternation(sf_dir: str):
+    from engine.ops.convstats import valid_role_alternation
+
+    return valid_role_alternation(_transcript_files(sf_dir))
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale; driver smoke-checks rows>=0."""
     return _extract_transcripts("/root/testdata/sf0.001")
@@ -207,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_transcripts": _redact_transcripts,
         "dedup_turns": _dedup_turns,
         "chunk_conversations": _chunk_conversations,
+        "valid_role_alternation": _valid_role_alternation,
         # relational operators (SURVEY SS2.6-2.7, SS2.10)
         "pricing_summary": relational.pricing_summary,
         "stage_totals": relational.stage_totals,
@@ -247,6 +254,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_journeys": relational.user_journeys,
         "q18_large_orders": relational.q18_large_orders,
         "funnel_conversion": relational.funnel_conversion,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q7_volume_shipping": relational.q7_volume_shipping,
+        "time_to_conversion": relational.time_to_conversion,
         # sampling / sketches / order statistics
         "sample_events": sketches.sample_events,
         "stratified_sample_events": sketches.stratified_sample_events,
@@ -283,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_documents": textstats.normalize_documents,
         "doc_fingerprint": textstats.doc_fingerprint,
         "rolling_fingerprint": textstats.rolling_fingerprint,
+        "doc_repetition": textstats.doc_repetition,
         # multimodal plumbing
         "image_metadata": multimodal.image_metadata,
         "image_resize": multimodal.image_resize,
@@ -486,6 +497,23 @@ def oracle_sql() -> dict[str, str]:
                    max(epoch_us(ts)) AS last_ts_us
             FROM {transcripts}
             GROUP BY conv_id
+        """,
+        "valid_role_alternation": f"""
+            WITH t AS (
+              SELECT conv_id, turn_idx, role,
+                     lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                       AS prev
+              FROM {transcripts}
+            )
+            SELECT conv_id,
+                   CAST(CASE WHEN max(CASE
+                       WHEN prev IS NOT NULL AND role = prev
+                            AND role <> 'tool' THEN 1
+                       WHEN turn_idx = 0
+                            AND role NOT IN ('user', 'system') THEN 1
+                       WHEN turn_idx > 0 AND role = 'system' THEN 1
+                       ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT) AS valid
+            FROM t GROUP BY conv_id
         """,
         "turn_token_counts": f"""
             SELECT conv_id, turn_idx,
@@ -1022,6 +1050,61 @@ def oracle_sql() -> dict[str, str]:
                                          AND tp IS NOT NULL AND tv < tc
                                          AND tc < tp) AS BIGINT)
             FROM m
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(coalesce(sum(
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round(l_discount * 100) AS BIGINT)), 0) AS BIGINT)
+                     AS revenue_e4
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_e4
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "time_to_conversion": """
+            WITH m AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+                     min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+              FROM events GROUP BY user_id)
+            SELECT user_id,
+                   CAST(epoch_us(tp) - epoch_us(tv) AS BIGINT) AS lat_us
+            FROM m
+            WHERE tv IS NOT NULL AND tp IS NOT NULL AND tp > tv
+        """,
+        "doc_repetition": """
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     array_to_string(list(w) OVER win, ' ') AS gram,
+                     count(*) OVER win AS glen
+              FROM words
+              WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct
+            FROM grams WHERE glen = 3 GROUP BY doc_id
         """,
         "train_test_split": """
             SELECT doc_id, lang,

@@ -298,3 +298,76 @@ def chunk_conversations(transcript_paths, num_buckets: int = 64) -> ray.data.Dat
     return counted.groupby("_b").map_groups(
         lambda g: pack_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
     )
+
+
+_ROLE_CODES = {"user": 0, "assistant": 1, "system": 2, "tool": 3}
+
+
+def valid_role_alternation(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
+    """Structural validation of conversations — the schema-level clean
+    step run before any transcript enters a training mix: a conv is
+    valid iff turn 0 is user or system, 'system' never appears after
+    turn 0, and no two consecutive turns repeat a role (tool chains
+    exempt — multi-tool-call turns are legal).
+
+    Adjacency needs per-conversation order, so this rides the engine's
+    one standard shuffle: roles compress to int8 codes, rows bucket on
+    hash(conv), and each bucket lexsorts once and evaluates all three
+    rules vectorized over run boundaries — no per-conv Python."""
+    ds = _transcript_ds(transcript_paths, ["conv_id", "turn_idx", "role"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        conv = batch["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        role = batch["role"].to_pylist()
+        codes = np.array([_ROLE_CODES.get(r, 4) for r in role], dtype=np.int8)
+        return pa.table(
+            {
+                "_b": pa.array(
+                    (_hash_conv_ids(conv) % num_buckets).astype(np.int32)
+                ),
+                "conv_id": batch["conv_id"],
+                "turn_idx": pc.cast(batch["turn_idx"], pa.int32()),
+                "role_code": pa.array(codes),
+            }
+        )
+
+    def validate_bucket(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")]
+        ).combine_chunks()
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "valid": pa.array([], pa.int64()),
+                }
+            )
+        conv = t.column("conv_id")
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = pc.not_equal(conv.slice(1), conv.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        code = t["role_code"].to_numpy(zero_copy_only=False)
+        tidx = t["turn_idx"].to_numpy(zero_copy_only=False)
+        rep = np.zeros(n, dtype=bool)
+        rep[1:] = (~new[1:]) & (code[1:] == code[:-1]) & (code[1:] != 3)
+        badstart = (tidx == 0) & (code != 0) & (code != 2)
+        latesys = (tidx > 0) & (code == 2)
+        bad = rep | badstart | latesys
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
+        any_bad = np.add.reduceat(bad.astype(np.int64), starts) > 0
+        first_conv = conv.take(pa.array(starts))
+        return pa.table(
+            {
+                "conv_id": first_conv,
+                "valid": pa.array((~any_bad).astype(np.int64)),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("_b").map_groups(
+        lambda g: validate_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
+    )

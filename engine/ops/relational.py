@@ -2826,3 +2826,321 @@ def funnel_conversion(
         lambda g: funnel_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
     )
     return per_bucket.groupby("stage").aggregate(Sum("n", alias_name="n_users"))
+
+
+import datetime as _dt
+
+Q6_LO = _dt.datetime(1996, 1, 1)
+Q6_HI = _dt.datetime(1997, 1, 1)
+
+
+def q6_forecast_revenue(sf_dir: str) -> "pd.DataFrame":
+    """TPC-H-Q6-shaped forecasting aggregate: one global sum over a
+    triple-predicate slice of lineitem. The point at scale is that the
+    predicates ride INTO the parquet scan (row-group pruning on
+    shipdate) and each batch contributes a single partial row — the
+    shuffle carries one int64 per batch.
+
+    Revenue is price_centi x discount_pct = exact e4 fixed point."""
+    import pandas as pd
+    from ray.data.aggregate import Sum as _Sum
+
+    ensure_serializable()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount"],
+        filter=(
+            (pc.field("l_shipdate") >= Q6_LO)
+            & (pc.field("l_shipdate") < Q6_HI)
+            & (pc.field("l_discount") >= 0.05)
+            & (pc.field("l_discount") <= 0.07)
+            & (pc.field("l_quantity") < 24)
+        ),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            _fixed_point(batch["l_extendedprice"], 100),
+            _fixed_point(batch["l_discount"], 100),
+        )
+        total = pc.sum(rev).as_py() or 0
+        return pa.table({"rev_e4": pa.array([total], pa.int64())})
+
+    out = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(_Sum("rev_e4", alias_name="revenue_e4"))
+    return pd.DataFrame({"revenue_e4": [int(out["revenue_e4"] or 0)]})
+
+
+Q7_NATIONS = ("NATION_1", "NATION_2")
+
+
+def q7_volume_shipping(
+    sf_dir: str, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """TPC-H-Q7-shaped nation-pair trade volume: revenue shipped between
+    two nations by (supplier nation, customer nation, year) — the
+    five-table join chain expressed with TWO broadcasts and ONE
+    co-location.
+
+    supplier→nation and customer→nation are tiny: both fold into
+    sorted-key lookup broadcasts applied while streaming lineitem and
+    orders, which also lets the nation-pair predicate run BEFORE the
+    shuffle (only rows whose supplier/customer sits in the pair
+    survive). The single shuffle co-locates the two filtered streams on
+    hash(orderkey); each bucket joins vectorized and pre-aggregates to
+    (supp_nation, cust_nation, year) partials, so the final native
+    groupby sees a handful of rows per bucket."""
+    from ..pipeline import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ensure_serializable()
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    pair_keys = {
+        n: i
+        for i, n in enumerate(Q7_NATIONS)
+    }
+    nkey_to_code = {
+        k: pair_keys[v]
+        for k, v in zip(
+            nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()
+        )
+        if v in pair_keys
+    }
+
+    def _side_lookup(path, key_col, nat_col):
+        t = pq.read_table(os.path.join(sf_dir, path), columns=[key_col, nat_col])
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = np.array(
+            [nkey_to_code.get(x, -1) for x in t[nat_col].to_numpy(zero_copy_only=False)],
+            dtype=np.int8,
+        )
+        keep = codes >= 0
+        keys, codes = keys[keep], codes[keep]
+        order = np.argsort(keys)
+        return keys[order], codes[order]
+
+    supp_ref = ray.put(_side_lookup("supplier.parquet", "s_suppkey", "s_nationkey"))
+    cust_ref = ray.put(_side_lookup("customer.parquet", "c_custkey", "c_nationkey"))
+
+    def _probe(sorted_keys, codes, probe):
+        if sorted_keys.size == 0:
+            return np.full(probe.shape, -1, dtype=np.int8)
+        pos = np.clip(np.searchsorted(sorted_keys, probe), 0, sorted_keys.size - 1)
+        out = np.where(sorted_keys[pos] == probe, codes[pos], -1).astype(np.int8)
+        return out
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        skeys, scodes = ray.get(supp_ref)
+        sn = _probe(skeys, scodes, batch["l_suppkey"].to_numpy(zero_copy_only=False))
+        keep = sn >= 0
+        t = batch.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return _q7_row_schema()
+        rev = pc.multiply(
+            _fixed_point(t["l_extendedprice"], 100),
+            pc.subtract(pa.scalar(100), _fixed_point(t["l_discount"], 100)),
+        )
+        agg = (
+            pa.table(
+                {
+                    "okey": t["l_orderkey"],
+                    "snation": pa.array(sn[keep].astype(np.int8)),
+                    "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+                    "rev_e4": rev,
+                }
+            )
+            .group_by(["okey", "snation", "l_year"])
+            .aggregate([("rev_e4", "sum")])
+        )
+        okey = agg["okey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array((okey % num_buckets).astype(np.int32)),
+                "okey": pa.array(okey.astype(np.int64)),
+                "snation": agg["snation"],
+                "cnation": pa.array(np.full(len(okey), -1, dtype=np.int8)),
+                "l_year": agg["l_year"],
+                "rev_e4": agg["rev_e4_sum"],
+            }
+        )
+
+    def order_tag(batch: pa.Table) -> pa.Table:
+        ckeys, ccodes = ray.get(cust_ref)
+        cn = _probe(ckeys, ccodes, batch["o_custkey"].to_numpy(zero_copy_only=False))
+        keep = cn >= 0
+        t = batch.filter(pa.array(keep))
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array((okey % num_buckets).astype(np.int32)),
+                "okey": pa.array(okey.astype(np.int64)),
+                "snation": pa.array(np.full(len(okey), -1, dtype=np.int8)),
+                "cnation": pa.array(cn[keep].astype(np.int8)),
+                "l_year": pa.array(np.zeros(len(okey), dtype=np.int64)),
+                "rev_e4": pa.array(np.zeros(len(okey), dtype=np.int64)),
+            }
+        )
+
+    def _q7_row_schema() -> pa.Table:
+        return pa.table(
+            {
+                "_b": pa.array([], pa.int32()),
+                "okey": pa.array([], pa.int64()),
+                "snation": pa.array([], pa.int8()),
+                "cnation": pa.array([], pa.int8()),
+                "l_year": pa.array([], pa.int64()),
+                "rev_e4": pa.array([], pa.int64()),
+            }
+        )
+
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+    tagged = lineitem.map_batches(
+        line_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).union(orders.map_batches(order_tag, batch_format="pyarrow", zero_copy_batch=True))
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        sn = t["snation"].to_numpy(zero_copy_only=False)
+        is_line = sn >= 0
+        okey = t["okey"].to_numpy(zero_copy_only=False)
+        o_keys = okey[~is_line]
+        o_cn = t["cnation"].to_numpy(zero_copy_only=False)[~is_line]
+        empty = pa.table(
+            {
+                "supp_nation": pa.array([], pa.string()),
+                "cust_nation": pa.array([], pa.string()),
+                "l_year": pa.array([], pa.int64()),
+                "rev_e4": pa.array([], pa.int64()),
+            }
+        )
+        if o_keys.size == 0 or is_line.sum() == 0:
+            return empty
+        order_sort = np.argsort(o_keys)
+        o_sorted = o_keys[order_sort]
+        l_ok = okey[is_line]
+        pos = np.clip(np.searchsorted(o_sorted, l_ok), 0, o_sorted.size - 1)
+        hit = o_sorted[pos] == l_ok
+        l_sn = sn[is_line][hit]
+        l_cn = o_cn[order_sort[pos[hit]]]
+        cross = l_sn != l_cn  # Q7 keeps only opposite-nation pairs
+        if cross.sum() == 0:
+            return empty
+        years = t["l_year"].to_numpy(zero_copy_only=False)[is_line][hit][cross]
+        revs = t["rev_e4"].to_numpy(zero_copy_only=False)[is_line][hit][cross]
+        key = (
+            l_sn[cross].astype(np.int64) * 10000 + years
+        )  # snation in {0,1}: composite (snation, year) key
+        ku, kinv = np.unique(key, return_inverse=True)
+        ksum = np.zeros(ku.size, dtype=np.int64)
+        np.add.at(ksum, kinv, revs)
+        k_sn = (ku // 10000).astype(np.int64)
+        return pa.table(
+            {
+                "supp_nation": pa.array(
+                    [Q7_NATIONS[i] for i in k_sn], pa.string()
+                ),
+                "cust_nation": pa.array(
+                    [Q7_NATIONS[1 - i] for i in k_sn], pa.string()
+                ),
+                "l_year": pa.array(ku % 10000),
+                "rev_e4": pa.array(ksum),
+            }
+        )
+
+    per_bucket = tagged.groupby("_b").map_groups(
+        lambda g: join_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
+    )
+    out = (
+        per_bucket.groupby(["supp_nation", "cust_nation", "l_year"])
+        .aggregate(Sum("rev_e4", alias_name="revenue_e4"))
+        .to_pandas()  # |pair| x |years| rows — inherently tiny
+    )
+    if out.empty:
+        # an empty Ray aggregate drops its schema; pin it for the compare
+        import pandas as pd
+
+        out = pd.DataFrame(
+            {
+                "supp_nation": pd.Series([], dtype=object),
+                "cust_nation": pd.Series([], dtype=object),
+                "l_year": pd.Series([], dtype=np.int64),
+                "revenue_e4": pd.Series([], dtype=np.int64),
+            }
+        )
+    return out
+
+
+def time_to_conversion(
+    sf_dir: str, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """First-view → first-purchase LATENCY per converting user, in exact
+    microseconds — the funnel's timing companion (cohort latency
+    distributions feed the quantile operators downstream).
+
+    Same scale shape as ``funnel_conversion``: per-batch
+    ``group_by(user, type).min(ts)`` partials, hash(user) bucket
+    reduce, numpy pivot; emits one row per CONVERTING user only."""
+    from ..pipeline import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            batch["event_type"], value_set=pa.array(["view", "purchase"])
+        )
+        t = batch.filter(mask)
+        agg = (
+            pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "event_type": t["event_type"],
+                    "ts": t["ts"],
+                }
+            )
+            .group_by(["user_id", "event_type"])
+            .aggregate([("ts", "min")])
+        )
+        uid = agg["user_id"].to_numpy(zero_copy_only=False)
+        return agg.append_column(
+            "_b", pa.array((uid % num_buckets).astype(np.int32))
+        )
+
+    def latency_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_min"].to_numpy(zero_copy_only=False).view("int64")
+        etype = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        uu, uinv = np.unique(uid, return_inverse=True)
+        i64max = np.iinfo(np.int64).max
+        tv = np.full(uu.size, i64max, dtype=np.int64)
+        tp = np.full(uu.size, i64max, dtype=np.int64)
+        vm = etype == "view"
+        pm = etype == "purchase"
+        np.minimum.at(tv, uinv[vm], ts[vm])
+        np.minimum.at(tp, uinv[pm], ts[pm])
+        conv = (tv != i64max) & (tp != i64max) & (tp > tv)
+        return pa.table(
+            {
+                "user_id": pa.array(uu[conv]),
+                "lat_us": pa.array(tp[conv] - tv[conv]),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("_b").map_groups(
+        lambda g: latency_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
+    )

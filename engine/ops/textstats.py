@@ -548,3 +548,47 @@ def bigram_counts(sf_dir: str, k: int = BIGRAM_K) -> ray.data.Dataset:
     )
     agg = partials.groupby(["w1", "w2"]).aggregate(_Sum("n", alias_name="n"))
     return agg.sort(["n", "w1", "w2"], descending=[True, False, False]).limit(k)
+
+
+REP_NGRAM = 3
+
+
+def doc_repetition(sf_dir: str) -> ray.data.Dataset:
+    """Intra-document repetition score: total vs distinct word 3-grams
+    per document — the duplicated-n-gram quality rule public LM data
+    reports filter on (boilerplate and looping text have low
+    distinct/total ratios). Emits the two exact integers rather than a
+    rounded ratio so the oracle compare stays engine-independent.
+
+    Tokenization is the ``word_counts`` single-space split; docs with
+    fewer than 3 words emit nothing (no grams exist), matching the
+    oracle's GROUP BY over the gram set. Stateless per-batch map — the
+    per-doc set build is inherent (grams are per-document state), but
+    there is no shuffle and no cross-doc state."""
+
+    def rep(batch: pa.Table) -> pa.Table:
+        doc_ids, n_grams, n_distinct = [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            words = (text or "").split(" ")
+            n = len(words) - REP_NGRAM + 1
+            if n <= 0:
+                continue
+            grams = {
+                " ".join(words[i : i + REP_NGRAM]) for i in range(n)
+            }
+            doc_ids.append(did)
+            n_grams.append(n)
+            n_distinct.append(len(grams))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "n_distinct": pa.array(n_distinct, pa.int64()),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        rep, batch_format="pyarrow", zero_copy_batch=True
+    )

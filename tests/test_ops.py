@@ -59,6 +59,8 @@ SQL_CHECKED = [
     "user_journeys", "outlier_events",
     "q18_large_orders", "funnel_conversion", "train_test_split",
     "decontaminate_documents",
+    "q6_forecast_revenue", "q7_volume_shipping", "time_to_conversion",
+    "doc_repetition",
 ]
 
 
@@ -164,7 +166,7 @@ def test_heavy_hitter_words_bounds(duck):
     "name",
     ["render_conversations", "render_deepseek", "compact_history", "conv_stats",
      "turn_token_counts", "redact_transcripts", "dedup_turns",
-     "chunk_conversations"],
+     "chunk_conversations", "valid_role_alternation"],
 )
 def test_transcript_query_matches_oracle(name, duck):
     """These oracles read the transcript fixture by path at the driver's
@@ -844,3 +846,47 @@ def test_decontaminate_flags_verbatim_overlap(tmp_path):
     )
     assert out["doc_id"].tolist() == [1, 2]
     assert out["contaminated"].tolist() == [1, 0]
+
+
+def test_valid_role_alternation_rules(tmp_path):
+    """Crafted convs exercise each rule: tool chains legal, repeated
+    user/assistant illegal, bad first role illegal, late system illegal."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops.convstats import valid_role_alternation
+
+    convs = {
+        "ok-tools": ["user", "assistant", "tool", "tool", "assistant"],
+        "ok-system": ["system", "user", "assistant"],
+        "bad-double-user": ["user", "user", "assistant"],
+        "bad-start": ["assistant", "user"],
+        "bad-late-system": ["user", "system", "assistant"],
+    }
+    rows = {"conv_id": [], "turn_idx": [], "role": [], "text": [], "tool": [], "ts": []}
+    import datetime
+    for cid, roles in convs.items():
+        for i, r in enumerate(roles):
+            rows["conv_id"].append(cid)
+            rows["turn_idx"].append(i)
+            rows["role"].append(r)
+            rows["text"].append("x")
+            rows["tool"].append(None)
+            rows["ts"].append(datetime.datetime(2024, 1, 1, 0, 0, i))
+    path = tmp_path / "t.parquet"
+    pq.write_table(
+        pa.table(rows).set_column(
+            1, "turn_idx", pa.array(rows["turn_idx"], pa.int32())
+        ),
+        path,
+    )
+    out = (
+        valid_role_alternation([str(path)])
+        .to_pandas()
+        .set_index("conv_id")["valid"]
+        .to_dict()
+    )
+    assert out == {
+        "ok-tools": 1, "ok-system": 1,
+        "bad-double-user": 0, "bad-start": 0, "bad-late-system": 0,
+    }
