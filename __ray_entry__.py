@@ -183,6 +183,35 @@ def _valid_role_alternation(sf_dir: str):
     return valid_role_alternation(_transcript_files(sf_dir))
 
 
+def _conv_stats_jsonl(sf_dir: str):
+    """conv_stats over the JSONL SOURCE (engine.io): the parquet fixture
+    converts to JSONL shards once (cached per tier), then the identical
+    operator runs on the second ingestion format. The oracle is the same
+    SQL as conv_stats — bit-equal output IS the source-parity proof."""
+    import ray.data
+
+    from engine import synth
+    from engine.io import read_transcripts_jsonl, write_transcripts_jsonl
+    from engine.ops.convstats import conv_stats
+
+    tier = synth.tier_for_sf_dir(sf_dir)
+    out = f"/tmp/ray_transcripts_jsonl/{tier}"
+    marker = os.path.join(out, "_COMPLETE")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        write_transcripts_jsonl(
+            ray.data.read_parquet(_transcript_files(sf_dir)), out
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    paths = sorted(
+        os.path.join(out, p) for p in os.listdir(out) if p.endswith(".json")
+    )
+    return conv_stats(read_transcripts_jsonl(paths))
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale; driver smoke-checks rows>=0."""
     return _extract_transcripts("/root/testdata/sf0.001")
@@ -214,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_turns": _dedup_turns,
         "chunk_conversations": _chunk_conversations,
         "valid_role_alternation": _valid_role_alternation,
+        "conv_stats_jsonl": _conv_stats_jsonl,
         # relational operators (SURVEY SS2.6-2.7, SS2.10)
         "pricing_summary": relational.pricing_summary,
         "stage_totals": relational.stage_totals,
@@ -514,6 +544,20 @@ def oracle_sql() -> dict[str, str]:
                        WHEN turn_idx > 0 AND role = 'system' THEN 1
                        ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT) AS valid
             FROM t GROUP BY conv_id
+        """,
+        "conv_stats_jsonl": f"""
+            -- identical to conv_stats: the Ray side reads the JSONL
+            -- conversion of the same fixture, so bit-equality against
+            -- the parquet-sourced oracle proves source parity
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_tool_turns,
+                   CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS n_chars,
+                   min(epoch_us(ts)) AS first_ts_us,
+                   max(epoch_us(ts)) AS last_ts_us
+            FROM {transcripts}
+            GROUP BY conv_id
         """,
         "turn_token_counts": f"""
             SELECT conv_id, turn_idx,

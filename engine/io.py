@@ -1,0 +1,89 @@
+"""JSONL source/sink for the transcript schema — the engine's second
+ingestion format.
+
+The reference accepts the same payloads over two encodings (parquet-like
+batch files for offline runs and JSON request bodies on the server path,
+/root/reference/crates/server/src/generation.rs:248-290); this module is
+the batch-engine analog: newline-delimited JSON shards that normalize
+into the exact arrow schema the parquet fixtures carry, so EVERY
+downstream operator (extraction, conv_stats, templates, validation) runs
+unchanged on either source.
+
+Timestamps ride as int64 epoch microseconds (``ts_us``) in the JSON —
+ISO-string round-trips differ across strftime/strptime implementations
+(fractional-second support varies), while epoch micros are exact and
+sortable in any engine. The reader also accepts an ISO-8601 ``ts``
+string column (Arrow's string→timestamp cast) for hand-authored files.
+
+Scale shape: ``ray.data.read_json`` streams shards exactly like
+``read_parquet`` (per-file read tasks, no driver materialization); the
+normalize step is a stateless Arrow-kernel ``map_batches``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ._rayutil import ensure_serializable
+
+TRANSCRIPT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+
+def _normalize(batch: pa.Table) -> pa.Table:
+    if "ts_us" in batch.column_names:
+        ts = pc.cast(pc.cast(batch["ts_us"], pa.int64()), pa.timestamp("us"))
+    else:
+        ts = pc.cast(batch["ts"], pa.timestamp("us"))  # ISO-8601 string
+    return pa.table(
+        {
+            "conv_id": pc.cast(batch["conv_id"], pa.string()),
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int32()),
+            "role": pc.fill_null(pc.cast(batch["role"], pa.string()), ""),
+            "text": pc.fill_null(pc.cast(batch["text"], pa.string()), ""),
+            "tool": pc.fill_null(pc.cast(batch["tool"], pa.string()), ""),
+            "ts": ts,
+        }
+    )
+
+
+def read_transcripts_jsonl(paths) -> ray.data.Dataset:
+    """JSONL shard(s) -> Dataset with the canonical transcript schema.
+
+    Accepts anything ``ray.data.read_json`` accepts (file, list, dir)."""
+    ensure_serializable()
+    return ray.data.read_json(paths).map_batches(
+        _normalize, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def write_transcripts_jsonl(ds: ray.data.Dataset, out_dir: str) -> None:
+    """Dataset with the transcript schema -> JSONL shards under
+    ``out_dir`` (one file per block, resumable like the parquet sink)."""
+
+    def encode(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "role": batch["role"],
+                "text": batch["text"],
+                "tool": batch["tool"],
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+            }
+        )
+
+    ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True).write_json(
+        out_dir
+    )

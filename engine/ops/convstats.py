@@ -31,7 +31,12 @@ TOKEN_RE = r"\S+"
 
 
 def _transcript_ds(transcript_paths, columns) -> ray.data.Dataset:
+    """Parquet path list -> pruned read; an already-built Dataset (e.g.
+    the engine.io JSONL source) passes through with a column projection,
+    so every operator here runs on either ingestion format."""
     ensure_serializable()
+    if isinstance(transcript_paths, ray.data.Dataset):
+        return transcript_paths.select_columns(columns)
     return ray.data.read_parquet(transcript_paths, columns=columns)
 
 

@@ -1,0 +1,66 @@
+"""JSONL source/sink round-trip: the second ingestion format must be
+bit-equal to parquet through the full schema and through an operator."""
+
+import os
+import sys
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="module")
+def jsonl_dir(tmp_path_factory):
+    import ray.data
+
+    from engine import synth
+    from engine.io import write_transcripts_jsonl
+
+    d = synth.fixture_dir("t1")
+    files = sorted(
+        os.path.join(d, p) for p in os.listdir(d) if p.endswith(".parquet")
+    )
+    out = tmp_path_factory.mktemp("jsonl")
+    write_transcripts_jsonl(ray.data.read_parquet(files), str(out))
+    return files, str(out)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def test_jsonl_roundtrip_full_schema(jsonl_dir):
+    import ray.data
+
+    from engine.io import TRANSCRIPT_SCHEMA, read_transcripts_jsonl
+
+    files, out = jsonl_dir
+    paths = sorted(
+        os.path.join(out, p) for p in os.listdir(out) if p.endswith(".json")
+    )
+    got_ds = read_transcripts_jsonl(paths)
+    assert got_ds.schema().base_schema == TRANSCRIPT_SCHEMA
+    got = _canon(got_ds.to_pandas())
+    want = _canon(ray.data.read_parquet(files).to_pandas())
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_operator_parity_across_sources(jsonl_dir):
+    from engine.io import read_transcripts_jsonl
+    from engine.ops.convstats import conv_stats
+
+    files, out = jsonl_dir
+    paths = sorted(
+        os.path.join(out, p) for p in os.listdir(out) if p.endswith(".json")
+    )
+    got = (
+        conv_stats(read_transcripts_jsonl(paths))
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        conv_stats(files).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)

@@ -166,7 +166,7 @@ def test_heavy_hitter_words_bounds(duck):
     "name",
     ["render_conversations", "render_deepseek", "compact_history", "conv_stats",
      "turn_token_counts", "redact_transcripts", "dedup_turns",
-     "chunk_conversations", "valid_role_alternation"],
+     "chunk_conversations", "valid_role_alternation", "conv_stats_jsonl"],
 )
 def test_transcript_query_matches_oracle(name, duck):
     """These oracles read the transcript fixture by path at the driver's
