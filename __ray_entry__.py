@@ -324,6 +324,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": textstats.doc_fingerprint,
         "rolling_fingerprint": textstats.rolling_fingerprint,
         "doc_repetition": textstats.doc_repetition,
+        "span_corruption": textstats.span_corruption,
+        "oov_rate": textstats.oov_rate,
         # multimodal plumbing
         "image_metadata": multimodal.image_metadata,
         "image_resize": multimodal.image_resize,
@@ -1149,6 +1151,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
                    CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct
             FROM grams WHERE glen = 3 GROUP BY doc_id
+        """,
+        "span_corruption": """
+            -- deterministic-hash masking (engine: textstats.span_corruption);
+            -- SQL pos is 1-based, the engine's is 0-based, hence pos - 1
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents
+            ), masked AS (
+              SELECT doc_id, w, pos,
+                     ((doc_id * 31 + pos - 1) * 2654435761 + 12345)
+                       % 4294967296 % 5 = 0 AS m
+              FROM words
+            )
+            SELECT doc_id,
+                   string_agg(CASE WHEN m THEN '<mask>' ELSE w END, ' '
+                              ORDER BY pos) AS input,
+                   coalesce(string_agg(CASE WHEN m THEN w END, ' '
+                                       ORDER BY pos), '') AS target
+            FROM masked GROUP BY doc_id
+        """,
+        "oov_rate": """
+            WITH vocab AS (
+              SELECT word FROM (
+                SELECT unnest(string_split(text, ' ')) AS word FROM documents
+              ) WHERE word <> ''
+              GROUP BY word ORDER BY count(*) DESC, word LIMIT 20
+            ), toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(count(*) FILTER (w <> '') AS BIGINT) AS n_tokens,
+                   CAST(count(*) FILTER (w <> '' AND w NOT IN
+                        (SELECT word FROM vocab)) AS BIGINT) AS n_oov
+            FROM toks GROUP BY doc_id
         """,
         "train_test_split": """
             SELECT doc_id, lang,

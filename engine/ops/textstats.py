@@ -592,3 +592,120 @@ def doc_repetition(sf_dir: str) -> ray.data.Dataset:
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         rep, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+MASK_MULT = 2654435761
+MASK_MOD = 1 << 32
+MASK_RATE = 5  # mask 1 token in 5
+MASK_TOKEN = "<mask>"
+
+
+def span_corruption(sf_dir: str) -> ray.data.Dataset:
+    """Masked-LM EXAMPLE BUILDER (T5-style span corruption, single mask
+    token): every ~5th token of each document is replaced by ``<mask>``
+    in the input and collected into the target — the self-supervised
+    pair construction step of an LM training pipeline.
+
+    The mask is a DETERMINISTIC hash of (doc_id, token position) — the
+    same Knuth multiplicative hash the sampling family uses, so the
+    examples are reproducible across resumes, engines, and the SQL
+    oracle (RNG masking would be none of those). Tokenization is the
+    ``word_counts`` single-space split with empties kept (dropping them
+    would shift positions).
+
+    Scale shape: stateless per-batch map, no shuffle; the mask decision
+    is one vectorized hash over the flattened token stream, only the
+    final per-document string join is per-row (it builds the output
+    value itself)."""
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        inputs, targets = [], []
+        for did, text in zip(doc_ids, batch["text"].to_pylist()):
+            words = (text or "").split(" ")
+            pos = np.arange(len(words), dtype=np.int64)
+            mask = ((did * 31 + pos) * MASK_MULT + 12345) % MASK_MOD % MASK_RATE == 0
+            inputs.append(
+                " ".join(
+                    MASK_TOKEN if m else w for w, m in zip(words, mask)
+                )
+            )
+            targets.append(" ".join(w for w, m in zip(words, mask) if m))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "input": pa.array(inputs, pa.string()),
+                "target": pa.array(targets, pa.string()),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        corrupt, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+OOV_VOCAB_SIZE = 20  # corpus vocabulary is ~31 words; 20 keeps real OOV mass
+
+
+def oov_rate(sf_dir: str, vocab_size: int = OOV_VOCAB_SIZE) -> ray.data.Dataset:
+    """Out-of-vocabulary scoring: per-document token and OOV counts
+    against the corpus' own top-``vocab_size`` vocabulary — the
+    tokenizer-coverage / gibberish filter of a training-data pipeline.
+
+    Two passes, one broadcast, zero joins on the big side: pass 1 is
+    the ``word_counts`` partial-aggregation roll-up whose top-V result
+    (vocabulary-bounded, tiny) is ``ray.put`` once as a SORTED array;
+    pass 2 streams documents and scores every token with one
+    ``searchsorted`` membership probe over the flat token stream —
+    per-doc counts come from ``np.add.at`` on the document index, no
+    Python loop."""
+    ensure_serializable()
+    vocab_df = (
+        word_counts(sf_dir, k=vocab_size).to_pandas()
+    )  # vocabulary-bounded: |V| rows
+    vocab = np.sort(vocab_df["word"].to_numpy().astype(object))
+    vocab_ref = ray.put(vocab)
+
+    class ScoreOOV:
+        def __init__(self, ref):
+            self._vocab = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            words = pc.split_pattern(batch["text"], " ")
+            flat = words.combine_chunks().flatten()
+            tokens = np.asarray(flat.to_pylist(), dtype=object)
+            offsets = words.combine_chunks().offsets.to_numpy(zero_copy_only=False)
+            widths = offsets[1:] - offsets[:-1]
+            doc_idx = np.repeat(np.arange(len(widths)), widths)
+            nonempty = tokens != ""
+            n = len(batch)
+            n_tokens = np.zeros(n, dtype=np.int64)
+            np.add.at(n_tokens, doc_idx[nonempty], 1)
+            if self._vocab.size and nonempty.any():
+                t = tokens[nonempty]
+                pos = np.clip(
+                    np.searchsorted(self._vocab, t), 0, self._vocab.size - 1
+                )
+                oov = self._vocab[pos] != t
+            else:
+                oov = np.zeros(0, dtype=bool)
+            n_oov = np.zeros(n, dtype=np.int64)
+            np.add.at(n_oov, doc_idx[nonempty][oov], 1)
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_tokens": pa.array(n_tokens),
+                    "n_oov": pa.array(n_oov),
+                }
+            )
+
+    from .._rayutil import pool_size
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        ScoreOOV,
+        fn_constructor_args=(vocab_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        num_cpus=1,
+    )

@@ -60,7 +60,7 @@ SQL_CHECKED = [
     "q18_large_orders", "funnel_conversion", "train_test_split",
     "decontaminate_documents",
     "q6_forecast_revenue", "q7_volume_shipping", "time_to_conversion",
-    "doc_repetition",
+    "doc_repetition", "span_corruption", "oov_rate",
 ]
 
 
