@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q7_volume_shipping": relational.q7_volume_shipping,
         "time_to_conversion": relational.time_to_conversion,
+        "event_type_cooccurrence": relational.event_type_cooccurrence,
         # sampling / sketches / order statistics
         "sample_events": sketches.sample_events,
         "stratified_sample_events": sketches.stratified_sample_events,
@@ -296,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_words": sketches.heavy_hitter_words,
         "outlier_events": sketches.outlier_events,
         "train_test_split": sketches.train_test_split,
+        "cms_word_counts": sketches.cms_word_counts,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -326,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": textstats.doc_repetition,
         "span_corruption": textstats.span_corruption,
         "oov_rate": textstats.oov_rate,
+        "lm_score": textstats.lm_score,
         # multimodal plumbing
         "image_metadata": multimodal.image_metadata,
         "image_resize": multimodal.image_resize,
@@ -1151,6 +1154,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
                    CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct
             FROM grams WHERE glen = 3 GROUP BY doc_id
+        """,
+        "event_type_cooccurrence": """
+            WITH ud AS (
+              SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day,
+                     event_type
+              FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM ud a JOIN ud b
+              ON a.user_id = b.user_id AND a.day = b.day
+             AND a.event_type < b.event_type
+            GROUP BY type_a, type_b
+        """,
+        "lm_score": """
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents
+            ), bg AS (
+              SELECT a.doc_id, a.w AS w1, b.w AS w2
+              FROM words a
+              JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            ), cnt AS (
+              SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(c) AS BIGINT) AS score
+            FROM bg JOIN cnt USING (w1, w2) GROUP BY doc_id
         """,
         "span_corruption": """
             -- deterministic-hash masking (engine: textstats.span_corruption);

@@ -3144,3 +3144,86 @@ def time_to_conversion(
     return partials.groupby("_b").map_groups(
         lambda g: latency_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
     )
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+def event_type_cooccurrence(
+    sf_dir: str, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Market-basket CO-OCCURRENCE: for every (user, day) basket, which
+    pairs of event types occur together, counted corpus-wide — the
+    association-mining primitive (and the engine's general shape for
+    "self-join within a group" without ever running a join: sorted runs
+    + vectorized pair expansion, the dedup family's machinery applied
+    to a relational question).
+
+    Scale shape: per-batch DISTINCT partials (group_by user/day/type)
+    shrink the stream before the single hash(user,day) bucket shuffle;
+    each bucket re-distincts (cross-batch dups), expands within-basket
+    pairs with ``_pairs_within_runs`` (≤ C(|types|,2) = 10 per basket)
+    and pre-counts, so the final native groupby sees at most
+    |type-pairs| rows per bucket — a constant."""
+    from .dedup import _pairs_within_runs, _run_starts
+    from ..pipeline import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(batch["ts"], pa.int64()), _US_PER_DAY)
+        agg = (
+            pa.table(
+                {
+                    "user_id": batch["user_id"],
+                    "day": day,
+                    "event_type": batch["event_type"],
+                }
+            )
+            .group_by(["user_id", "day", "event_type"])
+            .aggregate([])
+        )
+        uid = agg["user_id"].to_numpy(zero_copy_only=False)
+        dayv = agg["day"].to_numpy(zero_copy_only=False)
+        return agg.append_column(
+            "_b", pa.array(((uid * 31 + dayv) % num_buckets).astype(np.int32))
+        )
+
+    def pairs_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks().sort_by(
+            [("user_id", "ascending"), ("day", "ascending"),
+             ("event_type", "ascending")]
+        )
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        day = t["day"].to_numpy(zero_copy_only=False)
+        codes = pc.dictionary_encode(t["event_type"].combine_chunks())
+        etype = np.asarray(codes.indices)
+        # drop cross-batch duplicate (user, day, type) rows
+        first = _run_starts(uid, day, etype)
+        uid, day = uid[first], day[first]
+        types = np.asarray(t["event_type"].to_pylist(), dtype=object)[first]
+        new_basket = _run_starts(uid, day)
+        ii, jj = _pairs_within_runs(new_basket)
+        if ii.size == 0:
+            return pa.table(
+                {
+                    "type_a": pa.array([], pa.string()),
+                    "type_b": pa.array([], pa.string()),
+                    "n_pairs": pa.array([], pa.int64()),
+                }
+            )
+        pair = pa.table(
+            {"type_a": pa.array(types[ii]), "type_b": pa.array(types[jj])}
+        )
+        agg = pair.group_by(["type_a", "type_b"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["type_a", "type_b", "n_pairs"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    per_bucket = partials.groupby("_b").map_groups(
+        lambda g: pairs_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
+    )
+    return per_bucket.groupby(["type_a", "type_b"]).aggregate(
+        Sum("n_pairs", alias_name="n_pairs")
+    )

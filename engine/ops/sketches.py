@@ -531,3 +531,110 @@ def train_test_split(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+CMS_WIDTH = 1024
+CMS_DEPTH = 4
+_CMS_P = (1 << 61) - 1
+_cms_rng = np.random.default_rng(4242)
+_CMS_A = _cms_rng.integers(1, 1 << 31, CMS_DEPTH, dtype=np.uint64)
+_CMS_B = _cms_rng.integers(0, 1 << 31, CMS_DEPTH, dtype=np.uint64)
+
+
+def _cms_rows(keys: np.ndarray) -> np.ndarray:
+    """(depth, n) bucket indices for uint64 keys under the pairwise-
+    independent family (a*x + b) mod p mod width; a < 2^31 and keys are
+    crc32 (< 2^32) so products stay exact in uint64."""
+    k = keys.astype(np.uint64)
+    return np.stack(
+        [((_CMS_A[d] * k + _CMS_B[d]) % np.uint64(_CMS_P)) % np.uint64(CMS_WIDTH)
+         for d in range(CMS_DEPTH)]
+    ).astype(np.int64)
+
+
+def cms_word_counts(sf_dir: str) -> pd.DataFrame:
+    """COUNT-MIN SKETCH over the corpus word stream (Cormode &
+    Muthukrishnan 2005): fixed 4x1024 int64 memory whatever the
+    vocabulary, mergeable by plain addition — the streaming-frequency
+    sketch for open vocabularies where ``word_counts``' exact roll-up
+    would be unbounded. Returns the estimate for every distinct word
+    (closed fixture vocabulary) so tests can check the CMS guarantees:
+    est >= true, est <= true + e*N with the standard (e, d) bound.
+
+    Scale shape: each batch builds a LOCAL sketch with two
+    ``np.add.at`` calls and emits CMS_DEPTH rows (one counter row per
+    hash function); merging is a driver-side sum of (batches x depth)
+    tiny integer rows — the corpus never shuffles."""
+    ensure_serializable()
+    import zlib
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.list_flatten(
+            pc.split_pattern(pc.fill_null(batch["text"], ""), " ")
+        )
+        words = words.filter(pc.not_equal(words, ""))
+        keys = np.array(
+            [zlib.crc32(w.encode()) for w in words.to_pylist()], dtype=np.uint64
+        )
+        sketch = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+        if keys.size:
+            rows = _cms_rows(keys)
+            for d in range(CMS_DEPTH):
+                np.add.at(sketch[d], rows[d], 1)
+        return pa.table(
+            {
+                "d": pa.array(np.arange(CMS_DEPTH, dtype=np.int32)),
+                "counters": pa.array(list(sketch)),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    sketch = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    for d, counters in zip(parts["d"], parts["counters"]):
+        sketch[d] += np.asarray(counters, dtype=np.int64)
+
+    # point-query every distinct word (vocabulary-bounded at the fixture)
+    vocab = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "word": pc.unique(
+                        pc.list_flatten(
+                            pc.split_pattern(pc.fill_null(b["text"], ""), " ")
+                        ).filter(
+                            pc.not_equal(
+                                pc.list_flatten(
+                                    pc.split_pattern(
+                                        pc.fill_null(b["text"], ""), " "
+                                    )
+                                ),
+                                "",
+                            )
+                        )
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()["word"]
+        .unique()
+    )
+    keys = np.array([zlib.crc32(w.encode()) for w in vocab], dtype=np.uint64)
+    rows = _cms_rows(keys)
+    est = np.min(
+        np.stack([sketch[d][rows[d]] for d in range(CMS_DEPTH)]), axis=0
+    )
+    order = np.argsort(vocab)
+    return pd.DataFrame(
+        {"word": vocab[order], "est_count": est[order].astype(np.int64)}
+    )

@@ -709,3 +709,102 @@ def oov_rate(sf_dir: str, vocab_size: int = OOV_VOCAB_SIZE) -> ray.data.Dataset:
         concurrency=pool_size(),
         num_cpus=1,
     )
+
+
+def _global_bigram_counts(sf_dir: str) -> "pa.Table":
+    """Full corpus bigram-frequency table (the ``bigram_counts`` partial
+    machinery without the top-k cut) — vocabulary²-bounded, materialized
+    driver-side for broadcast. At an open-vocabulary 100 TB corpus this
+    table gets a df-cap / top-M cut (Misra-Gries) before broadcast; the
+    fixture vocabulary is closed (~31 words) so the full table is tiny."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words_list = pc.split_pattern(pc.fill_null(batch["text"], ""), " ")
+        lengths = pc.list_value_length(words_list).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words_list)
+        total = len(flat)
+        if total == 0:
+            return pa.table(
+                {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        is_last = np.zeros(total, dtype=bool)
+        ends = np.cumsum(lengths) - 1
+        is_last[ends[lengths > 0]] = True
+        first_idx = np.flatnonzero(~is_last)
+        return (
+            pa.table(
+                {
+                    "w1": flat.take(pa.array(first_idx)),
+                    "w2": flat.take(pa.array(first_idx + 1)),
+                }
+            )
+            .group_by(["w1", "w2"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["w1", "w2", "n"])
+        )
+
+    partials = _read_documents(sf_dir, ["text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby(["w1", "w2"]).aggregate(_Sum("n", alias_name="n"))
+
+
+def lm_score(sf_dir: str) -> ray.data.Dataset:
+    """Count-based LM QUALITY PROXY (CCNet-style LM filtering, integer
+    form): each document scores the sum of corpus-wide frequencies of
+    its adjacent word bigrams — fluent in-distribution text rides the
+    frequent-transition mass, gibberish and boilerplate-with-rare-joins
+    score low per bigram. Integer sums keep the oracle compare exact
+    (a log-prob variant is one vectorized transform away and float).
+
+    Scale shape: pass 1 is the distributed bigram roll-up
+    (vocabulary²-bounded), broadcast ONCE via ``ray.put``; pass 2
+    streams documents and scores each against the dict — no shuffle on
+    the big side."""
+    ensure_serializable()
+    grams = _global_bigram_counts(sf_dir).to_pandas()
+    table = {
+        (a, b): int(n)
+        for a, b, n in zip(grams["w1"], grams["w2"], grams["n"])
+    }
+    table_ref = ray.put(table)
+
+    class Score:
+        def __init__(self, ref):
+            self._t = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            doc_ids, n_bigrams, scores = [], [], []
+            for did, text in zip(
+                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+            ):
+                words = (text or "").split(" ")
+                if len(words) < 2:
+                    continue
+                t = self._t
+                s = 0
+                for pair in zip(words, words[1:]):
+                    s += t.get(pair, 0)
+                doc_ids.append(did)
+                n_bigrams.append(len(words) - 1)
+                scores.append(s)
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc_ids, pa.int64()),
+                    "n_bigrams": pa.array(n_bigrams, pa.int64()),
+                    "score": pa.array(scores, pa.int64()),
+                }
+            )
+
+    from .._rayutil import pool_size
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        Score,
+        fn_constructor_args=(table_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        num_cpus=1,
+    )

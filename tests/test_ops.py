@@ -61,6 +61,7 @@ SQL_CHECKED = [
     "decontaminate_documents",
     "q6_forecast_revenue", "q7_volume_shipping", "time_to_conversion",
     "doc_repetition", "span_corruption", "oov_rate",
+    "event_type_cooccurrence", "lm_score",
 ]
 
 
@@ -92,6 +93,7 @@ def test_all_queries_have_oracle_or_are_documented():
         "image_metadata", "image_resize", "video_frame_sample",
         "audio_features", "approx_distinct_users", "heavy_hitter_words",
         "ewma_events_per_user", "image_phash_dedup", "kmeans_embeddings",
+        "cms_word_counts",
     }
 
 
@@ -890,3 +892,26 @@ def test_valid_role_alternation_rules(tmp_path):
         "ok-tools": 1, "ok-system": 1,
         "bad-double-user": 0, "bad-start": 0, "bad-late-system": 0,
     }
+
+
+def test_cms_bounds_vs_exact_counts(duck):
+    """Count-min guarantees vs exact DuckDB counts: never undercounts,
+    and overcount is bounded by e*N with e = e/width (classic bound;
+    the closed fixture vocabulary makes the check exhaustive)."""
+    import math
+
+    from engine.ops.sketches import CMS_WIDTH, cms_word_counts
+
+    got = cms_word_counts(SF).set_index("word")["est_count"].to_dict()
+    exact_rows = duck.sql(
+        """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                      FROM documents)
+           SELECT word, count(*) FROM w WHERE word <> '' GROUP BY word"""
+    ).fetchall()
+    exact = dict(exact_rows)
+    total = sum(exact.values())
+    eps = math.e / CMS_WIDTH
+    assert set(got) == set(exact)
+    for w, true in exact.items():
+        assert got[w] >= true, w                      # one-sided
+        assert got[w] <= true + eps * total + 1, w    # within e*N slack
