@@ -557,10 +557,13 @@ def kmeans_embeddings(
     ).sort_by("vec_id")
     centroids = quantize_micro(emb_matrix(seed["embedding"]))
 
+    # materialize ONCE: an iterative algorithm re-reads its input every
+    # pass; pinning the blocks in the (spillable) object store turns
+    # iters+1 parquet scans into one
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"],
-    )
+    ).materialize()
 
     def make_partial(cref, kk):
         def partial(batch: pa.Table) -> pa.Table:

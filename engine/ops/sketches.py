@@ -466,12 +466,13 @@ def outlier_events(sf_dir: str) -> ray.data.Dataset:
                 ),
                 pa.int64(),
             ).to_numpy(zero_copy_only=False)
-            types = batch["event_type"].to_pylist()
-            thr = np.fromiter(
-                (self._thr.get(t, np.iinfo(np.int64).max) for t in types),
+            codes = pc.dictionary_encode(batch["event_type"].combine_chunks())
+            dict_vals = codes.dictionary.to_pylist()  # |types| lookups only
+            per_code = np.array(
+                [self._thr.get(t, np.iinfo(np.int64).max) for t in dict_vals],
                 dtype=np.int64,
-                count=len(types),
             )
+            thr = per_code[np.asarray(codes.indices)]
             keep = v > thr
             out = batch.filter(pa.array(keep))
             return pa.table(

@@ -776,25 +776,55 @@ def lm_score(sf_dir: str) -> ray.data.Dataset:
             self._t = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            doc_ids, n_bigrams, scores = [], [], []
-            for did, text in zip(
-                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-            ):
-                words = (text or "").split(" ")
-                if len(words) < 2:
-                    continue
-                t = self._t
-                s = 0
-                for pair in zip(words, words[1:]):
-                    s += t.get(pair, 0)
-                doc_ids.append(did)
-                n_bigrams.append(len(words) - 1)
-                scores.append(s)
+            # adjacency over the flat word stream (bigram_counts' masked-
+            # view trick), then ONE dict lookup per DISTINCT bigram in the
+            # batch: words dictionary-encode to int codes (Arrow C++),
+            # bigram codes pack into one int64, np.unique dedups them, and
+            # only the unique pairs touch Python — token count no longer
+            # bounds the Python work, vocabulary² does.
+            words_list = pc.split_pattern(pc.fill_null(batch["text"], ""), " ")
+            lengths = pc.list_value_length(words_list).to_numpy(
+                zero_copy_only=False
+            )
+            flat = pc.dictionary_encode(
+                pc.list_flatten(words_list).combine_chunks()
+            )
+            vocab = np.asarray(flat.dictionary.to_pylist(), dtype=object)
+            codes = np.asarray(flat.indices, dtype=np.int64)
+            total = len(codes)
+            n = len(batch)
+            out_n = np.maximum(lengths.astype(np.int64) - 1, 0)
+            if total == 0 or not out_n.any():
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "n_bigrams": pa.array([], pa.int64()),
+                        "score": pa.array([], pa.int64()),
+                    }
+                )
+            is_last = np.zeros(total, dtype=bool)
+            ends = np.cumsum(lengths) - 1
+            is_last[ends[lengths > 0]] = True
+            first_idx = np.flatnonzero(~is_last)
+            v = np.int64(len(vocab))
+            pair_code = codes[first_idx] * v + codes[first_idx + 1]
+            uniq, inv = np.unique(pair_code, return_inverse=True)
+            t = self._t
+            per_uniq = np.array(
+                [t.get((vocab[c // v], vocab[c % v]), 0) for c in uniq],
+                dtype=np.int64,
+            )
+            doc_idx = np.repeat(np.arange(n), out_n)
+            scores = np.zeros(n, dtype=np.int64)
+            np.add.at(scores, doc_idx, per_uniq[inv])
+            keep = out_n > 0
             return pa.table(
                 {
-                    "doc_id": pa.array(doc_ids, pa.int64()),
-                    "n_bigrams": pa.array(n_bigrams, pa.int64()),
-                    "score": pa.array(scores, pa.int64()),
+                    "doc_id": pc.cast(batch["doc_id"], pa.int64()).filter(
+                        pa.array(keep)
+                    ),
+                    "n_bigrams": pa.array(out_n[keep]),
+                    "score": pa.array(scores[keep]),
                 }
             )
 
