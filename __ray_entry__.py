@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_volume_shipping": relational.q7_volume_shipping,
         "time_to_conversion": relational.time_to_conversion,
         "event_type_cooccurrence": relational.event_type_cooccurrence,
+        "daily_activity_full_join": relational.daily_activity_full_join,
         # sampling / sketches / order statistics
         "sample_events": sketches.sample_events,
         "stratified_sample_events": sketches.stratified_sample_events,
@@ -307,12 +308,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": dedup.dedup_embedding,
         "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
         "decontaminate_documents": dedup.decontaminate_documents,
+        "dedup_incremental": dedup.dedup_incremental,
         # similarity search
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_ivf": similarity.knn_ivf,
         "embedding_centroids": similarity.embedding_centroids,
         "unnest_embeddings": similarity.unnest_embeddings,
         "kmeans_embeddings": similarity.kmeans_embeddings,
+        "diverse_sample": similarity.diverse_sample,
         # text analysis
         "quality_score": textstats.quality_score,
         "lang_id": textstats.lang_id,
@@ -812,6 +815,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM corpus GROUP BY text
         """,
+        "dedup_incremental": f"""
+            -- incoming shard (the dup_corpus variants) anti-joined on
+            -- content hash against the base corpus: exact copies drop,
+            -- word-trimmed near-copies survive
+            WITH corpus AS ({dup_corpus_sql}),
+            base AS (SELECT DISTINCT md5(text) AS h FROM documents)
+            SELECT c.doc_id FROM corpus c
+            WHERE c.doc_id >= 100000
+              AND md5(c.text) NOT IN (SELECT h FROM base)
+        """,
         "dedup_jaccard": jaccard_sql,
         "dedup_clusters": f"""
             -- transitive closure over the near-dup pair graph: cluster_id
@@ -1154,6 +1167,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
                    CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct
             FROM grams WHERE glen = 3 GROUP BY doc_id
+        """,
+        "daily_activity_full_join": """
+            WITH e AS (
+              SELECT epoch_us(ts) // 86400000000 AS day,
+                     count(*) AS n_events
+              FROM events GROUP BY day),
+            o AS (
+              SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                     count(*) AS n_orders
+              FROM orders GROUP BY day)
+            SELECT day,
+                   CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+                   CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders
+            FROM e FULL JOIN o USING (day)
         """,
         "event_type_cooccurrence": """
             WITH ud AS (

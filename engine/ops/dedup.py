@@ -1132,3 +1132,127 @@ def decontaminate_documents(sf_dir: str) -> ray.data.Dataset:
         concurrency=pool_size(),
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental ingest dedup (bloom-gated content hashing)
+# ---------------------------------------------------------------------------
+
+_ING_BLOOM_BITS = 1 << 16
+_ING_BLOOM_K = 4
+
+
+def _md5_prefix64(texts) -> np.ndarray:
+    """First 8 md5 bytes as int64 — the content key for ingest dedup
+    (md5 itself is the fingerprint; 64 bits keeps the key numpy-native,
+    collision odds ~n^2/2^64)."""
+    import hashlib
+
+    return np.array(
+        [
+            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big", signed=True)
+            for t in texts
+        ],
+        dtype=np.int64,
+    )
+
+
+def _ing_bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """(k, n) bit positions via the splitmix-style golden-ratio remix."""
+    h = keys.astype(np.uint64)
+    out = []
+    for i in range(_ING_BLOOM_K):
+        h2 = (h + np.uint64(i + 1)) * _GOLDEN
+        h2 ^= h2 >> np.uint64(31)
+        out.append((h2 % np.uint64(_ING_BLOOM_BITS)).astype(np.int64))
+    return np.stack(out)
+
+
+def dedup_incremental(sf_dir: str) -> ray.data.Dataset:
+    """INCREMENTAL INGEST DEDUP: which documents of an incoming shard
+    are genuinely new against an existing corpus — the daily-crawl-
+    ingest shape, where the corpus is huge and the shard is small.
+
+    The membership structure is a Bloom filter BUILT DISTRIBUTED: each
+    base batch emits its local 64 Kbit bitmap as one packed-uint64 row
+    and the driver ORs them — a mergeable-sketch build, never a
+    driver-side scan of the corpus. The incoming stream then drops
+    bloom-negatives immediately (definitely new, the overwhelming
+    majority of a real crawl); only bloom-POSITIVES need exact
+    verification, here against a broadcast key set (at corpus scale
+    that tail becomes a hash-join shuffle of just the positives).
+    Incoming shard := the dup_corpus variants (exact copies -> dropped,
+    word-trimmed near-copies -> kept: near-dup is NOT an exact dup)."""
+    ensure_serializable()
+
+    base = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        keys = _md5_prefix64(batch["text"].to_pylist())
+        bitmap = np.zeros(_ING_BLOOM_BITS // 64, dtype=np.uint64)
+        pos = _ing_bloom_positions(keys).ravel()
+        np.bitwise_or.at(
+            bitmap, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64)
+        )
+        return pa.table({"bitmap": pa.array([bitmap.view(np.int64)])})
+
+    parts = base.map_batches(
+        bloom_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # one 8 KB row per batch
+    bitmap = np.zeros(_ING_BLOOM_BITS // 64, dtype=np.uint64)
+    for b in parts["bitmap"]:
+        bitmap |= np.asarray(b, dtype=np.int64).view(np.uint64)
+
+    # exact-verify side table for bloom positives (broadcast here; a
+    # positives-only hash join at corpus scale)
+    base_keys = np.unique(
+        np.concatenate(
+            [
+                _md5_prefix64(b["text"].to_pylist())
+                for b in base.iter_batches(batch_format="pyarrow")
+            ]
+        )
+    )
+    state_ref = ray.put((bitmap, base_keys))
+
+    class KeepNew:
+        def __init__(self, ref):
+            self._bitmap, self._base = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            inc = batch.filter(
+                pc.greater_equal(batch["doc_id"], EXACT_DUP_OFFSET)
+            )
+            if inc.num_rows == 0:
+                return pa.table({"doc_id": pa.array([], pa.int64())})
+            keys = _md5_prefix64(inc["text"].to_pylist())
+            pos = _ing_bloom_positions(keys)
+            hit = np.ones(len(keys), dtype=bool)
+            for row in pos:
+                hit &= (
+                    self._bitmap[row // 64]
+                    >> (row % 64).astype(np.uint64)
+                ) & np.uint64(1) > 0
+            new = ~hit
+            # exact check only for the bloom-positive tail
+            if hit.any():
+                p = np.clip(
+                    np.searchsorted(self._base, keys[hit]),
+                    0,
+                    max(self._base.size - 1, 0),
+                )
+                new[np.flatnonzero(hit)] = self._base[p] != keys[hit]
+            return pa.table(
+                {"doc_id": pc.cast(inc["doc_id"], pa.int64()).filter(pa.array(new))}
+            )
+
+    return dup_corpus(sf_dir).map_batches(
+        KeepNew,
+        fn_constructor_args=(state_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        num_cpus=1,
+    )

@@ -3227,3 +3227,57 @@ def event_type_cooccurrence(
     return per_bucket.groupby(["type_a", "type_b"]).aggregate(
         Sum("n_pairs", alias_name="n_pairs")
     )
+
+
+def daily_activity_full_join(sf_dir: str) -> ray.data.Dataset:
+    """FULL OUTER JOIN of two daily aggregates (events vs orders per
+    day) — days with only one side present keep a zero on the other.
+
+    The engine never runs an outer join operator for this shape: a full
+    outer join OF AGGREGATES is the grouped sum of the tagged union
+    (each side emits (day, n, 0) / (day, 0, n) partials; summing per
+    day coalesces automatically). One tiny |days|-keyed groupby, no
+    join machinery, no null handling."""
+    ensure_serializable()
+
+    events = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts"]
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderdate"]
+    )
+
+    def _day_partial(col_name, as_events):
+        def partial(batch: pa.Table) -> pa.Table:
+            day = pc.divide(pc.cast(batch[col_name], pa.int64()), _US_PER_DAY)
+            agg = (
+                pa.table({"day": day})
+                .group_by(["day"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["day", "n"])
+            )
+            n = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+            zero = np.zeros(len(n), dtype=np.int64)
+            return pa.table(
+                {
+                    "day": agg["day"],
+                    "n_events": pa.array(n if as_events else zero),
+                    "n_orders": pa.array(zero if as_events else n),
+                }
+            )
+
+        return partial
+
+    tagged = events.map_batches(
+        _day_partial("ts", True), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        orders.map_batches(
+            _day_partial("o_orderdate", False),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    return tagged.groupby("day").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("n_orders", alias_name="n_orders"),
+    )

@@ -616,3 +616,58 @@ def kmeans_embeddings(
         concurrency=pool_size(),
         num_cpus=1,
     )
+
+
+DIVERSE_K_PER_CLUSTER = 8
+
+
+def diverse_sample(
+    sf_dir: str, k_per_cluster: int = DIVERSE_K_PER_CLUSTER
+) -> ray.data.Dataset:
+    """DIVERSITY-AWARE sampling: deterministic bottom-k-by-hash PER
+    K-MEANS CLUSTER — the curation pattern that keeps a capped sample
+    covering every semantic region instead of oversampling the head
+    (cluster-balanced data selection, per public data-curation reports).
+
+    Pure composition of existing machinery: ``kmeans_embeddings``
+    assignments (exact-integer trajectory, deterministic at any
+    parallelism) + the KMV bottom-k-per-stratum reduce from
+    ``stratified_sample_events`` keyed on the cluster id. Per-batch
+    partials keep at most k rows per cluster, so the final per-cluster
+    reduce sees k x num_batches rows, never the corpus."""
+    from ray.data.aggregate import Min as _Min
+
+    from .sketches import _bottom_k_per_group, _sample_hash
+
+    assignments = kmeans_embeddings(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vec_id = batch["vec_id"].to_numpy(zero_copy_only=False)
+        h = _sample_hash(vec_id)
+        cluster = batch["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = _bottom_k_per_group(cluster, h, vec_id, k_per_cluster)
+        return batch.append_column("h", pa.array(h.astype(np.int64))).take(
+            pa.array(idx)
+        )
+
+    partials = assignments.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def reduce_cluster(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        cluster = t["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        vec_id = t["vec_id"].to_numpy(zero_copy_only=False)
+        idx = _bottom_k_per_group(cluster, h, vec_id, k_per_cluster)
+        out = t.take(pa.array(idx))
+        return pa.table(
+            {
+                "vec_id": pc.cast(out["vec_id"], pa.int64()),
+                "cluster": pc.cast(out["cluster"], pa.int32()),
+            }
+        )
+
+    return partials.groupby("cluster").map_groups(
+        reduce_cluster, batch_format="pyarrow"
+    )

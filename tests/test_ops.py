@@ -62,6 +62,7 @@ SQL_CHECKED = [
     "q6_forecast_revenue", "q7_volume_shipping", "time_to_conversion",
     "doc_repetition", "span_corruption", "oov_rate",
     "event_type_cooccurrence", "lm_score",
+    "daily_activity_full_join", "dedup_incremental",
 ]
 
 
@@ -93,7 +94,7 @@ def test_all_queries_have_oracle_or_are_documented():
         "image_metadata", "image_resize", "video_frame_sample",
         "audio_features", "approx_distinct_users", "heavy_hitter_words",
         "ewma_events_per_user", "image_phash_dedup", "kmeans_embeddings",
-        "cms_word_counts",
+        "cms_word_counts", "diverse_sample",
     }
 
 
@@ -915,3 +916,18 @@ def test_cms_bounds_vs_exact_counts(duck):
     for w, true in exact.items():
         assert got[w] >= true, w                      # one-sided
         assert got[w] <= true + eps * total + 1, w    # within e*N slack
+
+
+def test_diverse_sample_covers_every_cluster():
+    """Cluster-balanced sampling: at most k per cluster, every nonempty
+    cluster represented, and the pick is deterministic (KMV hash)."""
+    from engine.ops.similarity import DIVERSE_K_PER_CLUSTER, diverse_sample, kmeans_embeddings
+
+    sample = diverse_sample(SF).to_pandas()
+    clusters = kmeans_embeddings(SF).to_pandas()
+    per = sample.groupby("cluster").size()
+    assert (per <= DIVERSE_K_PER_CLUSTER).all()
+    nonempty = set(clusters["cluster"].unique())
+    assert set(per.index) == nonempty
+    again = diverse_sample(SF).to_pandas()
+    assert sorted(sample["vec_id"]) == sorted(again["vec_id"])
