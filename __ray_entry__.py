@@ -289,6 +289,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_to_conversion": relational.time_to_conversion,
         "event_type_cooccurrence": relational.event_type_cooccurrence,
         "daily_activity_full_join": relational.daily_activity_full_join,
+        "cohort_retention": relational.cohort_retention,
+        "q8_market_share": relational.q8_market_share,
         # sampling / sketches / order statistics
         "sample_events": sketches.sample_events,
         "stratified_sample_events": sketches.stratified_sample_events,
@@ -1167,6 +1169,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
                    CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct
             FROM grams WHERE glen = 3 GROUP BY doc_id
+        """,
+        "cohort_retention": """
+            WITH ud AS (
+              SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+              FROM events),
+            f AS (SELECT user_id, min(day) AS cohort_day
+                  FROM ud GROUP BY user_id)
+            SELECT cohort_day, day - cohort_day AS offset_days,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM ud JOIN f USING (user_id)
+            WHERE day - cohort_day <= 6
+            GROUP BY cohort_day, offset_days
+        """,
+        "q8_market_share": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS l_year,
+                   CAST(sum(CASE WHEN n1.n_name = 'NATION_1'
+                                 THEN rev ELSE 0 END) AS BIGINT)
+                     AS rev_nation_e4,
+                   CAST(sum(rev) AS BIGINT) AS rev_total_e4
+            FROM (
+              SELECT l_orderkey, l_suppkey,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_type = 'PROMO') l
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region ON n2.n_regionkey = r_regionkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            WHERE r_name = 'ASIA'
+            GROUP BY l_year
         """,
         "daily_activity_full_join": """
             WITH e AS (

@@ -3281,3 +3281,297 @@ def daily_activity_full_join(sf_dir: str) -> ray.data.Dataset:
         Sum("n_events", alias_name="n_events"),
         Sum("n_orders", alias_name="n_orders"),
     )
+
+
+RETENTION_MAX_OFFSET = 6
+
+
+def cohort_retention(
+    sf_dir: str, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """COHORT RETENTION matrix: users bucketed by their first active
+    day, counted again on each of the next ``RETENTION_MAX_OFFSET``
+    days they return — the standard activation/retention grid of
+    product analytics, and the engine's shape for "self-join a stream
+    against its own per-key minimum" without a join: the per-user
+    minimum and the per-user day set co-locate in ONE hash(user)
+    bucket shuffle of distinct (user, day) partials.
+
+    Per bucket, first-day and offsets come from run arithmetic over a
+    (user, day) lexsort; offsets pre-count into (cohort_day, offset)
+    partials so the final groupby is keyed by |days| x 7 — tiny."""
+    from ..pipeline import default_num_buckets
+    from .dedup import _run_starts  # resolved driver-side: a relative
+    # import inside the worker-executed closure would fail to find the
+    # by-value-serialized `engine` package on workers
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(batch["ts"], pa.int64()), _US_PER_DAY)
+        agg = (
+            pa.table({"user_id": batch["user_id"], "day": day})
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+        uid = agg["user_id"].to_numpy(zero_copy_only=False)
+        return agg.append_column(
+            "_b", pa.array((uid % num_buckets).astype(np.int32))
+        )
+
+    def retention_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        day = t["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        # distinct (user, day) across batch partials
+        keep = _run_starts(uid, day)
+        uid, day = uid[keep], day[keep]
+        new_user = _run_starts(uid)
+        starts = np.flatnonzero(new_user)
+        sizes = np.diff(np.append(starts, uid.size))
+        cohort = np.repeat(day[starts], sizes)  # per-row first day
+        offset = day - cohort
+        sel = offset <= RETENTION_MAX_OFFSET
+        key = cohort[sel] * 100 + offset[sel]
+        ku, kc = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "cohort_day": pa.array(ku // 100),
+                "offset_days": pa.array(ku % 100),
+                "n_users": pa.array(kc.astype(np.int64)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    per_bucket = partials.groupby("_b").map_groups(
+        lambda g: retention_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
+    )
+    return per_bucket.groupby(["cohort_day", "offset_days"]).aggregate(
+        Sum("n_users", alias_name="n_users")
+    )
+
+
+Q8_PART_TYPE = "PROMO"
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_1"
+
+
+def q8_market_share(
+    sf_dir: str, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """TPC-H-Q8-shaped market share: of the revenue from ``PROMO``-type
+    parts sold to ``ASIA``-region customers, how much per order-year
+    came from ``NATION_1`` suppliers — the widest join chain in the
+    repo (lineitem x part x supplier x orders x customer x nation x
+    region) collapsed to ONE orderkey co-location plus three broadcast
+    lookups; the share ships as exact (numerator, denominator) int64
+    fixed-point columns rather than a float ratio.
+
+    Filters run earliest-possible: part-type keys and supplier-nation
+    flags prune lineitem rows before its partial aggregation; the
+    region predicate prunes orders while tagging. Both shuffle streams
+    are therefore pre-filtered AND pre-aggregated."""
+    from ..pipeline import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ensure_serializable()
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    pkeys = np.sort(
+        part.filter(pc.equal(part["p_type"], Q8_PART_TYPE))["p_partkey"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    region_keys = {
+        k: v
+        for k, v in zip(
+            region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()
+        )
+    }
+    nat_names = nation["n_name"].to_pylist()
+    nat_keys = nation["n_nationkey"].to_pylist()
+    nat_region = [region_keys[r] for r in nation["n_regionkey"].to_pylist()]
+    target_nation_keys = {k for k, n in zip(nat_keys, nat_names) if n == Q8_NATION}
+    asia_nation_keys = {
+        k for k, r in zip(nat_keys, nat_region) if r == Q8_REGION
+    }
+
+    supplier = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    skeys = supplier["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s_is_target = np.array(
+        [int(k in target_nation_keys) for k in supplier["s_nationkey"].to_pylist()],
+        dtype=np.int8,
+    )
+    sorder = np.argsort(skeys)
+
+    customer = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+    ckeys_all = customer["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c_in_region = np.array(
+        [k in asia_nation_keys for k in customer["c_nationkey"].to_pylist()]
+    )
+    region_custkeys = np.sort(ckeys_all[c_in_region])
+
+    side_ref = ray.put(
+        (pkeys, skeys[sorder], s_is_target[sorder], region_custkeys)
+    )
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        pk, sk, s_tgt, _ = ray.get(side_ref)
+        lpart = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(pk, lpart), 0, max(pk.size - 1, 0))
+        keep = pk[pos] == lpart if pk.size else np.zeros(len(lpart), bool)
+        t = batch.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "_b": pa.array([], pa.int32()),
+                    "okey": pa.array([], pa.int64()),
+                    "is_order": pa.array([], pa.int8()),
+                    "rev_tgt_e4": pa.array([], pa.int64()),
+                    "rev_all_e4": pa.array([], pa.int64()),
+                }
+            )
+        lsupp = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        spos = np.clip(np.searchsorted(sk, lsupp), 0, sk.size - 1)
+        tgt = (sk[spos] == lsupp) & (s_tgt[spos] == 1)
+        rev = pc.multiply(
+            _fixed_point(t["l_extendedprice"], 100),
+            pc.subtract(pa.scalar(100), _fixed_point(t["l_discount"], 100)),
+        ).to_numpy(zero_copy_only=False)
+        agg = (
+            pa.table(
+                {
+                    "okey": t["l_orderkey"],
+                    "rev_tgt_e4": pa.array(np.where(tgt, rev, 0)),
+                    "rev_all_e4": pa.array(rev),
+                }
+            )
+            .group_by(["okey"])
+            .aggregate([("rev_tgt_e4", "sum"), ("rev_all_e4", "sum")])
+        )
+        okey = agg["okey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array((okey % num_buckets).astype(np.int32)),
+                "okey": pa.array(okey.astype(np.int64)),
+                "is_order": pa.array(np.zeros(len(okey), dtype=np.int8)),
+                "rev_tgt_e4": agg["rev_tgt_e4_sum"],
+                "rev_all_e4": agg["rev_all_e4_sum"],
+            }
+        )
+
+    def order_tag(batch: pa.Table) -> pa.Table:
+        _, _, _, rck = ray.get(side_ref)
+        ckey = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(rck, ckey), 0, max(rck.size - 1, 0))
+        keep = rck[pos] == ckey if rck.size else np.zeros(len(ckey), bool)
+        t = batch.filter(pa.array(keep))
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        year = pc.year(t["o_orderdate"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_b": pa.array((okey % num_buckets).astype(np.int32)),
+                "okey": pa.array(okey.astype(np.int64)),
+                "is_order": pa.array(np.ones(len(okey), dtype=np.int8)),
+                "rev_tgt_e4": pa.array(year),  # year rides the rev_tgt slot
+                "rev_all_e4": pa.array(np.zeros(len(okey), dtype=np.int64)),
+            }
+        )
+
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    tagged = lineitem.map_batches(
+        line_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        orders.map_batches(order_tag, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        is_order = t["is_order"].to_numpy(zero_copy_only=False) == 1
+        okey = t["okey"].to_numpy(zero_copy_only=False)
+        o_keys = okey[is_order]
+        o_year = t["rev_tgt_e4"].to_numpy(zero_copy_only=False)[is_order]
+        empty = pa.table(
+            {
+                "l_year": pa.array([], pa.int64()),
+                "rev_nation_e4": pa.array([], pa.int64()),
+                "rev_total_e4": pa.array([], pa.int64()),
+            }
+        )
+        if o_keys.size == 0 or is_order.all():
+            return empty
+        osort = np.argsort(o_keys)
+        o_sorted = o_keys[osort]
+        l_ok = okey[~is_order]
+        pos = np.clip(np.searchsorted(o_sorted, l_ok), 0, o_sorted.size - 1)
+        hit = o_sorted[pos] == l_ok
+        if not hit.any():
+            return empty
+        year = o_year[osort[pos[hit]]]
+        tgt = t["rev_tgt_e4"].to_numpy(zero_copy_only=False)[~is_order][hit]
+        allr = t["rev_all_e4"].to_numpy(zero_copy_only=False)[~is_order][hit]
+        yu, yinv = np.unique(year, return_inverse=True)
+        tsum = np.zeros(yu.size, dtype=np.int64)
+        asum = np.zeros(yu.size, dtype=np.int64)
+        np.add.at(tsum, yinv, tgt)
+        np.add.at(asum, yinv, allr)
+        return pa.table(
+            {
+                "l_year": pa.array(yu),
+                "rev_nation_e4": pa.array(tsum),
+                "rev_total_e4": pa.array(asum),
+            }
+        )
+
+    per_bucket = tagged.groupby("_b").map_groups(
+        lambda g: join_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
+    )
+    out = (
+        per_bucket.groupby("l_year")
+        .aggregate(
+            Sum("rev_nation_e4", alias_name="rev_nation_e4"),
+            Sum("rev_total_e4", alias_name="rev_total_e4"),
+        )
+        .to_pandas()  # |years| rows
+    )
+    if out.empty:
+        import pandas as pd
+
+        out = pd.DataFrame(
+            {
+                "l_year": pd.Series([], dtype=np.int64),
+                "rev_nation_e4": pd.Series([], dtype=np.int64),
+                "rev_total_e4": pd.Series([], dtype=np.int64),
+            }
+        )
+    return out
