@@ -290,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_cooccurrence": relational.event_type_cooccurrence,
         "daily_activity_full_join": relational.daily_activity_full_join,
         "cohort_retention": relational.cohort_retention,
+        "hourly_active_users": relational.hourly_active_users,
         "q8_market_share": relational.q8_market_share,
         # sampling / sketches / order statistics
         "sample_events": sketches.sample_events,
@@ -1169,6 +1170,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
                    CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct
             FROM grams WHERE glen = 3 GROUP BY doc_id
+        """,
+        "hourly_active_users": """
+            WITH uh AS (
+              SELECT DISTINCT epoch_us(ts) // 3600000000 AS hour, user_id
+              FROM events)
+            SELECT hour, CAST(count(*) AS BIGINT) AS n_users
+            FROM uh GROUP BY hour
         """,
         "cohort_retention": """
             WITH ud AS (

@@ -3575,3 +3575,56 @@ def q8_market_share(
             }
         )
     return out
+
+
+_US_PER_HOUR = 3_600_000_000
+
+
+def hourly_active_users(
+    sf_dir: str, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """TUMBLING-WINDOW COUNT DISTINCT: distinct users per clock hour —
+    the live-dashboard aggregate, and the windowed variant of grouped
+    COUNT DISTINCT. Distinct (hour, user) pairs are high-cardinality
+    (~one per user-hour), so unlike ``distinct_users_per_type`` the
+    global dedup rides the bucketed-reduce pattern: per-batch distinct
+    partials, ONE hash(hour, user) int32 bucket shuffle, per-bucket
+    ``np.unique`` + per-hour pre-counts, then a tiny |hours|-keyed
+    groupby sum."""
+    from ..pipeline import default_num_buckets
+    from .dedup import _run_starts
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.divide(pc.cast(batch["ts"], pa.int64()), _US_PER_HOUR)
+        agg = (
+            pa.table({"hour": hour, "user_id": batch["user_id"]})
+            .group_by(["hour", "user_id"])
+            .aggregate([])
+        )
+        h = agg["hour"].to_numpy(zero_copy_only=False)
+        u = agg["user_id"].to_numpy(zero_copy_only=False)
+        return agg.append_column(
+            "_b", pa.array(((h * 31 + u) % num_buckets).astype(np.int32))
+        )
+
+    def count_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        h = t["hour"].to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((u, h))
+        h, u = h[order], u[order]
+        keep = _run_starts(h, u)  # global distinct within the bucket
+        hu, hc = np.unique(h[keep], return_counts=True)
+        return pa.table(
+            {"hour": pa.array(hu), "n_users": pa.array(hc.astype(np.int64))}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    per_bucket = partials.groupby("_b").map_groups(
+        lambda g: count_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
+    )
+    return per_bucket.groupby("hour").aggregate(Sum("n_users", alias_name="n_users"))

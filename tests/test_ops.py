@@ -63,7 +63,7 @@ SQL_CHECKED = [
     "doc_repetition", "span_corruption", "oov_rate",
     "event_type_cooccurrence", "lm_score",
     "daily_activity_full_join", "dedup_incremental",
-    "cohort_retention", "q8_market_share",
+    "cohort_retention", "q8_market_share", "hourly_active_users",
 ]
 
 
