@@ -223,7 +223,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from engine.ops import (
-        dedup, multimodal, relational, similarity, sketches, textstats,
+        dedup, multimodal, relational, similarity, sketches, textstats, tpch,
     )
 
     return {
@@ -292,6 +292,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": relational.cohort_retention,
         "hourly_active_users": relational.hourly_active_users,
         "q8_market_share": relational.q8_market_share,
+        # remaining TPC-H shapes adapted to the fixture schema
+        "q9_nation_profit": tpch.q9_nation_profit,
+        "q12_late_shipments": tpch.q12_late_shipments,
+        "q15_top_supplier": tpch.q15_top_supplier,
+        "q16_supplier_counts": tpch.q16_supplier_counts,
+        "q17_small_qty_revenue": tpch.q17_small_qty_revenue,
+        "q22_idle_customers": tpch.q22_idle_customers,
         # sampling / sketches / order statistics
         "sample_events": sketches.sample_events,
         "stratified_sample_events": sketches.stratified_sample_events,
@@ -319,8 +326,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unnest_embeddings": similarity.unnest_embeddings,
         "kmeans_embeddings": similarity.kmeans_embeddings,
         "diverse_sample": similarity.diverse_sample,
+        "semdedup": similarity.semdedup,
         # text analysis
         "quality_score": textstats.quality_score,
+        "gopher_rules": textstats.gopher_rules,
         "lang_id": textstats.lang_id,
         "lang_id_accuracy": textstats.lang_id_accuracy,
         "bpe_token_counts": textstats.bpe_token_counts,
@@ -407,6 +416,12 @@ def oracle_sql() -> dict[str, str]:
 
     stop_sql = " + ".join(
         f"length(regexp_extract_all(text, '\\b{w}\\b'))" for w in STOPWORDS
+    )
+    from engine.ops.textstats import GOPHER_STOPWORDS
+
+    gopher_stop_sql = " + ".join(
+        f"(CASE WHEN regexp_matches(text, '\\b{w}\\b') THEN 1 ELSE 0 END)"
+        for w in GOPHER_STOPWORDS
     )
 
     lang_id_sql = f"""
@@ -886,6 +901,35 @@ def oracle_sql() -> dict[str, str]:
                      {stop_sql} AS stop_hits
               FROM documents)
         """,
+        "gopher_rules": f"""
+            WITH w AS (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS n_words,
+                     length(text) - (len(string_split(text, ' ')) - 1)
+                       AS sum_wlen,
+                     len(list_filter(string_split(text, ' '),
+                         x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+                     length(regexp_extract_all(text, '#'))
+                       + length(regexp_extract_all(text, '\\.\\.\\.'))
+                       AS n_sym,
+                     {gopher_stop_sql} AS n_stop
+              FROM documents)
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS wc_ok,
+                   CAST(3 * n_words <= sum_wlen
+                        AND sum_wlen <= 10 * n_words AS BIGINT) AS mwl_ok,
+                   CAST(5 * n_alpha >= 4 * n_words AS BIGINT) AS alpha_ok,
+                   CAST(10 * n_sym <= n_words AS BIGINT) AS sym_ok,
+                   CAST(n_stop >= 2 AS BIGINT) AS stop_ok,
+                   CAST((n_words BETWEEN 50 AND 100000)
+                        AND (3 * n_words <= sum_wlen
+                             AND sum_wlen <= 10 * n_words)
+                        AND (5 * n_alpha >= 4 * n_words)
+                        AND (10 * n_sym <= n_words)
+                        AND (n_stop >= 2) AS BIGINT) AS gopher_pass
+            FROM w
+        """,
         "lang_id": lang_id_sql,
         "lang_id_accuracy": f"""
             SELECT d.lang, p.pred_lang, count(*) AS n_docs
@@ -1210,6 +1254,87 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n1 ON s_nationkey = n1.n_nationkey
             WHERE r_name = 'ASIA'
             GROUP BY l_year
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey AS s_suppkey,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                          AS BIGINT) AS total_rev_e4
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s.s_suppkey, s.s_name,
+                   CAST(round(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+                   r.total_rev_e4
+            FROM rev r JOIN supplier s USING (s_suppkey)
+            WHERE r.total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+        """,
+        "q17_small_qty_revenue": """
+            WITH pl AS (
+              SELECT l_partkey,
+                     CAST(round(l_quantity) AS BIGINT) AS qty,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_brand = 'Brand#12'),
+            st AS (SELECT l_partkey, sum(qty) AS sq, count(*) AS n
+                   FROM pl GROUP BY l_partkey)
+            SELECT CAST(COALESCE(sum(cents), 0) AS BIGINT) AS total_cents,
+                   CAST(COALESCE(sum(cents), 0) // 7 AS BIGINT)
+                     AS avg_yearly_cents
+            FROM pl JOIN st USING (l_partkey)
+            WHERE qty * 5 * n < sq
+        """,
+        "q12_late_shipments": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_lineitems,
+                   CAST(sum(CASE WHEN l_shipdate >
+                                      o_orderdate + INTERVAL 90 DAY
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "q22_idle_customers": """
+            WITH c AS (
+              SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+              FROM customer),
+            st AS (SELECT sum(cents) AS s, count(*) AS n
+                   FROM c WHERE cents > 0)
+            SELECT c_nationkey,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(cents) AS BIGINT) AS total_cents
+            FROM c, st
+            WHERE cents * n > s
+              AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')
+            GROUP BY c_nationkey
+        """,
+        "q9_nation_profit": """
+            SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     - CAST(round(l_quantity) AS BIGINT)
+                       * CAST(round(p_retailprice * 100) AS BIGINT) * 50
+                   ) AS BIGINT) AS profit_e4
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY n_name, l_year
+        """,
+        "q16_supplier_counts": """
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#13'
+              AND l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
         """,
         "daily_activity_full_join": """
             WITH e AS (

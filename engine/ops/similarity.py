@@ -532,21 +532,16 @@ def _centroid_update(
     return out
 
 
-def kmeans_embeddings(
-    sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
-) -> ray.data.Dataset:
-    """Distributed Lloyd's k-means over embeddings — the semantic-
-    clustering pass (topic bucketing, diversity sampling, IVF codebook
-    training at full quality) that iterative-algorithm support exists
-    for.
+def kmeans_train_exact(sf_dir: str, k: int, iters: int):
+    """Train k-means centroids distributed and return
+    ``(final_centroids_micro, materialized_dataset)``.
 
     Scale shape per iteration: centroids are ONE ``ray.put`` broadcast;
     each batch computes labels + per-cluster int64 micro sums, so only
     k rows (with a dim-length sum list) per batch reach the driver —
     the combine is k × num_batches rows of integers, never the corpus.
     Because sums are exact integers, the trajectory is bit-identical at
-    8 or 800 CPUs; the final pass re-labels the stream against frozen
-    centroids. Deterministic init: the k lowest-vec_id embeddings."""
+    8 or 800 CPUs. Deterministic init: the k lowest-vec_id embeddings."""
     ensure_serializable()
     import pyarrow.parquet as pq
 
@@ -591,7 +586,18 @@ def kmeans_embeddings(
             sums[cl] += np.asarray(sm, dtype=np.int64)
             counts[cl] += n
         centroids = _centroid_update(sums, counts, centroids)
+    return centroids, ds
 
+
+def kmeans_embeddings(
+    sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> ray.data.Dataset:
+    """Distributed Lloyd's k-means over embeddings — the semantic-
+    clustering pass (topic bucketing, diversity sampling, IVF codebook
+    training at full quality) that iterative-algorithm support exists
+    for. Training in ``kmeans_train_exact``; the final pass re-labels
+    the stream against frozen centroids."""
+    centroids, ds = kmeans_train_exact(sf_dir, k, iters)
     final_ref = ray.put(centroids)
 
     class Assign:
@@ -670,4 +676,98 @@ def diverse_sample(
 
     return partials.groupby("cluster").map_groups(
         reduce_cluster, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup inside k-means clusters (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+# The published algorithm runs at ~0.95+ on web-scale embeddings; the
+# fixture's synthetic vectors are near-orthogonal (max pairwise cosine
+# ~0.5), so the DEFAULT demo threshold sits in the fixture's observable
+# regime — the operator itself is threshold-parameterized.
+SEMDEDUP_THRESHOLD = 0.35
+_SD_DECIMALS = 6
+
+
+def semdedup(
+    sf_dir: str,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> ray.data.Dataset:
+    """SemDeDup-style semantic dedup: k-means-cluster the embedding
+    space, then drop near-duplicates WITHIN each cluster (cosine over
+    the rounded score >= threshold), keeping the lowest vec_id per
+    duplicate component — a deterministic variant of the published
+    keep-one-per-group rule.
+
+    Scale shape: pairwise work is confined to single clusters — the
+    O(n^2) that makes whole-corpus semantic dedup intractable becomes
+    k independent O((n/k)^2) groups behind ONE cluster-keyed shuffle
+    (the published algorithm's exact partitioning trick; k must grow
+    with the corpus to bound cluster sizes, same knob as IVF). The
+    duplicate graph inside a cluster is resolved by vectorized
+    min-label propagation (no Python loop over pairs). Centroids come
+    from the shared exact-integer k-means, so assignments (and hence
+    survivors) are bit-identical at any parallelism."""
+    centroids, ds = kmeans_train_exact(sf_dir, k, iters)
+    final_ref = ray.put(centroids)
+
+    class AssignKeep:
+        def __init__(self, ref):
+            self._c = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            xm = quantize_micro(emb_matrix(batch["embedding"]))
+            labels = kmeans_assign(xm, self._c)
+            return pa.table(
+                {
+                    "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+                    "cluster": pa.array(labels, pa.int32()),
+                    "embedding": batch["embedding"],
+                }
+            )
+
+    assigned = ds.map_batches(
+        AssignKeep,
+        fn_constructor_args=(final_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        num_cpus=1,
+    )
+
+    def dedup_cluster(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        vec_id = t["vec_id"].to_numpy(zero_copy_only=False)
+        x = emb_matrix(t["embedding"]).astype(np.float64)
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0] = 1.0
+        xn = x / norms[:, None]
+        sim = np.round(xn @ xn.T, _SD_DECIMALS)
+        adj = sim >= threshold
+        np.fill_diagonal(adj, True)
+        # min-label propagation to the component minimum (few hops:
+        # duplicate components are tiny)
+        labels = vec_id.astype(np.int64).copy()
+        while True:
+            # component min over neighbors, fully vectorized
+            nxt = np.where(adj, labels[None, :], np.iinfo(np.int64).max).min(
+                axis=1
+            )
+            if np.array_equal(nxt, labels):
+                break
+            labels = nxt
+        keep = labels == vec_id
+        return pa.table(
+            {
+                "vec_id": pa.array(vec_id[keep]),
+                "cluster": t["cluster"].filter(pa.array(keep)),
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(
+        dedup_cluster, batch_format="pyarrow"
     )

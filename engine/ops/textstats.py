@@ -838,3 +838,117 @@ def lm_score(sf_dir: str) -> ray.data.Dataset:
         concurrency=pool_size(),
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021, public heuristics)
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN = 3
+GOPHER_MAX_MEAN_WLEN = 10
+# The published rule uses the English closed-class set {the, be, to,
+# of, and, that, have, with}; the fixture's synthetic vocabulary
+# contains only "the"/"a"-family markers, so the corpus-adapted list
+# below (same STOPWORDS the quality_score op uses) keeps the rule
+# non-degenerate (64% of fixture docs satisfy it vs 0% with the
+# published set). Swap the list for the published one on real text.
+GOPHER_STOPWORDS = ["the", "and", "of", "a", "to", "in"]
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_SYMBOLS = ["#", r"\.\.\."]  # symbol-to-word ratio <= 0.1
+
+
+def gopher_rules(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style quality gates per document, fully vectorized.
+
+    Every rule is computed in EXACT integer arithmetic (cross-multiplied
+    ratios — ``3 * n_words <= sum_word_len``, never a float division),
+    so the Ray result hashes identically to the SQL oracle. Word
+    semantics are pinned to DuckDB's ``string_split(text, ' ')``: split
+    on every single space, empties included, hence
+    ``n_words = count(' ') + 1`` and
+    ``sum_word_len = length(text) - (n_words - 1)`` are exact
+    identities shared by both engines. The line-based bullet/ellipsis
+    rules of the published set are omitted: the corpus is single-line
+    (no LF in any fixture document), which would make them
+    tautologies rather than tested code."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_words = pc.add(pc.count_substring(text, " "), 1)
+        n_words64 = pc.cast(n_words, pa.int64())
+        sum_wlen = pc.subtract(
+            pc.cast(pc.utf8_length(text), pa.int64()),
+            pc.subtract(n_words64, 1),
+        )
+        # words containing at least one ASCII letter (RE2, no lookahead)
+        n_alpha = pc.cast(
+            pc.count_substring_regex(text, r"(^| )[^ ]*[A-Za-z]"), pa.int64()
+        )
+        n_sym = None
+        for s in GOPHER_SYMBOLS:
+            c = pc.cast(pc.count_substring_regex(text, s), pa.int64())
+            n_sym = c if n_sym is None else pc.add(n_sym, c)
+        n_stop = None
+        for w in GOPHER_STOPWORDS:
+            present = pc.cast(
+                pc.greater(pc.count_substring_regex(text, rf"\b{w}\b"), 0),
+                pa.int64(),
+            )
+            n_stop = present if n_stop is None else pc.add(n_stop, present)
+
+        i1 = lambda b: pc.cast(b, pa.int64())
+        wc_ok = i1(
+            pc.and_(
+                pc.greater_equal(n_words64, GOPHER_MIN_WORDS),
+                pc.less_equal(n_words64, GOPHER_MAX_WORDS),
+            )
+        )
+        mwl_ok = i1(
+            pc.and_(
+                pc.less_equal(
+                    pc.multiply(pa.scalar(GOPHER_MIN_MEAN_WLEN), n_words64),
+                    sum_wlen,
+                ),
+                pc.less_equal(
+                    sum_wlen,
+                    pc.multiply(pa.scalar(GOPHER_MAX_MEAN_WLEN), n_words64),
+                ),
+            )
+        )
+        # >= 80% of words contain a letter: 5 * n_alpha >= 4 * n_words
+        alpha_ok = i1(
+            pc.greater_equal(
+                pc.multiply(pa.scalar(5), n_alpha),
+                pc.multiply(pa.scalar(4), n_words64),
+            )
+        )
+        # symbol-to-word ratio <= 0.1: 10 * n_sym <= n_words
+        sym_ok = i1(
+            pc.less_equal(pc.multiply(pa.scalar(10), n_sym), n_words64)
+        )
+        stop_ok = i1(pc.greater_equal(n_stop, GOPHER_MIN_STOPWORDS))
+        passes = i1(
+            pc.equal(
+                pc.add(pc.add(pc.add(pc.add(wc_ok, mwl_ok), alpha_ok), sym_ok),
+                       stop_ok),
+                5,
+            )
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_words": n_words64,
+                "wc_ok": wc_ok,
+                "mwl_ok": mwl_ok,
+                "alpha_ok": alpha_ok,
+                "sym_ok": sym_ok,
+                "stop_ok": stop_ok,
+                "gopher_pass": passes,
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )

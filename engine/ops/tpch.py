@@ -1,0 +1,760 @@
+"""Remaining TPC-H query shapes, adapted to the fixture schema.
+
+The fixture lacks ``partsupp`` and the ship/commit/receipt-date trio, so
+each query keeps its reference TPC-H *physical shape* (the join/agg
+topology that stresses the engine) while substituting available columns;
+the DuckDB oracle in ``__ray_entry__.oracle_sql()`` runs the identical
+adapted semantics, so the comparison is still bit-exact.
+
+Scale discipline (same as engine/ops/relational.py):
+- every oracle-compared number is exact int64 fixed point quantized per
+  element (see ``relational._fixed_point``) — no float ever reaches an
+  oracle-compared column;
+- dimension tables (part, supplier, nation) broadcast ONCE via
+  ``ray.put`` as sorted-key numpy lookup arrays, probed with
+  ``np.searchsorted`` per batch — never re-shipped per batch, never a
+  shuffle;
+- fact-fact co-location (lineitem x orders) uses the one shared
+  int-keyed bucket shuffle (``union`` + ``groupby("_b")``), with
+  per-batch partial aggregation BEFORE the shuffle wherever the group
+  key is available pre-join.
+
+Reference parity notes: the reference has no relational engine; these
+queries extend the usage-counter / stage-total aggregation surface
+(SURVEY A1-A5, /root/reference/crates/cli/src/bench.rs:139-172) to the
+full TPC-H topology family the north rule's 100 TB corpus needs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from .._rayutil import ensure_serializable
+from .relational import _fixed_point, _read
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _ts_us(col) -> np.ndarray:
+    """timestamp[us] column -> int64 epoch microseconds."""
+    return pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _sorted_lookup(keys: np.ndarray, vals: np.ndarray):
+    order = np.argsort(keys)
+    return keys[order], vals[order]
+
+
+def _probe_i64(sorted_keys: np.ndarray, vals: np.ndarray, probe: np.ndarray,
+               missing: int = -1) -> np.ndarray:
+    """Vectorized hash-join probe against a broadcast sorted-key table."""
+    if sorted_keys.size == 0:
+        return np.full(probe.shape, missing, dtype=vals.dtype)
+    pos = np.clip(np.searchsorted(sorted_keys, probe), 0, sorted_keys.size - 1)
+    return np.where(sorted_keys[pos] == probe, vals[pos], missing)
+
+
+# ---------------------------------------------------------------------------
+# Q15: top supplier by quarterly revenue (argmax with ties via max join-back)
+# ---------------------------------------------------------------------------
+
+Q15_START = np.datetime64("1996-01-01", "us")
+Q15_END = np.datetime64("1996-04-01", "us")
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape: revenue per supplier over one quarter, then the
+    supplier(s) achieving the global maximum.
+
+    Physical plan: pruned+filtered lineitem read -> per-batch partial
+    group-by(l_suppkey) -> one native groupby shuffle (one row per
+    (suppkey, batch)) -> driver-side max over the |suppliers| result
+    (tiny vs the fact table) -> equality filter -> supplier attributes
+    attached from a ray.put broadcast (dimension side)."""
+    ensure_serializable()
+    import pyarrow.parquet as pq
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= pa.scalar(Q15_START))
+            & (pc.field("l_shipdate") < pa.scalar(Q15_END))
+        ),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            _fixed_point(batch["l_extendedprice"], 100),
+            pc.subtract(pa.scalar(100), _fixed_point(batch["l_discount"], 100)),
+        )
+        return (
+            pa.table({"s_suppkey": batch["l_suppkey"], "rev_e4": rev})
+            .group_by(["s_suppkey"])
+            .aggregate([("rev_e4", "sum")])
+        )
+
+    rev = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("s_suppkey")
+        .aggregate(Sum("rev_e4_sum", alias_name="total_rev_e4"))
+    )
+    # |suppliers| rows — the aggregate result, not the fact table.
+    best = rev.max("total_rev_e4")
+    top = rev.filter(expr=f"total_rev_e4 == {int(best)}")
+
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_acctbal"],
+    )
+    skeys = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(skeys)
+    skeys = skeys[order]
+    snames = supp["s_name"].to_numpy(zero_copy_only=False)[order]
+    scents = (
+        pc.cast(
+            pc.round(pc.multiply(supp["s_acctbal"], 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)[order]
+    )
+    side = ray.put((skeys, snames, scents))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        keys, names, cents = ray.get(side)
+        k = batch["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(keys, k), 0, max(keys.size - 1, 0))
+        hit = keys[pos] == k
+        return pa.table(
+            {
+                "s_suppkey": pa.array(k),
+                "s_name": pa.array(
+                    [str(names[p]) if h else "" for p, h in zip(pos, hit)],
+                    pa.string(),
+                ),
+                "acctbal_cents": pa.array(np.where(hit, cents[pos], 0)),
+                "total_rev_e4": batch["total_rev_e4"],
+            }
+        )
+
+    return top.map_batches(attach, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Q17: small-quantity-order revenue (correlated per-group avg join-back)
+# ---------------------------------------------------------------------------
+
+Q17_BRAND = "Brand#12"
+
+
+def q17_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of the per-part average, for one brand's parts.
+
+    The correlated subquery becomes two streaming passes with NO
+    shuffle of fact rows: (1) per-part (sum_qty, n) aggregated with the
+    partial-combine discipline — the result is |brand parts| rows,
+    collected and re-broadcast; (2) a second lineitem pass keeps rows by
+    the integer cross-multiplied predicate qty * 5 * n < sum_qty (exact:
+    never divides), summing cents per batch. The avg comparison is
+    integer-exact on both engine and oracle."""
+    ensure_serializable()
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    )
+    pk = part.filter(pc.equal(part["p_brand"], Q17_BRAND))["p_partkey"]
+    brand_keys = np.sort(pk.to_numpy(zero_copy_only=False).astype(np.int64))
+    keys_ref = ray.put(brand_keys)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        k = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(keys, k), 0, max(keys.size - 1, 0))
+        hit = keys.size > 0
+        keep = (keys[pos] == k) if hit else np.zeros(k.shape, dtype=bool)
+        t = batch.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return pa.table(
+                {"l_partkey": pa.array([], pa.int64()),
+                 "qty_sum": pa.array([], pa.int64()),
+                 "qty_count": pa.array([], pa.int64())}
+            )
+        qty = _fixed_point(t["l_quantity"], 1)
+        out = (
+            pa.table({"l_partkey": pc.cast(t["l_partkey"], pa.int64()), "qty": qty})
+            .group_by(["l_partkey"])
+            .aggregate([("qty", "sum"), ("qty", "count")])
+        )
+        return pa.table(
+            {"l_partkey": out["l_partkey"], "qty_sum": out["qty_sum"],
+             "qty_count": pc.cast(out["qty_count"], pa.int64())}
+        )
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_partkey")
+        .aggregate(Sum("qty_sum", alias_name="sq"),
+                   Sum("qty_count", alias_name="n"))
+        .to_pandas()  # |brand parts| rows — the dimension subset, tiny
+    )
+    sk = stats["l_partkey"].to_numpy().astype(np.int64)
+    order = np.argsort(sk)
+    stats_ref = ray.put(
+        (sk[order], stats["sq"].to_numpy()[order], stats["n"].to_numpy()[order])
+    )
+
+    def keep_partial(batch: pa.Table) -> pa.Table:
+        keys, sq, n = ray.get(stats_ref)
+        k = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if keys.size == 0:
+            return pa.table({"cents": pa.array([], pa.int64())})
+        pos = np.clip(np.searchsorted(keys, k), 0, keys.size - 1)
+        hit = keys[pos] == k
+        qty = _fixed_point(batch["l_quantity"], 1).to_numpy(zero_copy_only=False)
+        keep = hit & (qty * 5 * n[pos] < sq[pos])
+        cents = _fixed_point(batch["l_extendedprice"], 100).to_numpy(
+            zero_copy_only=False
+        )
+        total = int(cents[keep].sum())
+        return pa.table({"cents": pa.array([total], pa.int64())})
+
+    partials = ds.map_batches(
+        keep_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # one row per batch
+    total = int(partials["cents"].sum()) if len(partials) else 0
+    return pd.DataFrame(
+        {"total_cents": [total], "avg_yearly_cents": [total // 7]}
+    ).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Q12: late-shipment counts by order priority (fact-fact co-location)
+# ---------------------------------------------------------------------------
+
+Q12_LATE_DAYS = 90
+
+
+def q12_late_shipments(sf_dir: str, num_buckets: int | None = None):
+    """TPC-H Q12 shape: per order priority, how many lineitems shipped,
+    and how many shipped more than 90 days after the order date.
+
+    Lateness needs a column from each side of the lineitem x orders
+    join, so the rows co-locate on ONE hash(orderkey) bucket shuffle
+    (the q3/q7 union idiom). The lineitem side pre-aggregates to
+    (okey, ship_day) counts per batch — lineitems of one order cluster
+    on a few ship days, so the shuffle moves grouped counts, not raw
+    rows. Priority strings ride the (smaller) orders side and are
+    dictionary-encoded by Arrow in transit."""
+    from ..pipeline import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ensure_serializable()
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def tag_line(batch: pa.Table) -> pa.Table:
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ship = _ts_us(batch["l_shipdate"])
+        agg = (
+            pa.table({"okey": pa.array(okey), "ship_us": pa.array(ship)})
+            .group_by(["okey", "ship_us"])
+            .aggregate([([], "count_all")])
+        )
+        ok = agg["okey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array((ok % num_buckets).astype(np.int32)),
+                "okey": agg["okey"],
+                "ship_us": agg["ship_us"],
+                "n": pc.cast(agg["count_all"], pa.int64()),
+                "prio": pa.array([""] * len(agg), pa.string()),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_b": pa.array((okey % num_buckets).astype(np.int32)),
+                "okey": pa.array(okey),
+                "ship_us": pa.array(_ts_us(batch["o_orderdate"])),
+                "n": pa.array(np.full(okey.size, -1, dtype=np.int64)),
+                "prio": batch["o_orderpriority"],
+            }
+        )
+
+    tagged = line.map_batches(
+        tag_line, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        orders.map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        n = t["n"].to_numpy(zero_copy_only=False)
+        is_order = n < 0
+        okey = t["okey"].to_numpy(zero_copy_only=False)
+        o_keys = okey[is_order]
+        empty = pa.table(
+            {"o_orderpriority": pa.array([], pa.string()),
+             "n_lineitems": pa.array([], pa.int64()),
+             "n_late": pa.array([], pa.int64())}
+        )
+        if o_keys.size == 0 or is_order.all():
+            return empty
+        order_sort = np.argsort(o_keys)
+        o_sorted = o_keys[order_sort]
+        o_date = t["ship_us"].to_numpy(zero_copy_only=False)[is_order][order_sort]
+        o_prio = np.asarray(
+            t["prio"].to_numpy(zero_copy_only=False)[is_order]
+        )[order_sort]
+        l_ok = okey[~is_order]
+        pos = np.clip(np.searchsorted(o_sorted, l_ok), 0, o_sorted.size - 1)
+        hit = o_sorted[pos] == l_ok
+        if not hit.any():
+            return empty
+        ship = t["ship_us"].to_numpy(zero_copy_only=False)[~is_order][hit]
+        cnt = n[~is_order][hit]
+        odate = o_date[pos[hit]]
+        prio = o_prio[pos[hit]]
+        late = ship > odate + Q12_LATE_DAYS * _US_PER_DAY
+        agg = (
+            pa.table(
+                {
+                    "o_orderpriority": pa.array(prio.tolist(), pa.string()),
+                    "n_lineitems": pa.array(cnt),
+                    "n_late": pa.array(np.where(late, cnt, 0)),
+                }
+            )
+            .group_by(["o_orderpriority"])
+            .aggregate([("n_lineitems", "sum"), ("n_late", "sum")])
+        )
+        return pa.table(
+            {
+                "o_orderpriority": agg["o_orderpriority"],
+                "n_lineitems": agg["n_lineitems_sum"],
+                "n_late": agg["n_late_sum"],
+            }
+        )
+
+    per_bucket = tagged.groupby("_b").map_groups(
+        lambda g: join_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
+    )
+    return per_bucket.groupby("o_orderpriority").aggregate(
+        Sum("n_lineitems", alias_name="n_lineitems"),
+        Sum("n_late", alias_name="n_late"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22: idle high-balance customers (scalar subquery + anti join)
+# ---------------------------------------------------------------------------
+
+
+def q22_idle_customers(sf_dir: str, num_buckets: int | None = None):
+    """TPC-H Q22 shape: customers with above-average (positive) account
+    balance and NO urgent order, grouped by nation. (The fixture's
+    order coverage is dense — every customer has SOME order — so the
+    idleness predicate is "no 1-URGENT order", keeping the anti-join
+    non-degenerate while preserving Q22's scalar-subquery + anti-join
+    topology.)
+
+    The scalar subquery (global avg of positive balances) streams to two
+    int64 scalars, then the comparison runs as an exact integer
+    cross-multiplication (cents * n_pos > sum_pos_cents) — no division,
+    no float, bit-identical on both engines. The NOT-IN becomes the
+    bucketed anti join (per-batch DISTINCT o_custkey on the probe side,
+    one hash(custkey) shuffle), then a tiny groupby(nation)."""
+    from ..pipeline import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ensure_serializable()
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    cust = _read(sf_dir, "customer", columns=cust_cols)
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        cents = _fixed_point(batch["c_acctbal"], 100).to_numpy(zero_copy_only=False)
+        pos = cents[cents > 0]
+        return pa.table(
+            {"s": pa.array([int(pos.sum())], pa.int64()),
+             "n": pa.array([int(pos.size)], pa.int64())}
+        )
+
+    bal = cust.map_batches(
+        bal_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # one row per batch
+    sum_pos, n_pos = int(bal["s"].sum()), int(bal["n"].sum())
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"],
+        filter=(pc.field("o_orderpriority") == "1-URGENT"),
+    )
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        cents = _fixed_point(batch["c_acctbal"], 100).to_numpy(zero_copy_only=False)
+        keep = cents * n_pos > sum_pos
+        t = batch.filter(pa.array(keep))
+        key = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_b": pa.array((key % num_buckets).astype(np.int32)),
+                "key": pa.array(key),
+                "nation": pc.cast(t["c_nationkey"], pa.int64()),
+                "cents": pa.array(cents[keep]),
+                "is_probe": pa.array(np.zeros(key.size, dtype=np.int8)),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        key = pc.unique(batch["o_custkey"]).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "_b": pa.array((key % num_buckets).astype(np.int32)),
+                "key": pa.array(key),
+                "nation": pa.array(np.zeros(key.size, dtype=np.int64)),
+                "cents": pa.array(np.zeros(key.size, dtype=np.int64)),
+                "is_probe": pa.array(np.ones(key.size, dtype=np.int8)),
+            }
+        )
+
+    tagged = cust.map_batches(
+        tag_cust, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        orders.map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def anti_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        key = t["key"].to_numpy(zero_copy_only=False)
+        probe = t["is_probe"].to_numpy(zero_copy_only=False) == 1
+        keep = ~probe & ~np.isin(key, key[probe])
+        out = t.filter(pa.array(keep))
+        if out.num_rows == 0:
+            return pa.table(
+                {"c_nationkey": pa.array([], pa.int64()),
+                 "n_customers": pa.array([], pa.int64()),
+                 "total_cents": pa.array([], pa.int64())}
+            )
+        agg = (
+            pa.table({"c_nationkey": out["nation"], "cents": out["cents"]})
+            .group_by(["c_nationkey"])
+            .aggregate([([], "count_all"), ("cents", "sum")])
+        )
+        return pa.table(
+            {
+                "c_nationkey": agg["c_nationkey"],
+                "n_customers": pc.cast(agg["count_all"], pa.int64()),
+                "total_cents": agg["cents_sum"],
+            }
+        )
+
+    per_bucket = tagged.groupby("_b").map_groups(
+        lambda g: anti_bucket(g.drop_columns(["_b"])),
+        batch_format="pyarrow",
+    )
+    out = per_bucket.groupby("c_nationkey").aggregate(
+        Sum("n_customers", alias_name="n_customers"),
+        Sum("total_cents", alias_name="total_cents"),
+    ).to_pandas()  # <= |nations| rows
+    if out.empty:
+        # an empty Ray aggregate drops its schema; pin it for the compare
+        import pandas as pd
+
+        out = pd.DataFrame(
+            {
+                "c_nationkey": pd.Series([], dtype=np.int64),
+                "n_customers": pd.Series([], dtype=np.int64),
+                "total_cents": pd.Series([], dtype=np.int64),
+            }
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Q9: nation "profit" by year (three-dimension broadcast, zero shuffle)
+# ---------------------------------------------------------------------------
+
+Q9_NAME_TOKEN = "widget"
+
+
+def q9_nation_profit(sf_dir: str):
+    """TPC-H Q9 shape (adapted: without partsupp, unit cost is modeled
+    as half the part's retail price): per (supplier nation, year),
+    sum of lineitem revenue minus cost, for parts whose name contains a
+    token.
+
+    All three joined sides are dimensions, so the plan is a SINGLE
+    lineitem scan with zero shuffles: part (filtered to the name token)
+    and supplier->nation broadcast once as sorted-key arrays; each batch
+    probes both, computes the exact int64 profit, and pre-aggregates to
+    (nation, year) partials; the global groupby sees |nations x years|
+    rows."""
+    ensure_serializable()
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name", "p_retailprice"],
+    )
+    mask = pc.match_substring(part["p_name"], Q9_NAME_TOKEN)
+    part = part.filter(mask)
+    pkeys = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    retail = (
+        pc.cast(
+            pc.round(pc.multiply(part["p_retailprice"], 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+    )
+    pkeys, retail = _sorted_lookup(pkeys, retail)
+
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    skeys = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    snat = supp["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    skeys, snat = _sorted_lookup(skeys, snat)
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nmap = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+
+    side = ray.put((pkeys, retail, skeys, snat))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk, rc, sk, sn = ray.get(side)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        unit_cents = _probe_i64(pk, rc, lpk, missing=-1)
+        keep = unit_cents >= 0
+        empty = pa.table(
+            {"nation": pa.array([], pa.int64()),
+             "l_year": pa.array([], pa.int64()),
+             "profit_e4": pa.array([], pa.int64())}
+        )
+        if not keep.any():
+            return empty
+        t = batch.filter(pa.array(keep))
+        unit = unit_cents[keep]
+        nat = _probe_i64(
+            sk, sn, t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        cents = _fixed_point(t["l_extendedprice"], 100).to_numpy(zero_copy_only=False)
+        disc = _fixed_point(t["l_discount"], 100).to_numpy(zero_copy_only=False)
+        qty = _fixed_point(t["l_quantity"], 1).to_numpy(zero_copy_only=False)
+        profit = cents * (100 - disc) - qty * unit * 50
+        year = pc.cast(pc.year(t["l_shipdate"]), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        agg = (
+            pa.table(
+                {"nation": pa.array(nat), "l_year": pa.array(year),
+                 "profit_e4": pa.array(profit)}
+            )
+            .group_by(["nation", "l_year"])
+            .aggregate([("profit_e4", "sum")])
+        )
+        return pa.table(
+            {"nation": agg["nation"], "l_year": agg["l_year"],
+             "profit_e4": agg["profit_e4_sum"]}
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["nation", "l_year"])
+        .aggregate(Sum("profit_e4", alias_name="profit_e4"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        nat = batch["nation"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_name": pa.array([nmap.get(int(x), "") for x in nat], pa.string()),
+                "l_year": batch["l_year"],
+                "profit_e4": batch["profit_e4"],
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Q16: distinct supplier counts per part attribute combo
+# ---------------------------------------------------------------------------
+
+Q16_EXCLUDE_BRAND = "Brand#13"
+
+
+def q16_supplier_counts(sf_dir: str, num_buckets: int | None = None):
+    """TPC-H Q16 shape (lineitem stands in for partsupp as the
+    part<->supplier relation): distinct suppliers per (brand, type,
+    size), excluding one brand and excluding suppliers with negative
+    account balance (the "complaints" analog).
+
+    Two-level distinct: (1) per-batch DISTINCT (partkey, suppkey)
+    pairs, then a hash(partkey) bucket shuffle where part attribute rows
+    co-locate (the union idiom) — each bucket re-dedups its pairs and
+    attaches attributes; (2) a second groupby on the attribute combo
+    counts distinct suppliers per group with one pc.unique per group
+    (group size bounded by |suppliers|). The negative-balance supplier
+    set broadcasts (it is a small filtered slice of a dimension)."""
+    from ..pipeline import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ensure_serializable()
+    import pyarrow.parquet as pq
+
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_acctbal"],
+    )
+    bad = supp.filter(pc.less(supp["s_acctbal"], 0.0))["s_suppkey"]
+    bad_keys = np.sort(bad.to_numpy(zero_copy_only=False).astype(np.int64))
+    bad_ref = ray.put(bad_keys)
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey"],
+    )
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        filter=(pc.field("p_brand") != Q16_EXCLUDE_BRAND),
+    )
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        bad_k = ray.get(bad_ref)
+        pairs = (
+            pa.table({"pk": batch["l_partkey"], "sk": batch["l_suppkey"]})
+            .group_by(["pk", "sk"])
+            .aggregate([])
+        )
+        pk = pairs["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = pairs["sk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if bad_k.size:
+            keep = ~np.isin(sk, bad_k)
+            pk, sk = pk[keep], sk[keep]
+        return pa.table(
+            {
+                "_b": pa.array((pk % num_buckets).astype(np.int32)),
+                "pk": pa.array(pk),
+                "sk": pa.array(sk),
+                "p_brand": pa.array([""] * pk.size, pa.string()),
+                "p_type": pa.array([""] * pk.size, pa.string()),
+                "p_size": pa.array(np.zeros(pk.size, dtype=np.int64)),
+            }
+        )
+
+    def tag_part(batch: pa.Table) -> pa.Table:
+        pk = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_b": pa.array((pk % num_buckets).astype(np.int32)),
+                "pk": pa.array(pk),
+                "sk": pa.array(np.full(pk.size, -1, dtype=np.int64)),
+                "p_brand": batch["p_brand"],
+                "p_type": batch["p_type"],
+                "p_size": pc.cast(batch["p_size"], pa.int64()),
+            }
+        )
+
+    tagged = line.map_batches(
+        tag_pairs, batch_format="pyarrow", zero_copy_batch=True
+    ).union(part.map_batches(tag_part, batch_format="pyarrow", zero_copy_batch=True))
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        sk = t["sk"].to_numpy(zero_copy_only=False)
+        is_part = sk < 0
+        empty = pa.table(
+            {"p_brand": pa.array([], pa.string()),
+             "p_type": pa.array([], pa.string()),
+             "p_size": pa.array([], pa.int64()),
+             "sk": pa.array([], pa.int64())}
+        )
+        if is_part.all() or not is_part.any():
+            return empty
+        pk = t["pk"].to_numpy(zero_copy_only=False)
+        p_keys = pk[is_part]
+        order = np.argsort(p_keys)
+        p_sorted = p_keys[order]
+        pairs = (
+            pa.table({"pk": pa.array(pk[~is_part]), "sk": pa.array(sk[~is_part])})
+            .group_by(["pk", "sk"])
+            .aggregate([])
+        )
+        qk = pairs["pk"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(p_sorted, qk), 0, p_sorted.size - 1)
+        hit = p_sorted[pos] == qk
+        if not hit.any():
+            return empty
+        src = order[pos[hit]]
+        brand = np.asarray(t["p_brand"].to_numpy(zero_copy_only=False)[is_part])[src]
+        ptype = np.asarray(t["p_type"].to_numpy(zero_copy_only=False)[is_part])[src]
+        psize = t["p_size"].to_numpy(zero_copy_only=False)[is_part][src]
+        return pa.table(
+            {
+                "p_brand": pa.array(brand.tolist(), pa.string()),
+                "p_type": pa.array(ptype.tolist(), pa.string()),
+                "p_size": pa.array(psize),
+                "sk": pairs["sk"].filter(pa.array(hit)),
+            }
+        )
+
+    quads = tagged.groupby("_b").map_groups(
+        lambda g: join_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
+    )
+
+    def count_distinct(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        n = len(pc.unique(t["sk"]))
+        return pa.table(
+            {
+                "p_brand": t["p_brand"].slice(0, 1),
+                "p_type": t["p_type"].slice(0, 1),
+                "p_size": t["p_size"].slice(0, 1),
+                "supplier_cnt": pa.array([n], pa.int64()),
+            }
+        )
+
+    return quads.groupby(["p_brand", "p_type", "p_size"]).map_groups(
+        count_distinct, batch_format="pyarrow"
+    )

@@ -64,6 +64,9 @@ SQL_CHECKED = [
     "event_type_cooccurrence", "lm_score",
     "daily_activity_full_join", "dedup_incremental",
     "cohort_retention", "q8_market_share", "hourly_active_users",
+    "q9_nation_profit", "q12_late_shipments", "q15_top_supplier",
+    "q16_supplier_counts", "q17_small_qty_revenue", "q22_idle_customers",
+    "gopher_rules",
 ]
 
 
@@ -95,7 +98,7 @@ def test_all_queries_have_oracle_or_are_documented():
         "image_metadata", "image_resize", "video_frame_sample",
         "audio_features", "approx_distinct_users", "heavy_hitter_words",
         "ewma_events_per_user", "image_phash_dedup", "kmeans_embeddings",
-        "cms_word_counts", "diverse_sample",
+        "cms_word_counts", "diverse_sample", "semdedup",
     }
 
 
@@ -932,3 +935,78 @@ def test_diverse_sample_covers_every_cluster():
     assert set(per.index) == nonempty
     again = diverse_sample(SF).to_pandas()
     assert sorted(sample["vec_id"]) == sorted(again["vec_id"])
+
+
+def test_semdedup_matches_bruteforce_per_cluster():
+    """Survivor set must equal a pure-numpy per-cluster component-min
+    oracle computed over the SAME cluster assignments."""
+    from engine.ops.similarity import (
+        SEMDEDUP_THRESHOLD, _SD_DECIMALS, kmeans_embeddings, semdedup,
+    )
+    import pyarrow.parquet as pq
+
+    got = set(semdedup(SF).to_pandas()["vec_id"])
+    assign = kmeans_embeddings(SF).to_pandas()
+    emb = pq.read_table(
+        os.path.join(SF, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).to_pandas().set_index("vec_id")["embedding"]
+
+    want = set()
+    for _, grp in assign.groupby("cluster"):
+        ids = np.sort(grp["vec_id"].to_numpy())
+        x = np.stack([np.asarray(emb[i], dtype=np.float64) for i in ids])
+        n = x / np.linalg.norm(x, axis=1, keepdims=True)
+        sim = np.round(n @ n.T, _SD_DECIMALS)
+        adj = sim >= SEMDEDUP_THRESHOLD
+        np.fill_diagonal(adj, True)
+        labels = ids.astype(np.int64).copy()
+        changed = True
+        while changed:
+            nxt = np.array(
+                [labels[adj[i]].min() for i in range(len(ids))], dtype=np.int64
+            )
+            changed = not np.array_equal(nxt, labels)
+            labels = nxt
+        want.update(int(i) for i, l in zip(ids, labels) if i == l)
+    assert got == want
+    assert 0 < len(got) < len(assign)  # non-degenerate on the fixture
+
+
+def test_gopher_rules_adversarial(tmp_path, duck):
+    """Engine vs DuckDB oracle on crafted texts that flip every rule:
+    short docs, long words, letter-free words, symbol floods, and
+    stopword-free text."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+    from engine.ops.textstats import gopher_rules
+
+    texts = [
+        "the and of a to in " + "word " * 60,          # everything passes
+        "the and short doc",                           # wc fails
+        "the and " + "x " * 100,                       # mean wlen < 3 fails
+        "the and " + "supercalifragilistic " * 100,    # mean wlen > 10 fails
+        "the and " + "123 456 789 " * 30,              # alpha fraction fails
+        "the and " + "# # # word " * 30,               # symbol ratio fails
+        "word " * 100,                                 # stopwords fail
+        "the of " + "ok " * 60 + "...",                # ellipsis counted once
+    ]
+    tab = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+
+    got = canon(gopher_rules(str(tmp_path)).to_pandas())
+    con = __import__("duckdb").connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{tmp_path}/documents.parquet'")
+    want = canon(con.sql(entrymod.oracle_sql()["gopher_rules"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    by_id = got.set_index("doc_id")
+    assert by_id.loc[0, "gopher_pass"] == 1
+    assert by_id.loc[1, "wc_ok"] == 0
+    assert by_id.loc[2, "mwl_ok"] == 0
+    assert by_id.loc[3, "mwl_ok"] == 0
+    assert by_id.loc[4, "alpha_ok"] == 0
+    assert by_id.loc[5, "sym_ok"] == 0
+    assert by_id.loc[6, "stop_ok"] == 0
