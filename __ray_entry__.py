@@ -330,6 +330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "quality_score": textstats.quality_score,
         "gopher_rules": textstats.gopher_rules,
+        "lm_score_buckets": textstats.lm_score_buckets,
+        "bm25_topk": textstats.bm25_topk,
         "lang_id": textstats.lang_id,
         "lang_id_accuracy": textstats.lang_id_accuracy,
         "bpe_token_counts": textstats.bpe_token_counts,
@@ -417,12 +419,14 @@ def oracle_sql() -> dict[str, str]:
     stop_sql = " + ".join(
         f"length(regexp_extract_all(text, '\\b{w}\\b'))" for w in STOPWORDS
     )
-    from engine.ops.textstats import GOPHER_STOPWORDS
+    from engine.ops import textstats as textstats_mod
+    from engine.ops.textstats import BM25_QUERY_TERMS, GOPHER_STOPWORDS
 
     gopher_stop_sql = " + ".join(
         f"(CASE WHEN regexp_matches(text, '\\b{w}\\b') THEN 1 ELSE 0 END)"
         for w in GOPHER_STOPWORDS
     )
+    bm25_terms_sql = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
 
     lang_id_sql = f"""
             SELECT doc_id,
@@ -929,6 +933,59 @@ def oracle_sql() -> dict[str, str]:
                         AND (10 * n_sym <= n_words)
                         AND (n_stop >= 2) AS BIGINT) AS gopher_pass
             FROM w
+        """,
+        "lm_score_buckets": """
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents
+            ), bg AS (
+              SELECT a.doc_id, a.w AS w1, b.w AS w2
+              FROM words a
+              JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            ), cnt AS (
+              SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
+            ), base AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS score
+              FROM bg JOIN cnt USING (w1, w2) GROUP BY doc_id
+            ), r AS (
+              SELECT score, row_number() OVER (ORDER BY score) AS rn,
+                     count(*) OVER () AS n
+              FROM base
+            ), q AS (
+              SELECT min(CASE WHEN rn * 3 >= n THEN score END) AS q1,
+                     min(CASE WHEN rn * 3 >= 2 * n THEN score END) AS q2
+              FROM r)
+            SELECT doc_id, score,
+                   CASE WHEN score > q2 THEN 'head'
+                        WHEN score > q1 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM base, q
+        """,
+        "bm25_topk": f"""
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents),
+            ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
+            d AS (SELECT doc_id, count(*) AS dl FROM ww GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM ww) AS l),
+            tf AS (SELECT doc_id, word, count(*) AS tf FROM ww
+                   WHERE word IN ({bm25_terms_sql}) GROUP BY 1, 2),
+            df AS (SELECT word, count(DISTINCT doc_id) AS df FROM ww
+                   WHERE word IN ({bm25_terms_sql}) GROUP BY 1),
+            sc AS (
+              SELECT t.doc_id,
+                     sum((44 * l * tf * 1000000000)
+                         // ((20 * l * tf + 6 * l + 18 * d.dl * n) * f.df))
+                       AS score_e9
+              FROM tf t JOIN d USING (doc_id)
+              JOIN df f ON t.word = f.word CROSS JOIN st
+              GROUP BY t.doc_id)
+            SELECT doc_id, CAST(score_e9 AS BIGINT) AS score_e9,
+                   CAST(row_number() OVER (ORDER BY score_e9 DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM sc QUALIFY rank <= {textstats_mod.BM25_K}
         """,
         "lang_id": lang_id_sql,
         "lang_id_accuracy": f"""

@@ -952,3 +952,179 @@ def gopher_rules(sf_dir: str) -> ray.data.Dataset:
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing over the LM quality score
+# ---------------------------------------------------------------------------
+
+LM_BUCKETS = ("tail", "middle", "head")
+
+
+def lm_score_buckets(sf_dir: str) -> ray.data.Dataset:
+    """CCNet-style head/middle/tail split of the corpus by LM quality
+    score — the published filtering recipe buckets documents by LM
+    perplexity tertiles and trains on the head.
+
+    Thresholds are EXACT order statistics (value at rank ceil(n/3) /
+    ceil(2n/3) of the ascending score order), computed from a
+    distributed per-score-value histogram: each batch pre-counts its
+    scores, the global groupby sees |distinct scores| rows, and the
+    driver cumsums that tiny table — no sort shuffle of the corpus, no
+    float quantile interpolation (ties resolve identically on both
+    engines because thresholds compare VALUES, not ranks). The score
+    pass is ``lm_score`` materialized once (per-doc aggregate rows,
+    not the corpus)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    scored = lm_score(sf_dir).materialize()
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        agg = (
+            pa.table({"score": batch["score"]})
+            .group_by(["score"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"score": agg["score"], "n": pc.cast(agg["count_all"], pa.int64())}
+        )
+
+    hist = (
+        scored.map_batches(hist_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("score")
+        .aggregate(_Sum("n", alias_name="n"))
+        .to_pandas()  # |distinct scores| rows
+        .sort_values("score")
+    )
+    counts = hist["n"].to_numpy()
+    values = hist["score"].to_numpy()
+    n = int(counts.sum())
+    cum = np.cumsum(counts)
+    # value at ascending rank ceil(n/3): first score whose cumulative
+    # count reaches the rank (3*rank >= n <=> rank >= ceil(n/3))
+    q1 = int(values[np.searchsorted(cum * 3, n)])
+    q2 = int(values[np.searchsorted(cum * 3, 2 * n)])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        s = batch["score"].to_numpy(zero_copy_only=False)
+        bucket = np.where(s > q2, "head", np.where(s > q1, "middle", "tail"))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "score": batch["score"],
+                "bucket": pa.array(bucket.tolist(), pa.string()),
+            }
+        )
+
+    return scored.map_batches(assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# BM25-shaped retrieval in exact integer arithmetic
+# ---------------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ("join", "merge", "window")
+BM25_K = 10
+
+
+def _word_stats(batch: pa.Table, terms) -> tuple:
+    """Vectorized per-doc (dl, tf-per-term) via one split + flatten —
+    word equality semantics identical to SQL ``word = term`` over
+    ``string_split(text, ' ')`` (no regex boundary surprises)."""
+    arr = batch["text"].combine_chunks() if isinstance(
+        batch["text"], pa.ChunkedArray
+    ) else batch["text"]
+    words = pc.split_pattern(arr, " ")
+    flat = words.flatten()
+    offsets = words.offsets.to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(
+        np.arange(len(words)), offsets[1:] - offsets[:-1]
+    )
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    dl = np.zeros(len(words), dtype=np.int64)
+    np.add.at(dl, doc_idx, nonempty.astype(np.int64))
+    tfs = []
+    for t in terms:
+        m = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+        tf = np.zeros(len(words), dtype=np.int64)
+        np.add.at(tf, doc_idx, m.astype(np.int64))
+        tfs.append(tf)
+    return dl, tfs
+
+
+def bm25_topk(sf_dir: str, k: int = BM25_K) -> "pd.DataFrame":
+    """Top-k documents for a fixed query under a BM25-SHAPED score in
+    EXACT integers: with k1 = 6/5 and b = 3/4, the per-term saturation
+    tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) cross-multiplies by 20*L
+    (L = corpus word count, avgdl = L/N) into
+    44*L*tf / (20*L*tf + 6*L + 18*dl*N), and the idf is the same
+    linear 1/df the tf-idf operator uses — every division is a single
+    floor division of exact int64 products, bit-identical to the SQL
+    oracle. (Log-idf BM25 is one transform away but float.)
+
+    Scale shape: two streaming passes over documents (corpus stats,
+    then scoring) with per-batch partial top-k; no shuffle except the
+    final k-row sort. Query terms and corpus stats broadcast by value
+    (a handful of ints)."""
+    ensure_serializable()
+    import pandas as pd
+
+    terms = list(BM25_QUERY_TERMS)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        dl, tfs = _word_stats(batch, terms)
+        row = {
+            "n_docs": pa.array([len(dl)], pa.int64()),
+            "sum_dl": pa.array([int(dl.sum())], pa.int64()),
+        }
+        for t, tf in zip(terms, tfs):
+            row[f"df_{t}"] = pa.array([int((tf > 0).sum())], pa.int64())
+        return pa.table(row)
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+    stats = ds.map_batches(
+        stats_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # one row per batch
+    n_corpus = int(stats["n_docs"].sum())
+    big_l = int(stats["sum_dl"].sum())
+    df = {t: int(stats[f"df_{t}"].sum()) for t in terms}
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        dl, tfs = _word_stats(batch, terms)
+        score = np.zeros(len(dl), dtype=np.int64)
+        # keep = "contains any query term" (NOT score > 0): the SQL
+        # oracle's tf-join keeps a doc even when its score floors to 0
+        keep = np.zeros(len(dl), dtype=bool)
+        for t, tf in zip(terms, tfs):
+            if df[t] == 0:
+                continue
+            keep |= tf > 0
+            num = 44 * big_l * tf * 1_000_000_000
+            den = (20 * big_l * tf + 6 * big_l + 18 * dl * n_corpus) * df[t]
+            score += np.where(tf > 0, num // np.maximum(den, 1), 0)
+        doc_id = pc.cast(batch["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[keep]
+        sc = score[keep]
+        if sc.size > k:  # partial top-k inside the batch
+            order = np.lexsort((doc_id, -sc))[:k]
+            doc_id, sc = doc_id[order], sc[order]
+        return pa.table(
+            {"doc_id": pa.array(doc_id), "score_e9": pa.array(sc)}
+        )
+
+    partials = ds.map_batches(
+        score_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # <= k rows per batch
+    partials = partials.sort_values(
+        ["score_e9", "doc_id"], ascending=[False, True]
+    ).head(k).reset_index(drop=True)
+    partials["rank"] = np.arange(1, len(partials) + 1, dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "doc_id": partials["doc_id"].astype(np.int64),
+            "score_e9": partials["score_e9"].astype(np.int64),
+            "rank": partials["rank"],
+        }
+    )

@@ -66,7 +66,7 @@ SQL_CHECKED = [
     "cohort_retention", "q8_market_share", "hourly_active_users",
     "q9_nation_profit", "q12_late_shipments", "q15_top_supplier",
     "q16_supplier_counts", "q17_small_qty_revenue", "q22_idle_customers",
-    "gopher_rules",
+    "gopher_rules", "lm_score_buckets", "bm25_topk",
 ]
 
 
@@ -1010,3 +1010,42 @@ def test_gopher_rules_adversarial(tmp_path, duck):
     assert by_id.loc[4, "alpha_ok"] == 0
     assert by_id.loc[5, "sym_ok"] == 0
     assert by_id.loc[6, "stop_ok"] == 0
+
+
+def test_bm25_word_equality_semantics(tmp_path):
+    """tf counts EXACT word matches only ('join-x' and 'joins' are not
+    'join'), matching the SQL oracle's word = term over string_split."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+    from engine.ops.textstats import bm25_topk
+
+    texts = [
+        "join join merge alpha beta gamma",       # tf(join)=2 tf(merge)=1
+        "join-x joins merged window alpha beta",  # only window matches
+        "alpha beta gamma delta",                 # no query terms -> no row
+        "window window window join",              # heavy
+    ]
+    tab = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    got = canon(bm25_topk(str(tmp_path)))
+    con = __import__("duckdb").connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{tmp_path}/documents.parquet'")
+    want = canon(con.sql(entrymod.oracle_sql()["bm25_topk"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert set(got["doc_id"]) == {0, 1, 3}  # doc 2 has no query term
+
+
+def test_lm_buckets_are_value_thresholded(duck):
+    """Docs with EQUAL scores always land in the SAME bucket (value
+    thresholds, not rank splits), and bucket sizes are near-tertiles."""
+    import __ray_entry__ as entrymod
+
+    got = entrymod.queries()["lm_score_buckets"](SF).to_pandas()
+    per_score = got.groupby("score")["bucket"].nunique()
+    assert (per_score == 1).all()
+    sizes = got.groupby("bucket").size()
+    assert abs(sizes.max() - sizes.min()) <= got["score"].value_counts().max()
