@@ -132,9 +132,13 @@ def run_bench() -> dict:
         "q5_region_revenue",
         "tfidf_top_terms",
         "redact_transcripts",
+        "q12_late_shipments",
+        "bm25_topk",
     ):
         t0 = time.perf_counter()
-        qs[name](sf_dir).to_pandas()
+        r = qs[name](sf_dir)
+        if hasattr(r, "to_pandas"):
+            r.to_pandas()
         per_query[name] = round(time.perf_counter() - t0, 3)
 
     ray.shutdown()

@@ -106,8 +106,10 @@ def q15_top_supplier(sf_dir: str):
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("s_suppkey")
         .aggregate(Sum("rev_e4_sum", alias_name="total_rev_e4"))
+        # materialize the |suppliers|-row AGGREGATE (never the fact
+        # table) so max + filter don't re-run the lineitem scan twice
+        .materialize()
     )
-    # |suppliers| rows — the aggregate result, not the fact table.
     best = rev.max("total_rev_e4")
     top = rev.filter(expr=f"total_rev_e4 == {int(best)}")
 
