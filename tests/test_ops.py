@@ -1049,3 +1049,89 @@ def test_lm_buckets_are_value_thresholded(duck):
     assert (per_score == 1).all()
     sizes = got.groupby("bucket").size()
     assert abs(sizes.max() - sizes.min()) <= got["score"].value_counts().max()
+
+
+def test_q12_lateness_boundary(tmp_path):
+    """A lineitem shipped EXACTLY 90 days after the order date is NOT
+    late (> is strict) — engine and oracle must agree at the boundary;
+    orphan lineitems drop via the inner join on both sides."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import numpy as np
+    import __ray_entry__ as entrymod
+    from engine.ops.tpch import q12_late_shipments
+
+    ts = lambda s: np.datetime64(s, "us")
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_orderdate": pa.array([ts("2000-01-01"), ts("2000-06-01")]),
+            "o_orderpriority": pa.array(["1-URGENT", "5-LOW"], pa.string()),
+        }
+    )
+    line = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 1, 2, 99], pa.int64()),
+            "l_shipdate": pa.array(
+                [ts("2000-03-31"),   # exactly +90 days: NOT late
+                 ts("2000-04-01"),   # +91 days: late
+                 ts("2000-01-05"),   # early: not late
+                 ts("2000-09-09"),   # +100 days: late
+                 ts("2000-01-01")]   # orphan: dropped by the join
+            ),
+        }
+    )
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    pq.write_table(line, str(tmp_path / "lineitem.parquet"))
+
+    got = canon(q12_late_shipments(str(tmp_path), num_buckets=4).to_pandas())
+    con = __import__("duckdb").connect()
+    for t in ("orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS FROM '{tmp_path}/{t}.parquet'")
+    want = canon(con.sql(entrymod.oracle_sql()["q12_late_shipments"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    by = got.set_index("o_orderpriority")
+    assert by.loc["1-URGENT", "n_lineitems"] == 3
+    assert by.loc["1-URGENT", "n_late"] == 1  # only the +91-day row
+    assert by.loc["5-LOW", "n_late"] == 1
+
+
+def test_q17_avg_predicate_boundary(tmp_path):
+    """qty at EXACTLY 20% of the per-part average is excluded (< is
+    strict, checked by integer cross-multiplication on both sides)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import numpy as np
+    import __ray_entry__ as entrymod
+    from engine.ops.tpch import Q17_BRAND, q17_small_qty_revenue
+
+    part = pa.table(
+        {
+            "p_partkey": pa.array([1, 2, 3], pa.int64()),
+            "p_brand": pa.array([Q17_BRAND, Q17_BRAND, "Brand#99"], pa.string()),
+        }
+    )
+    # part 1: qty [1,2,3,4,90] -> sum 100, n 5; keep iff qty*25 < 100,
+    # i.e. qty in {1,2,3}; qty=4 sits exactly on the boundary (100==100)
+    line = pa.table(
+        {
+            "l_partkey": pa.array([1, 1, 1, 1, 1, 2, 3], pa.int64()),
+            "l_quantity": pa.array([1.0, 2.0, 3.0, 4.0, 90.0, 50.0, 1.0]),
+            "l_extendedprice": pa.array(
+                [10.0, 20.0, 40.0, 80.0, 160.0, 320.0, 640.0]
+            ),
+        }
+    )
+    pq.write_table(part, str(tmp_path / "part.parquet"))
+    pq.write_table(line, str(tmp_path / "lineitem.parquet"))
+
+    got = q17_small_qty_revenue(str(tmp_path))
+    con = __import__("duckdb").connect()
+    for t in ("part", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS FROM '{tmp_path}/{t}.parquet'")
+    want = con.sql(entrymod.oracle_sql()["q17_small_qty_revenue"]).df()
+    pd.testing.assert_frame_equal(
+        canon(got), canon(want), check_dtype=False
+    )
+    # qty 1,2,3 of part 1 kept: 1000 + 2000 + 4000 cents
+    assert int(got["total_cents"].iloc[0]) == 7000
