@@ -1135,3 +1135,107 @@ def test_q17_avg_predicate_boundary(tmp_path):
     )
     # qty 1,2,3 of part 1 kept: 1000 + 2000 + 4000 cents
     assert int(got["total_cents"].iloc[0]) == 7000
+
+
+def test_q16_random_matches_duckdb(tmp_path):
+    """Randomized distinct-supplier-count check: random (partkey,
+    suppkey) pairs with repeats, negative-balance suppliers, and the
+    excluded brand, across many buckets, vs DuckDB on the same files."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+
+    from engine.ops.tpch import Q16_EXCLUDE_BRAND, q16_supplier_counts
+
+    rng = np.random.default_rng(31)
+    n_parts, n_supp, n_line = 60, 20, 1500
+    part = pa.table(
+        {
+            "p_partkey": pa.array(np.arange(n_parts, dtype=np.int64)),
+            "p_brand": pa.array(
+                [f"Brand#{i % 4 + 12}" if i % 7 else Q16_EXCLUDE_BRAND
+                 for i in range(n_parts)], pa.string()
+            ),
+            "p_type": pa.array(
+                [("SMALL", "LARGE", "PROMO")[i % 3] for i in range(n_parts)],
+                pa.string(),
+            ),
+            "p_size": pa.array((np.arange(n_parts) % 5 + 1).astype(np.int32)),
+        }
+    )
+    supplier = pa.table(
+        {
+            "s_suppkey": pa.array(np.arange(n_supp, dtype=np.int64)),
+            "s_acctbal": pa.array(
+                np.where(np.arange(n_supp) % 6 == 0, -10.0, 100.0)
+            ),
+        }
+    )
+    line = pa.table(
+        {
+            "l_partkey": pa.array(
+                rng.integers(0, n_parts, n_line).astype(np.int64)
+            ),
+            "l_suppkey": pa.array(
+                rng.integers(0, n_supp, n_line).astype(np.int64)
+            ),
+        }
+    )
+    for name, tab in (("part", part), ("supplier", supplier),
+                      ("lineitem", line)):
+        pq.write_table(tab, str(tmp_path / f"{name}.parquet"))
+
+    got = canon(q16_supplier_counts(str(tmp_path), num_buckets=8).to_pandas())
+    con = duckdb.connect()
+    for t in ("part", "supplier", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS FROM '{tmp_path}/{t}.parquet'")
+    want = canon(con.sql(entrymod.oracle_sql()["q16_supplier_counts"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 10  # non-degenerate
+
+
+def test_q22_random_matches_duckdb(tmp_path):
+    """Randomized scalar-subquery + anti-join check: random balances
+    (incl. negatives and exact-average collisions) and random urgent
+    order coverage vs DuckDB on the same files."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+
+    from engine.ops.tpch import q22_idle_customers
+
+    rng = np.random.default_rng(47)
+    n_cust, n_ord = 300, 400
+    cents = rng.integers(-5000, 20001, n_cust)
+    customer = pa.table(
+        {
+            "c_custkey": pa.array(np.arange(n_cust, dtype=np.int64)),
+            "c_nationkey": pa.array(
+                rng.integers(0, 5, n_cust).astype(np.int32)
+            ),
+            "c_acctbal": pa.array(cents / 100.0),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_custkey": pa.array(
+                rng.integers(0, n_cust, n_ord).astype(np.int64)
+            ),
+            "o_orderpriority": pa.array(
+                [("1-URGENT", "5-LOW")[i % 2] for i in range(n_ord)],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(customer, str(tmp_path / "customer.parquet"))
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+
+    got = canon(_as_df(q22_idle_customers(str(tmp_path), num_buckets=8)))
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.sql(f"CREATE VIEW {t} AS FROM '{tmp_path}/{t}.parquet'")
+    want = canon(con.sql(entrymod.oracle_sql()["q22_idle_customers"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["n_customers"].sum() > 0  # non-degenerate
