@@ -152,7 +152,22 @@ def run_bench() -> dict:
         "turns": turns,
         "turns_per_sec": round(turns / headline, 1),
         "cold_sec": round(cold, 3),
+        # single-process busy-loop iters/sec measured in THIS run: this
+        # sandbox host's per-core throughput swings up to ~6-7x between
+        # sessions (frequency caps / noisy neighbors), so absolute walls
+        # are only comparable across rounds after dividing by this
+        # calibration (healthy sessions measure ~25-35M; see BASELINE.md
+        # "Host-state calibration").
+        "calib_iters_per_sec": _calib_single(),
     }
+
+
+def _calib_single(seconds: float = 1.0) -> float:
+    """Single-process busy-loop iterations/sec (same ``_burn`` kernel the
+    --scaling calibration uses) — a host-speed yardstick embedded in
+    every bench JSON so cross-session comparisons can be normalized for
+    this box's large frequency swings."""
+    return round(_burn(seconds) / seconds / 1e6, 2) * 1e6
 
 
 # The N vs 4N pair. N=4 (not 8): a raw-CPU calibration of this box shows
