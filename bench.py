@@ -300,10 +300,24 @@ def run_scaling() -> dict:
     return report
 
 
+_BASELINE_KEEP_MARKER = "## Reproducibility re-runs"
+
+
 def _write_baseline_md(r: dict) -> None:
+    """Rewrite the auto-generated headline block of BENCH/BASELINE.md but
+    PRESERVE everything from the reproducibility-re-runs section down —
+    that history (hand-annotated host-noise bounds across sessions) must
+    survive a fresh --scaling run, not be clobbered by it."""
     lo, hi = r["cpus_lo"], r["cpus_hi"]
     os.makedirs("BENCH", exist_ok=True)
-    with open(os.path.join("BENCH", "BASELINE.md"), "w") as f:
+    path = os.path.join("BENCH", "BASELINE.md")
+    kept = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        idx = old.find(_BASELINE_KEEP_MARKER)
+        if idx >= 0:
+            kept = "\n" + old[idx:]
+    with open(path, "w") as f:
         f.write(
             "# BENCH baseline — two-parallelism scaling evidence\n\n"
             "Identical flagship extraction job (bench-tier transcript fixture, "
@@ -340,6 +354,8 @@ def _write_baseline_md(r: dict) -> None:
             "(each node of a real N->4N cluster has its own); the "
             "engine's efficiency should be read against it.\n"
         )
+        if kept:
+            f.write(kept)
 
 
 if __name__ == "__main__":
