@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": textstats.gopher_rules,
         "lm_score_buckets": textstats.lm_score_buckets,
         "bm25_topk": textstats.bm25_topk,
+        "curate_documents": textstats.curate_documents,
         "lang_id": textstats.lang_id,
         "lang_id_accuracy": textstats.lang_id_accuracy,
         "bpe_token_counts": textstats.bpe_token_counts,
@@ -933,6 +934,33 @@ def oracle_sql() -> dict[str, str]:
                         AND (10 * n_sym <= n_words)
                         AND (n_stop >= 2) AS BIGINT) AS gopher_pass
             FROM w
+        """,
+        "curate_documents": f"""
+            WITH w AS (
+              SELECT doc_id, lang, text,
+                     len(string_split(text, ' ')) AS n_words,
+                     length(text) - (len(string_split(text, ' ')) - 1)
+                       AS sum_wlen,
+                     len(list_filter(string_split(text, ' '),
+                         x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+                     length(regexp_extract_all(text, '#'))
+                       + length(regexp_extract_all(text, '\\.\\.\\.'))
+                       AS n_sym,
+                     {gopher_stop_sql} AS n_stop
+              FROM documents),
+            ok AS (
+              SELECT doc_id, text, CAST(n_words AS BIGINT) AS n_words
+              FROM w
+              WHERE lang = 'en'
+                AND n_words BETWEEN 50 AND 100000
+                AND 3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words
+                AND 5 * n_alpha >= 4 * n_words
+                AND 10 * n_sym <= n_words
+                AND n_stop >= 2)
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+                   CAST(min(n_words) AS BIGINT) AS n_words,
+                   CAST(count(*) AS BIGINT) AS n_dups
+            FROM ok GROUP BY text
         """,
         "lm_score_buckets": """
             WITH words AS (

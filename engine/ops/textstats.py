@@ -875,83 +875,89 @@ def gopher_rules(sf_dir: str) -> ray.data.Dataset:
     tautologies rather than tested code."""
 
     def score(batch: pa.Table) -> pa.Table:
-        text = batch["text"]
-        n_words = pc.add(pc.count_substring(text, " "), 1)
-        n_words64 = pc.cast(n_words, pa.int64())
-        sum_wlen = pc.subtract(
-            pc.cast(pc.utf8_length(text), pa.int64()),
-            pc.subtract(n_words64, 1),
-        )
-        # words containing at least one ASCII letter (RE2, no lookahead)
-        n_alpha = pc.cast(
-            pc.count_substring_regex(text, r"(^| )[^ ]*[A-Za-z]"), pa.int64()
-        )
-        n_sym = None
-        for s in GOPHER_SYMBOLS:
-            c = pc.cast(pc.count_substring_regex(text, s), pa.int64())
-            n_sym = c if n_sym is None else pc.add(n_sym, c)
-        n_stop = None
-        for w in GOPHER_STOPWORDS:
-            present = pc.cast(
-                pc.greater(pc.count_substring_regex(text, rf"\b{w}\b"), 0),
-                pa.int64(),
-            )
-            n_stop = present if n_stop is None else pc.add(n_stop, present)
-
-        i1 = lambda b: pc.cast(b, pa.int64())
-        wc_ok = i1(
-            pc.and_(
-                pc.greater_equal(n_words64, GOPHER_MIN_WORDS),
-                pc.less_equal(n_words64, GOPHER_MAX_WORDS),
-            )
-        )
-        mwl_ok = i1(
-            pc.and_(
-                pc.less_equal(
-                    pc.multiply(pa.scalar(GOPHER_MIN_MEAN_WLEN), n_words64),
-                    sum_wlen,
-                ),
-                pc.less_equal(
-                    sum_wlen,
-                    pc.multiply(pa.scalar(GOPHER_MAX_MEAN_WLEN), n_words64),
-                ),
-            )
-        )
-        # >= 80% of words contain a letter: 5 * n_alpha >= 4 * n_words
-        alpha_ok = i1(
-            pc.greater_equal(
-                pc.multiply(pa.scalar(5), n_alpha),
-                pc.multiply(pa.scalar(4), n_words64),
-            )
-        )
-        # symbol-to-word ratio <= 0.1: 10 * n_sym <= n_words
-        sym_ok = i1(
-            pc.less_equal(pc.multiply(pa.scalar(10), n_sym), n_words64)
-        )
-        stop_ok = i1(pc.greater_equal(n_stop, GOPHER_MIN_STOPWORDS))
-        passes = i1(
-            pc.equal(
-                pc.add(pc.add(pc.add(pc.add(wc_ok, mwl_ok), alpha_ok), sym_ok),
-                       stop_ok),
-                5,
-            )
-        )
+        cols = gopher_columns(batch["text"])
         return pa.table(
-            {
-                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
-                "n_words": n_words64,
-                "wc_ok": wc_ok,
-                "mwl_ok": mwl_ok,
-                "alpha_ok": alpha_ok,
-                "sym_ok": sym_ok,
-                "stop_ok": stop_ok,
-                "gopher_pass": passes,
-            }
+            {"doc_id": pc.cast(batch["doc_id"], pa.int64()), **cols}
         )
 
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def gopher_columns(text) -> dict:
+    """The five Gopher gates as Arrow columns — ONE shared kernel used
+    by both ``gopher_rules`` and the ``curate_documents`` funnel, per
+    the parity-kernel discipline (SURVEY M8)."""
+    n_words = pc.add(pc.count_substring(text, " "), 1)
+    n_words64 = pc.cast(n_words, pa.int64())
+    sum_wlen = pc.subtract(
+        pc.cast(pc.utf8_length(text), pa.int64()),
+        pc.subtract(n_words64, 1),
+    )
+    # words containing at least one ASCII letter (RE2, no lookahead)
+    n_alpha = pc.cast(
+        pc.count_substring_regex(text, r"(^| )[^ ]*[A-Za-z]"), pa.int64()
+    )
+    n_sym = None
+    for s in GOPHER_SYMBOLS:
+        c = pc.cast(pc.count_substring_regex(text, s), pa.int64())
+        n_sym = c if n_sym is None else pc.add(n_sym, c)
+    n_stop = None
+    for w in GOPHER_STOPWORDS:
+        present = pc.cast(
+            pc.greater(pc.count_substring_regex(text, rf"\b{w}\b"), 0),
+            pa.int64(),
+        )
+        n_stop = present if n_stop is None else pc.add(n_stop, present)
+
+    i1 = lambda b: pc.cast(b, pa.int64())
+    wc_ok = i1(
+        pc.and_(
+            pc.greater_equal(n_words64, GOPHER_MIN_WORDS),
+            pc.less_equal(n_words64, GOPHER_MAX_WORDS),
+        )
+    )
+    mwl_ok = i1(
+        pc.and_(
+            pc.less_equal(
+                pc.multiply(pa.scalar(GOPHER_MIN_MEAN_WLEN), n_words64),
+                sum_wlen,
+            ),
+            pc.less_equal(
+                sum_wlen,
+                pc.multiply(pa.scalar(GOPHER_MAX_MEAN_WLEN), n_words64),
+            ),
+        )
+    )
+    # >= 80% of words contain a letter: 5 * n_alpha >= 4 * n_words
+    alpha_ok = i1(
+        pc.greater_equal(
+            pc.multiply(pa.scalar(5), n_alpha),
+            pc.multiply(pa.scalar(4), n_words64),
+        )
+    )
+    # symbol-to-word ratio <= 0.1: 10 * n_sym <= n_words
+    sym_ok = i1(
+        pc.less_equal(pc.multiply(pa.scalar(10), n_sym), n_words64)
+    )
+    stop_ok = i1(pc.greater_equal(n_stop, GOPHER_MIN_STOPWORDS))
+    passes = i1(
+        pc.equal(
+            pc.add(pc.add(pc.add(pc.add(wc_ok, mwl_ok), alpha_ok), sym_ok),
+                   stop_ok),
+            5,
+        )
+    )
+    return {
+        "n_words": n_words64,
+        "wc_ok": wc_ok,
+        "mwl_ok": mwl_ok,
+        "alpha_ok": alpha_ok,
+        "sym_ok": sym_ok,
+        "stop_ok": stop_ok,
+        "gopher_pass": passes,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -1128,3 +1134,60 @@ def bm25_topk(sf_dir: str, k: int = BM25_K) -> "pd.DataFrame":
             "rank": partials["rank"],
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation funnel: quality gates -> lang filter -> exact dedup
+# ---------------------------------------------------------------------------
+
+CURATE_LANG = "en"
+
+
+def curate_documents(sf_dir: str) -> ray.data.Dataset:
+    """The full curation funnel as ONE streaming plan — the composition
+    a training-data pipeline actually runs: Gopher quality gates AND a
+    language filter applied per batch (rows drop before any shuffle),
+    then exact dedup keeping the lowest doc_id per distinct text via
+    the hash-only shuffle + NATIVE Min/Count aggregate (the dedup_exact
+    discipline: the shuffle moves (h1, h2, doc_id, n_words) integer
+    rows, never text; no per-group Python).
+
+    Output: one row per surviving distinct text —
+    (doc_id, n_words, n_dups)."""
+    from pandas.util import hash_array
+    from ray.data.aggregate import Count, Min
+
+    def gate(batch: pa.Table) -> pa.Table:
+        cols = gopher_columns(batch["text"])
+        keep = pc.and_(
+            pc.equal(cols["gopher_pass"], 1),
+            pc.equal(batch["lang"], CURATE_LANG),
+        )
+        t = batch.append_column("n_words", cols["n_words"]).filter(keep)
+        if t.num_rows == 0:
+            return pa.table(
+                {"h1": pa.array([], pa.int64()), "h2": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "n_words": pa.array([], pa.int64())}
+            )
+        texts = np.asarray(t["text"].to_pylist(), dtype=object)
+        h1 = hash_array(texts, hash_key="engine-curate-k1").view(np.int64)
+        h2 = hash_array(texts, hash_key="engine-curate-k2").view(np.int64)
+        return pa.table(
+            {
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_words": t["n_words"],
+            }
+        )
+
+    ds = _read_documents(sf_dir, ["doc_id", "text", "lang"])
+    gated = ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+    agg = gated.groupby(["h1", "h2"]).aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        # n_words is a function of the text, hence constant per group
+        Min("n_words", alias_name="n_words"),
+        Count(alias_name="n_dups"),
+    )
+    return agg.select_columns(["doc_id", "n_words", "n_dups"])

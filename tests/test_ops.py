@@ -66,7 +66,7 @@ SQL_CHECKED = [
     "cohort_retention", "q8_market_share", "hourly_active_users",
     "q9_nation_profit", "q12_late_shipments", "q15_top_supplier",
     "q16_supplier_counts", "q17_small_qty_revenue", "q22_idle_customers",
-    "gopher_rules", "lm_score_buckets", "bm25_topk",
+    "gopher_rules", "lm_score_buckets", "bm25_topk", "curate_documents",
 ]
 
 
@@ -1239,3 +1239,37 @@ def test_q22_random_matches_duckdb(tmp_path):
     want = canon(con.sql(entrymod.oracle_sql()["q22_idle_customers"]).df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert got["n_customers"].sum() > 0  # non-degenerate
+
+
+def test_curate_documents_merges_duplicates(tmp_path):
+    """The funnel's dedup leg (absent from the fixture, which has no
+    exact text dups): duplicate passing texts merge to min doc_id with
+    the right n_dups; failing/foreign-language twins never merge in."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+    from engine.ops.textstats import curate_documents
+
+    good = "the and of a to in " + "word " * 60   # passes all gates
+    tab = pa.table(
+        {
+            "doc_id": pa.array([5, 3, 9, 11, 12], pa.int64()),
+            "text": pa.array(
+                [good, good, good,          # 3 duplicates, min id 3
+                 good + "unique tail",      # distinct passing text
+                 good],                     # duplicate but lang != en
+                pa.string(),
+            ),
+            "lang": pa.array(["en", "en", "en", "en", "fr"], pa.string()),
+        }
+    )
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    got = canon(curate_documents(str(tmp_path)).to_pandas())
+    con = __import__("duckdb").connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{tmp_path}/documents.parquet'")
+    want = canon(con.sql(entrymod.oracle_sql()["curate_documents"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    by_id = got.set_index("doc_id")
+    assert by_id.loc[3, "n_dups"] == 3   # 5, 3, 9 merged to min id 3
+    assert by_id.loc[11, "n_dups"] == 1
+    assert 12 not in by_id.index         # fr twin filtered, not merged
