@@ -1006,6 +1006,8 @@ def lm_score_buckets(sf_dir: str) -> ray.data.Dataset:
     counts = hist["n"].to_numpy()
     values = hist["score"].to_numpy()
     n = int(counts.sum())
+    if n == 0:  # empty corpus: nothing to bucket
+        return scored
     cum = np.cumsum(counts)
     # value at ascending rank ceil(n/3): first score whose cumulative
     # count reaches the rank (3*rank >= n <=> rank >= ceil(n/3))

@@ -111,6 +111,17 @@ def q15_top_supplier(sf_dir: str):
         .materialize()
     )
     best = rev.max("total_rev_e4")
+    if best is None:  # empty quarter: pin the output schema
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "s_suppkey": pd.Series([], dtype=np.int64),
+                "s_name": pd.Series([], dtype=object),
+                "acctbal_cents": pd.Series([], dtype=np.int64),
+                "total_rev_e4": pd.Series([], dtype=np.int64),
+            }
+        )
     top = rev.filter(expr=f"total_rev_e4 == {int(best)}")
 
     supp = pq.read_table(
@@ -573,6 +584,13 @@ def q9_nation_profit(sf_dir: str):
         nat = _probe_i64(
             sk, sn, t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         )
+        # inner-join semantics: a suppkey missing from supplier drops the
+        # row (matches the oracle's JOIN), it does not emit nation ""
+        hit = nat >= 0
+        if not hit.all():
+            t, unit, nat = t.filter(pa.array(hit)), unit[hit], nat[hit]
+        if t.num_rows == 0:
+            return empty
         cents = _fixed_point(t["l_extendedprice"], 100).to_numpy(zero_copy_only=False)
         disc = _fixed_point(t["l_discount"], 100).to_numpy(zero_copy_only=False)
         qty = _fixed_point(t["l_quantity"], 1).to_numpy(zero_copy_only=False)
