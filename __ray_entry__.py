@@ -1003,9 +1003,12 @@ def oracle_sql() -> dict[str, str]:
             df AS (SELECT word, count(DISTINCT doc_id) AS df FROM ww
                    WHERE word IN ({bm25_terms_sql}) GROUP BY 1),
             sc AS (
+              -- HUGEINT: 44*l*tf*1e9 exceeds BIGINT once l*tf ~ 2.1e8;
+              -- the engine computes the same formula in Python big ints
               SELECT t.doc_id,
-                     sum((44 * l * tf * 1000000000)
-                         // ((20 * l * tf + 6 * l + 18 * d.dl * n) * f.df))
+                     sum((44 * CAST(l AS HUGEINT) * tf * 1000000000)
+                         // ((20 * CAST(l AS HUGEINT) * tf + 6 * l
+                              + 18 * CAST(d.dl AS HUGEINT) * n) * f.df))
                        AS score_e9
               FROM tf t JOIN d USING (doc_id)
               JOIN df f ON t.word = f.word CROSS JOIN st

@@ -167,7 +167,7 @@ def _calib_single(seconds: float = 1.0) -> float:
     --scaling calibration uses) — a host-speed yardstick embedded in
     every bench JSON so cross-session comparisons can be normalized for
     this box's large frequency swings."""
-    return round(_burn(seconds) / seconds / 1e6, 2) * 1e6
+    return int(round(_burn(seconds) / seconds, -4))
 
 
 # The N vs 4N pair. N=4 (not 8): a raw-CPU calibration of this box shows

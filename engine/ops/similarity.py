@@ -599,29 +599,36 @@ def kmeans_embeddings(
     the stream against frozen centroids."""
     centroids, ds = kmeans_train_exact(sf_dir, k, iters)
     final_ref = ray.put(centroids)
-
-    class Assign:
-        def __init__(self, ref):
-            self._c = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            xm = quantize_micro(emb_matrix(batch["embedding"]))
-            labels = kmeans_assign(xm, self._c)
-            return pa.table(
-                {
-                    "vec_id": batch["vec_id"],
-                    "cluster": pa.array(labels, pa.int32()),
-                }
-            )
-
     return ds.map_batches(
-        Assign,
-        fn_constructor_args=(final_ref,),
+        _AssignClusters,
+        fn_constructor_args=(final_ref, False),
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=pool_size(),
         num_cpus=1,
     )
+
+
+class _AssignClusters:
+    """Actor: label a stream against frozen centroids (fetched once per
+    actor). ``keep_embedding=True`` carries the vector column through —
+    the one shared assignment kernel for ``kmeans_embeddings`` and
+    ``semdedup``."""
+
+    def __init__(self, ref, keep_embedding: bool):
+        self._c = ray.get(ref)
+        self._keep = keep_embedding
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        xm = quantize_micro(emb_matrix(batch["embedding"]))
+        labels = kmeans_assign(xm, self._c)
+        cols = {
+            "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+            "cluster": pa.array(labels, pa.int32()),
+        }
+        if self._keep:
+            cols["embedding"] = batch["embedding"]
+        return pa.table(cols)
 
 
 DIVERSE_K_PER_CLUSTER = 8
@@ -715,24 +722,9 @@ def semdedup(
     centroids, ds = kmeans_train_exact(sf_dir, k, iters)
     final_ref = ray.put(centroids)
 
-    class AssignKeep:
-        def __init__(self, ref):
-            self._c = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            xm = quantize_micro(emb_matrix(batch["embedding"]))
-            labels = kmeans_assign(xm, self._c)
-            return pa.table(
-                {
-                    "vec_id": pc.cast(batch["vec_id"], pa.int64()),
-                    "cluster": pa.array(labels, pa.int32()),
-                    "embedding": batch["embedding"],
-                }
-            )
-
     assigned = ds.map_batches(
-        AssignKeep,
-        fn_constructor_args=(final_ref,),
+        _AssignClusters,
+        fn_constructor_args=(final_ref, True),
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=pool_size(),

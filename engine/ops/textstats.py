@@ -1006,8 +1006,16 @@ def lm_score_buckets(sf_dir: str) -> ray.data.Dataset:
     counts = hist["n"].to_numpy()
     values = hist["score"].to_numpy()
     n = int(counts.sum())
-    if n == 0:  # empty corpus: nothing to bucket
-        return scored
+    if n == 0:  # empty corpus: empty result with the NORMAL schema
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "score": pd.Series([], dtype=np.int64),
+                "bucket": pd.Series([], dtype=object),
+            }
+        )
     cum = np.cumsum(counts)
     # value at ascending rank ceil(n/3): first score whose cumulative
     # count reaches the rank (3*rank >= n <=> rank >= ceil(n/3))
@@ -1100,6 +1108,11 @@ def bm25_topk(sf_dir: str, k: int = BM25_K) -> "pd.DataFrame":
 
     def score_partial(batch: pa.Table) -> pa.Table:
         dl, tfs = _word_stats(batch, terms)
+        if dl.size == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "score_e9": pa.array([], pa.int64())}
+            )
         score = np.zeros(len(dl), dtype=np.int64)
         # keep = "contains any query term" (NOT score > 0): the SQL
         # oracle's tf-join keeps a doc even when its score floors to 0
@@ -1108,9 +1121,29 @@ def bm25_topk(sf_dir: str, k: int = BM25_K) -> "pd.DataFrame":
             if df[t] == 0:
                 continue
             keep |= tf > 0
-            num = 44 * big_l * tf * 1_000_000_000
-            den = (20 * big_l * tf + 6 * big_l + 18 * dl * n_corpus) * df[t]
-            score += np.where(tf > 0, num // np.maximum(den, 1), 0)
+            # Exact ARBITRARY-PRECISION scoring: 44*L*tf*1e9 exceeds
+            # int64 once L*tf passes ~2.1e8 (numpy would wrap silently),
+            # so the per-term score is computed with Python big ints on
+            # the DISTINCT (tf, dl) combos of the batch (bounded by the
+            # tf x dl value range, not the row count) and scattered
+            # back; the oracle runs the same formula in HUGEINT.
+            packed = tf.astype(np.int64) * (dl.max() + 1) + dl
+            uniq, inv = np.unique(packed, return_inverse=True)
+            base = int(dl.max() + 1)
+            per_uniq = np.array(
+                [
+                    (44 * big_l * int(u // base) * 1_000_000_000)
+                    // max(
+                        (20 * big_l * int(u // base) + 6 * big_l
+                         + 18 * int(u % base) * n_corpus) * df[t],
+                        1,
+                    )
+                    if (u // base) > 0 else 0
+                    for u in uniq
+                ],
+                dtype=np.int64,
+            )
+            score += per_uniq[inv]
         doc_id = pc.cast(batch["doc_id"], pa.int64()).to_numpy(
             zero_copy_only=False
         )[keep]

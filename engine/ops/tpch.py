@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 from .._rayutil import ensure_serializable
 from .relational import _fixed_point, _read
@@ -144,17 +144,21 @@ def q15_top_supplier(sf_dir: str):
     def attach(batch: pa.Table) -> pa.Table:
         keys, names, cents = ray.get(side)
         k = batch["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.clip(np.searchsorted(keys, k), 0, max(keys.size - 1, 0))
-        hit = keys[pos] == k
+        # inner-join semantics: an unmatched suppkey DROPS (matches the
+        # oracle's JOIN supplier), never emits a blank left-join row
+        if keys.size == 0:
+            hit = np.zeros(k.shape, dtype=bool)
+            pos = np.zeros(k.shape, dtype=np.int64)
+        else:
+            pos = np.clip(np.searchsorted(keys, k), 0, keys.size - 1)
+            hit = keys[pos] == k
+        k, pos = k[hit], pos[hit]
         return pa.table(
             {
                 "s_suppkey": pa.array(k),
-                "s_name": pa.array(
-                    [str(names[p]) if h else "" for p, h in zip(pos, hit)],
-                    pa.string(),
-                ),
-                "acctbal_cents": pa.array(np.where(hit, cents[pos], 0)),
-                "total_rev_e4": batch["total_rev_e4"],
+                "s_name": pa.array([str(names[p]) for p in pos], pa.string()),
+                "acctbal_cents": pa.array(cents[pos]),
+                "total_rev_e4": batch["total_rev_e4"].filter(pa.array(hit)),
             }
         )
 
@@ -408,6 +412,10 @@ def q22_idle_customers(sf_dir: str, num_buckets: int | None = None):
         num_buckets = default_num_buckets()
     ensure_serializable()
 
+    # customer streams TWICE (stats pass, then the anti-join pass) by
+    # CHOICE: customer is fact-sized at 100 TB, so two streaming scans
+    # beat pinning the whole table in the object store (materialize is
+    # for iterative algorithms over the SMALLER side, kmeans-style)
     cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
     cust = _read(sf_dir, "customer", columns=cust_cols)
 
@@ -624,11 +632,18 @@ def q9_nation_profit(sf_dir: str):
 
     def finalize(batch: pa.Table) -> pa.Table:
         nat = batch["nation"].to_numpy(zero_copy_only=False)
+        # inner-join semantics for the nation hop too: a nationkey
+        # missing from nation.parquet drops the row like the oracle's
+        # JOIN nation, it does not emit n_name = ""
+        hit = np.array([int(x) in nmap for x in nat], dtype=bool)
+        t = batch.filter(pa.array(hit))
         return pa.table(
             {
-                "n_name": pa.array([nmap.get(int(x), "") for x in nat], pa.string()),
-                "l_year": batch["l_year"],
-                "profit_e4": batch["profit_e4"],
+                "n_name": pa.array(
+                    [nmap[int(x)] for x in nat[hit]], pa.string()
+                ),
+                "l_year": t["l_year"],
+                "profit_e4": t["profit_e4"],
             }
         )
 

@@ -1273,3 +1273,27 @@ def test_curate_documents_merges_duplicates(tmp_path):
     assert by_id.loc[3, "n_dups"] == 3   # 5, 3, 9 merged to min id 3
     assert by_id.loc[11, "n_dups"] == 1
     assert 12 not in by_id.index         # fr twin filtered, not merged
+
+
+def test_bm25_exact_beyond_int64(tmp_path):
+    """Corpus sized so 44*L*tf*1e9 exceeds int64 (L*tf > 2.1e8): the
+    engine's big-int path must match the oracle's HUGEINT arithmetic —
+    a naive numpy int64 product would wrap negative here."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+    from engine.ops.textstats import bm25_topk
+
+    filler = "word " * 99_999 + "word"        # 100k words, no query terms
+    texts = ["join " * 299 + "join"] + [filler] * 10   # L ~ 1.0003e6
+    tab = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    got = canon(bm25_topk(str(tmp_path)))
+    con = __import__("duckdb").connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{tmp_path}/documents.parquet'")
+    want = canon(con.sql(entrymod.oracle_sql()["bm25_topk"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) == 1 and int(got["score_e9"].iloc[0]) > 0
