@@ -935,6 +935,29 @@ def oracle_sql() -> dict[str, str]:
                         AND (n_stop >= 2) AS BIGINT) AS gopher_pass
             FROM w
         """,
+        "rolling_fingerprint": """
+            -- exact Horner-mod-(2^61-1) in HUGEINT over per-char
+            -- codepoints; the engine hashes UTF-8 BYTES, identical for
+            -- this all-ASCII corpus (byte == codepoint) — the big-int
+            -- property test covers the modular math independently
+            WITH b AS (
+              SELECT doc_id,
+                     list_transform(range(length(text)), i ->
+                       CAST(unicode(substr(text, CAST(i + 1 AS INT), 1))
+                            AS HUGEINT)) AS bs
+              FROM documents)
+            SELECT doc_id,
+              CAST(CASE WHEN len(bs) < 8 THEN
+                COALESCE(list_reduce(bs,
+                  (a, x) -> (a * 256 + x) % 2305843009213693951), 0)
+              ELSE
+                list_min(list_transform(range(len(bs) - 7), p ->
+                  list_reduce(
+                    list_slice(bs, CAST(p + 1 AS INT), CAST(p + 8 AS INT)),
+                    (a, x) -> (a * 257 + x) % 2305843009213693951)))
+              END AS BIGINT) AS roll_fp
+            FROM b
+        """,
         "curate_documents": f"""
             WITH w AS (
               SELECT doc_id, lang, text,

@@ -304,8 +304,9 @@ def rolling_fingerprint(sf_dir: str) -> ray.data.Dataset:
     modular reduction per step — the naive sum-of-products overflows
     int64 at 255*257^7 ~ 1.9e19; property-tested against a pure-Python
     big-int oracle in tests/test_ops.py). A winnowing-style content
-    signature; robust to appends, unlike md5. Not SQL-expressible ->
-    rows-only check."""
+    signature; robust to appends, unlike md5. Oracle-checked: DuckDB
+    runs the same Horner fold in HUGEINT via list_reduce (codepoint ==
+    byte on the all-ASCII corpus; the engine hashes true UTF-8 bytes)."""
 
     def fp(batch: pa.Table) -> pa.Table:
         out = []
