@@ -429,6 +429,61 @@ def oracle_sql() -> dict[str, str]:
     )
     bm25_terms_sql = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
 
+    def kmeans_sql(k: int, iters: int) -> str:
+        """Unrolled Lloyd's in SQL — possible ONLY because the engine's
+        k-means keeps exact integer state (micro-quantized vectors,
+        int64 sums, deterministic rounding): each CTE stage replicates
+        assign (expanded ||x-c||^2 in BIGINT, ties to lowest cluster)
+        and update (round-half-away centroid on the micro grid,
+        empty clusters keep the previous centroid) bit for bit."""
+        quant = ("CAST(sign(e) * floor(abs(CAST(e AS DOUBLE)) * 1000000"
+                 " + 0.5) AS BIGINT)")
+        parts = [f"""
+            v AS (
+              SELECT vec_id, CAST(i AS INT) AS dim, {quant} AS m
+              FROM (SELECT vec_id, unnest(embedding) AS e,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings)),
+            c0 AS (SELECT CAST(vec_id AS INT) AS cluster, dim, m
+                   FROM v WHERE vec_id < {k})"""]
+        upd = ("CAST(sign(s.s) * floor(abs(CAST(s.s AS DOUBLE) / s.cnt"
+               " / 1000000) * 1000000 + 0.5) AS BIGINT)")
+        for i in range(1, iters + 1):
+            p = i - 1
+            parts.append(f"""
+            n{i} AS (SELECT cluster, sum(m * m) AS nrm
+                     FROM c{p} GROUP BY cluster),
+            d{i} AS (SELECT v.vec_id, c.cluster, sum(v.m * c.m) AS dot
+                     FROM v JOIN c{p} c USING (dim) GROUP BY 1, 2),
+            a{i} AS (SELECT vec_id, cluster FROM (
+                       SELECT d.vec_id, d.cluster,
+                              row_number() OVER (PARTITION BY d.vec_id
+                                ORDER BY (-2 * d.dot + n.nrm), d.cluster)
+                                AS rn
+                       FROM d{i} d JOIN n{i} n USING (cluster))
+                     WHERE rn = 1),
+            s{i} AS (SELECT a.cluster, v.dim, sum(v.m) AS s,
+                            count(*) AS cnt
+                     FROM a{i} a JOIN v USING (vec_id) GROUP BY 1, 2),
+            c{i} AS (SELECT p.cluster, p.dim,
+                            CASE WHEN s.cnt IS NULL THEN p.m
+                                 ELSE {upd} END AS m
+                     FROM c{p} p LEFT JOIN s{i} s USING (cluster, dim))""")
+        f = iters + 1
+        parts.append(f"""
+            n{f} AS (SELECT cluster, sum(m * m) AS nrm
+                     FROM c{iters} GROUP BY cluster),
+            d{f} AS (SELECT v.vec_id, c.cluster, sum(v.m * c.m) AS dot
+                     FROM v JOIN c{iters} c USING (dim) GROUP BY 1, 2)""")
+        return ("WITH " + ",".join(parts) + f"""
+            SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM (
+              SELECT d.vec_id, d.cluster,
+                     row_number() OVER (PARTITION BY d.vec_id
+                       ORDER BY (-2 * d.dot + n.nrm), d.cluster) AS rn
+              FROM d{f} d JOIN n{f} n USING (cluster)) WHERE rn = 1""")
+
+    from engine.ops.similarity import KMEANS_ITERS, KMEANS_K
+
     lang_id_sql = f"""
             SELECT doc_id,
                    CASE WHEN score_zh > 0 THEN 'zh'
@@ -935,6 +990,7 @@ def oracle_sql() -> dict[str, str]:
                         AND (n_stop >= 2) AS BIGINT) AS gopher_pass
             FROM w
         """,
+        "kmeans_embeddings": kmeans_sql(KMEANS_K, KMEANS_ITERS),
         "rolling_fingerprint": """
             -- exact Horner-mod-(2^61-1) in HUGEINT over per-char
             -- codepoints; the engine hashes UTF-8 BYTES, identical for
