@@ -482,7 +482,25 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY (-2 * d.dot + n.nrm), d.cluster) AS rn
               FROM d{f} d JOIN n{f} n USING (cluster)) WHERE rn = 1""")
 
-    from engine.ops.similarity import KMEANS_ITERS, KMEANS_K
+    from engine.ops.similarity import (
+        DIVERSE_K_PER_CLUSTER, KMEANS_ITERS, KMEANS_K,
+    )
+    from engine.ops.sketches import _INC, _MOD, _MULT
+
+    _KMEANS_SQL = kmeans_sql(KMEANS_K, KMEANS_ITERS)
+    # bottom-k-by-hash per k-means cluster on top of the unrolled-Lloyd
+    # CTE — same Knuth hash as sample_events, same (hash, vec_id) order
+    # as sketches._bottom_k_per_group
+    _DIVERSE_SQL = f"""
+        WITH assign AS ({_KMEANS_SQL})
+        SELECT vec_id, cluster FROM (
+          SELECT vec_id, cluster,
+                 row_number() OVER (PARTITION BY cluster
+                   ORDER BY (vec_id * {_MULT} + {_INC}) % {_MOD}, vec_id)
+                   AS rn
+          FROM assign)
+        WHERE rn <= {DIVERSE_K_PER_CLUSTER}
+    """
 
     lang_id_sql = f"""
             SELECT doc_id,
@@ -990,7 +1008,8 @@ def oracle_sql() -> dict[str, str]:
                         AND (n_stop >= 2) AS BIGINT) AS gopher_pass
             FROM w
         """,
-        "kmeans_embeddings": kmeans_sql(KMEANS_K, KMEANS_ITERS),
+        "kmeans_embeddings": _KMEANS_SQL,
+        "diverse_sample": _DIVERSE_SQL,
         "rolling_fingerprint": """
             -- exact Horner-mod-(2^61-1) in HUGEINT over per-char
             -- codepoints; the engine hashes UTF-8 BYTES, identical for
