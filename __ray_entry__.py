@@ -484,6 +484,7 @@ def oracle_sql() -> dict[str, str]:
 
     from engine.ops.similarity import (
         DIVERSE_K_PER_CLUSTER, KMEANS_ITERS, KMEANS_K,
+        SEMDEDUP_THRESHOLD as _SEMDEDUP_THRESHOLD,
     )
     from engine.ops.sketches import _INC, _MOD, _MULT
 
@@ -1010,6 +1011,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_embeddings": _KMEANS_SQL,
         "diverse_sample": _DIVERSE_SQL,
+        # semdedup on top of the unrolled-Lloyd CTE: same-cluster cosine
+        # pairs (round-6 like dedup_embedding) + the dedup_clusters
+        # transitive-closure idiom, keep = component-min vec_id.
+        # MATERIALIZED: without it DuckDB re-inlines the Lloyd CTE per
+        # reference and the query blows past minutes.
+        "semdedup": f"""
+            WITH RECURSIVE assign AS MATERIALIZED ({_KMEANS_SQL}),
+            sims AS MATERIALIZED (
+              SELECT a.vec_id AS u, b.vec_id AS v
+              FROM assign a JOIN assign b
+                ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+              JOIN embeddings ea ON ea.vec_id = a.vec_id
+              JOIN embeddings eb ON eb.vec_id = b.vec_id
+              WHERE round(list_cosine_similarity(ea.embedding,
+                                                 eb.embedding), 6)
+                    >= {_SEMDEDUP_THRESHOLD}),
+            edges AS (SELECT u, v FROM sims UNION ALL SELECT v, u FROM sims),
+            reach AS (
+              SELECT vec_id AS node, vec_id AS label FROM assign
+              UNION
+              SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node),
+            labels AS (SELECT node, min(label) AS lab
+                       FROM reach GROUP BY node)
+            SELECT a.vec_id, a.cluster
+            FROM assign a JOIN labels l ON l.node = a.vec_id
+            WHERE l.lab = a.vec_id
+        """,
         "rolling_fingerprint": """
             -- exact Horner-mod-(2^61-1) in HUGEINT over per-char
             -- codepoints; the engine hashes UTF-8 BYTES, identical for

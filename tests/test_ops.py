@@ -68,6 +68,7 @@ SQL_CHECKED = [
     "q16_supplier_counts", "q17_small_qty_revenue", "q22_idle_customers",
     "gopher_rules", "lm_score_buckets", "bm25_topk", "curate_documents",
     "rolling_fingerprint", "kmeans_embeddings", "diverse_sample",
+    "semdedup",
 ]
 
 
@@ -99,7 +100,7 @@ def test_all_queries_have_oracle_or_are_documented():
         "image_metadata", "image_resize", "video_frame_sample",
         "audio_features", "approx_distinct_users", "heavy_hitter_words",
         "ewma_events_per_user", "image_phash_dedup",
-        "cms_word_counts", "semdedup",
+        "cms_word_counts",
     }
 
 
