@@ -134,6 +134,8 @@ def run_bench() -> dict:
         "redact_transcripts",
         "q12_late_shipments",
         "bm25_topk",
+        "curate_documents",
+        "semdedup",
     ):
         t0 = time.perf_counter()
         r = qs[name](sf_dir)
