@@ -1024,8 +1024,12 @@ def oracle_sql() -> dict[str, str]:
                 ON a.cluster = b.cluster AND a.vec_id < b.vec_id
               JOIN embeddings ea ON ea.vec_id = a.vec_id
               JOIN embeddings eb ON eb.vec_id = b.vec_id
-              WHERE round(list_cosine_similarity(ea.embedding,
-                                                 eb.embedding), 6)
+              -- DOUBLE[]: on FLOAT[] DuckDB computes a float32 cosine,
+              -- which can flip a round-6 threshold decision vs the
+              -- engine's float64 path
+              WHERE round(list_cosine_similarity(
+                      CAST(ea.embedding AS DOUBLE[]),
+                      CAST(eb.embedding AS DOUBLE[])), 6)
                     >= {_SEMDEDUP_THRESHOLD}),
             edges AS (SELECT u, v FROM sims UNION ALL SELECT v, u FROM sims),
             reach AS (
@@ -1050,7 +1054,8 @@ def oracle_sql() -> dict[str, str]:
                             AS HUGEINT)) AS bs
               FROM documents)
             SELECT doc_id,
-              CAST(CASE WHEN len(bs) < 8 THEN
+              CAST(CASE WHEN len(bs) = 0 THEN 0  -- list_reduce errors on []
+              WHEN len(bs) < 8 THEN
                 COALESCE(list_reduce(bs,
                   (a, x) -> (a * 256 + x) % 2305843009213693951), 0)
               ELSE

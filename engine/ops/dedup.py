@@ -97,6 +97,25 @@ def dup_corpus(sf_dir: str) -> ray.data.Dataset:
 # exact dedup
 # ---------------------------------------------------------------------------
 
+def text_hash128(col, key_prefix: str):
+    """128-bit content key as TWO independent fixed-key siphashes of a
+    string column (vectorized C loops; two independent 64-bit keys give
+    the same birthday bound as one 128-bit hash). ``key_prefix`` must be
+    15 chars — pandas requires EXACTLY 16-byte hash keys, enforced here
+    so a wrong-length key fails at definition time, not inside a Ray
+    worker. Shared by ``dedup_exact`` and ``textstats.curate_documents``."""
+    from pandas.util import hash_array
+
+    k1, k2 = f"{key_prefix}1", f"{key_prefix}2"
+    if len(k1) != 16:
+        raise ValueError(f"hash key prefix must be 15 chars, got {key_prefix!r}")
+    texts = np.asarray(col.to_pylist(), dtype=object)
+    return (
+        hash_array(texts, hash_key=k1).view(np.int64),
+        hash_array(texts, hash_key=k2).view(np.int64),
+    )
+
+
 def dedup_exact(sf_dir: str) -> ray.data.Dataset:
     """Keep min doc_id per distinct text; emit (doc_id, n_dups).
 
@@ -109,16 +128,12 @@ def dedup_exact(sf_dir: str) -> ray.data.Dataset:
     64-bit keys give the same birthday bound as one 128-bit hash), so
     the shuffle moves (h1, h2, doc_id) int64 triples — never the text
     itself."""
-    from pandas.util import hash_array
-
     from ray.data.aggregate import Count, Min
 
     ds = dup_corpus(sf_dir)
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        texts = np.asarray(batch["text"].to_pylist(), dtype=object)
-        h1 = hash_array(texts, hash_key="engine-dedupkey1").view(np.int64)
-        h2 = hash_array(texts, hash_key="engine-dedupkey2").view(np.int64)
+        h1, h2 = text_hash128(batch["text"], "engine-dedupkey")
         return pa.table(
             {"h1": pa.array(h1), "h2": pa.array(h2), "doc_id": batch["doc_id"]}
         )

@@ -550,6 +550,15 @@ def kmeans_train_exact(sf_dir: str, k: int, iters: int):
         columns=["vec_id", "embedding"],
         filters=[("vec_id", "<", k)],
     ).sort_by("vec_id")
+    # LOUD input contract (shared with the SQL oracle, which labels seed
+    # clusters BY vec_id): seeds are exactly vec_ids 0..k-1. A gappy id
+    # space would silently diverge the engine's positional labels from
+    # the oracle's — fail here instead.
+    if seed["vec_id"].to_pylist() != list(range(k)):
+        raise ValueError(
+            f"kmeans seed contract violated: need contiguous vec_ids "
+            f"0..{k - 1}, got {seed['vec_id'].to_pylist()}"
+        )
     centroids = quantize_micro(emb_matrix(seed["embedding"]))
 
     # materialize ONCE: an iterative algorithm re-reads its input every

@@ -1190,8 +1190,9 @@ def curate_documents(sf_dir: str) -> ray.data.Dataset:
 
     Output: one row per surviving distinct text —
     (doc_id, n_words, n_dups)."""
-    from pandas.util import hash_array
     from ray.data.aggregate import Count, Min
+
+    from .dedup import text_hash128
 
     def gate(batch: pa.Table) -> pa.Table:
         cols = gopher_columns(batch["text"])
@@ -1206,9 +1207,7 @@ def curate_documents(sf_dir: str) -> ray.data.Dataset:
                  "doc_id": pa.array([], pa.int64()),
                  "n_words": pa.array([], pa.int64())}
             )
-        texts = np.asarray(t["text"].to_pylist(), dtype=object)
-        h1 = hash_array(texts, hash_key="engine-curate-k1").view(np.int64)
-        h2 = hash_array(texts, hash_key="engine-curate-k2").view(np.int64)
+        h1, h2 = text_hash128(t["text"], "engine-curate-k")
         return pa.table(
             {
                 "h1": pa.array(h1),

@@ -145,13 +145,10 @@ def q15_top_supplier(sf_dir: str):
         keys, names, cents = ray.get(side)
         k = batch["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         # inner-join semantics: an unmatched suppkey DROPS (matches the
-        # oracle's JOIN supplier), never emits a blank left-join row
-        if keys.size == 0:
-            hit = np.zeros(k.shape, dtype=bool)
-            pos = np.zeros(k.shape, dtype=np.int64)
-        else:
-            pos = np.clip(np.searchsorted(keys, k), 0, keys.size - 1)
-            hit = keys[pos] == k
+        # oracle's JOIN supplier), never emits a blank left-join row.
+        # Probe POSITIONS through the shared broadcast-probe helper.
+        pos = _probe_i64(keys, np.arange(keys.size, dtype=np.int64), k)
+        hit = pos >= 0
         k, pos = k[hit], pos[hit]
         return pa.table(
             {
