@@ -644,7 +644,20 @@ def q9_nation_profit(sf_dir: str):
             }
         )
 
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    out = agg.map_batches(finalize, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        # an empty Ray aggregate drops its schema; pin it (|nations x
+        # years| rows — inherently tiny, so pandas is fine here)
+        import pandas as pd
+
+        out = pd.DataFrame(
+            {
+                "n_name": pd.Series([], dtype=object),
+                "l_year": pd.Series([], dtype=np.int64),
+                "profit_e4": pd.Series([], dtype=np.int64),
+            }
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------

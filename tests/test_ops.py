@@ -1299,3 +1299,75 @@ def test_bm25_exact_beyond_int64(tmp_path):
     want = canon(con.sql(entrymod.oracle_sql()["bm25_topk"]).df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert len(got) == 1 and int(got["score_e9"].iloc[0]) > 0
+
+
+def test_q9_q15_drop_dangling_foreign_keys(tmp_path):
+    """Inner-join parity on referentially-broken inputs: lineitems whose
+    suppkey/nationkey have no dimension row must DROP on both engines,
+    never emit blank left-join rows."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+    from engine.ops.tpch import q9_nation_profit, q15_top_supplier
+
+    ts = lambda s: np.datetime64(s, "us")
+    pq.write_table(pa.table(
+        {"p_partkey": pa.array([1], pa.int64()),
+         "p_name": pa.array(["blue widget"], pa.string()),
+         "p_retailprice": pa.array([10.0])}), str(tmp_path / "part.parquet"))
+    # supplier 1 exists with a dangling nationkey 99; supplier 2 absent
+    pq.write_table(pa.table(
+        {"s_suppkey": pa.array([1], pa.int64()),
+         "s_name": pa.array(["Supplier#1"], pa.string()),
+         "s_nationkey": pa.array([99], pa.int32()),
+         "s_acctbal": pa.array([5.0])}), str(tmp_path / "supplier.parquet"))
+    pq.write_table(pa.table(
+        {"n_nationkey": pa.array([0], pa.int32()),
+         "n_name": pa.array(["NATION_0"], pa.string())}),
+        str(tmp_path / "nation.parquet"))
+    pq.write_table(pa.table(
+        {"l_partkey": pa.array([1, 1], pa.int64()),
+         "l_suppkey": pa.array([1, 2], pa.int64()),
+         "l_quantity": pa.array([1.0, 1.0]),
+         "l_extendedprice": pa.array([100.0, 100.0]),
+         "l_discount": pa.array([0.0, 0.0]),
+         "l_shipdate": pa.array([ts("1996-02-01")] * 2)}),
+        str(tmp_path / "lineitem.parquet"))
+
+    con = __import__("duckdb").connect()
+    for t in ("part", "supplier", "nation", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS FROM '{tmp_path}/{t}.parquet'")
+
+    got9 = canon(_as_df(q9_nation_profit(str(tmp_path))))
+    want9 = canon(con.sql(entrymod.oracle_sql()["q9_nation_profit"]).df())
+    pd.testing.assert_frame_equal(got9, want9, check_dtype=False)
+    assert len(got9) == 0  # both lineitems dangle somewhere in the chain
+
+    got15 = canon(_as_df(q15_top_supplier(str(tmp_path))))
+    want15 = canon(con.sql(entrymod.oracle_sql()["q15_top_supplier"]).df())
+    pd.testing.assert_frame_equal(got15, want15, check_dtype=False)
+    # supplier 2's revenue row dangles; only supplier 1 can surface
+    assert set(got15["s_suppkey"]) <= {1}
+
+
+def test_kmeans_seed_contract_is_loud(tmp_path):
+    """A gappy vec_id space (no contiguous 0..k-1 seeds) must raise
+    loudly — silent positional/label divergence vs the SQL oracle is
+    the failure mode this contract exists to prevent."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+    from engine.ops.similarity import kmeans_train_exact
+
+    rng = np.random.default_rng(3)
+    ids = np.arange(0, 40, 2, dtype=np.int64)  # even ids only: gappy
+    emb = [rng.normal(size=8).astype(np.float32).tolist() for _ in ids]
+    pq.write_table(
+        pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(emb, pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    with _pytest.raises(ValueError, match="seed contract"):
+        kmeans_train_exact(str(tmp_path), k=8, iters=1)
