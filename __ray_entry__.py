@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
         "decontaminate_documents": dedup.decontaminate_documents,
         "dedup_incremental": dedup.dedup_incremental,
+        "dedup_lines": dedup.dedup_lines,
         # similarity search
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_ivf": similarity.knn_ivf,
@@ -520,6 +521,17 @@ def oracle_sql() -> dict[str, str]:
                      {marker_score("fr")} AS score_fr,
                      length(regexp_extract_all(text, '{CJK_PATTERN}')) AS score_zh
               FROM documents)
+    """
+
+    from engine.ops.dedup import LINE_HEADER, LINE_MIN_COUNT
+
+    line_corpus_sql = f"""
+              SELECT doc_id,
+                     '{LINE_HEADER}' || chr(10) || coalesce(text, '')
+                       || chr(10) || chr(10) ||
+                     CASE WHEN doc_id % 2 = 0 THEN 'source: ' || source
+                          ELSE 'ref: doc-' || doc_id END AS text
+              FROM documents
     """
 
     dup_corpus_sql = """
@@ -921,6 +933,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id FROM corpus c
             WHERE c.doc_id >= 100000
               AND md5(c.text) NOT IN (SELECT h FROM base)
+        """,
+        "dedup_lines": f"""
+            -- corpus-wide duplicate-LINE removal (C4/RefinedWeb-style):
+            -- any non-blank line occurring >= {LINE_MIN_COUNT} times
+            -- corpus-wide drops from every doc; blanks always kept;
+            -- docs reassembled in original line order
+            WITH corpus AS ({line_corpus_sql}),
+            lines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     unnest(range(len(string_split(text, chr(10))))) AS line_idx
+              FROM corpus),
+            counts AS (
+              SELECT line, count(*) AS c FROM lines
+              WHERE line <> '' GROUP BY line),
+            marked AS (
+              SELECT l.doc_id, l.line_idx, l.line,
+                     CASE WHEN c.c >= {LINE_MIN_COUNT} THEN 1 ELSE 0 END AS banned
+              FROM lines l LEFT JOIN counts c ON l.line = c.line)
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN banned = 0 THEN line END,
+                                       chr(10) ORDER BY line_idx), '')
+                     AS clean_text,
+                   CAST(count(*) FILTER (WHERE banned = 0) AS BIGINT) AS n_kept,
+                   CAST(count(*) FILTER (WHERE banned = 1) AS BIGINT) AS n_dropped
+            FROM marked GROUP BY doc_id
         """,
         "dedup_jaccard": jaccard_sql,
         "dedup_clusters": f"""

@@ -1271,3 +1271,237 @@ def dedup_incremental(sf_dir: str) -> ray.data.Dataset:
         concurrency=pool_size(),
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide duplicate-LINE removal (C4 / RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+LINE_HEADER = "(c) corpus mirror - syndicated content"
+LINE_MIN_COUNT = 2
+
+
+def line_corpus(sf_dir: str) -> ray.data.Dataset:
+    """documents with injected boilerplate lines: a corpus-wide header
+    (duplicated everywhere), the original text (unique), a blank
+    separator line, and a footer shared per source for even doc_ids /
+    unique per doc for odd ones — the deterministic, SQL-expressible
+    stand-in for the repeated nav/copyright lines of scraped web pages
+    (same role ``dup_corpus`` plays for whole-document dedup)."""
+    ensure_serializable()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+
+    def inject(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        source = np.asarray(batch["source"].to_pylist(), dtype=object)
+        footer = np.where(
+            doc_id % 2 == 0,
+            np.char.add("source: ", source.astype(str)),
+            np.char.add("ref: doc-", doc_id.astype(str)),
+        )
+        n = len(doc_id)
+        text = pc.binary_join_element_wise(
+            pa.array([LINE_HEADER] * n),
+            pc.fill_null(batch["text"], ""),
+            pa.array([""] * n),
+            pa.array(footer, pa.string()),
+            "\n",
+        )
+        return pa.table({"doc_id": batch["doc_id"], "text": text})
+
+    return ds.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _explode_lines(batch: pa.Table):
+    """Vectorized line explode: (doc_id, line_idx, flat line array).
+    Every doc yields >= 1 line (splitting '' gives [''])."""
+    lists = pc.split_pattern(pc.fill_null(batch["text"], ""), "\n")
+    flat = pc.list_flatten(lists).combine_chunks()
+    parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)[parent]
+    n = len(parent)
+    run_start = np.zeros(n, dtype=np.int64)
+    starts = np.flatnonzero(np.diff(parent, prepend=parent[0] - 1)) if n else []
+    run_start[starts] = starts
+    run_start = np.maximum.accumulate(run_start)
+    line_idx = np.arange(n, dtype=np.int64) - run_start
+    return doc_id, line_idx, flat
+
+
+_LINE_IDX_BITS = 21  # <= 2^21 lines per doc; doc_id stays < 2^42
+
+
+def _packed_line_key(doc_id: np.ndarray, line_idx: np.ndarray) -> np.ndarray:
+    if len(line_idx) and int(line_idx.max()) >= (1 << _LINE_IDX_BITS):
+        raise ValueError("doc exceeds 2^21 lines; widen _LINE_IDX_BITS")
+    return (doc_id.astype(np.int64) << _LINE_IDX_BITS) | line_idx.astype(np.int64)
+
+
+def dedup_lines(
+    sf_dir: str, min_count: int = LINE_MIN_COUNT, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Corpus-wide duplicate-line removal — the C4/RefinedWeb curation
+    step that strips nav bars, cookie banners and copyright footers: any
+    non-blank line whose EXACT text occurs >= ``min_count`` times across
+    the whole corpus is dropped from every document; blank lines never
+    count and are always kept; documents are reassembled in original
+    line order (plus kept/dropped counters).
+
+    Scale shape — two shuffles, only one of which moves text:
+    1. keys pass: explode to (doc_id, line_idx, h1, h2) int rows (128-bit
+       line hash via ``text_hash128``, same collision discipline as
+       ``dedup_exact``; the line TEXT never rides this shuffle), bucket
+       by hash(h1,h2); ONE map_groups per bucket sorts its keys and
+       marks rows whose run length >= min_count — a bucket holds every
+       occurrence of its hashes, so in-bucket run counts ARE global
+       counts (no separate count+join round-trip).
+    2. reassembly pass: line text bucketed by hash(doc_id), unioned with
+       the int-only marks (sentinel columns, ``anti_join_customers``
+       style); per bucket both sides sort to the same (doc_id, line_idx)
+       order — alignment asserted via packed keys, M13-style loud — and
+       kept lines rejoin per doc through ``pa.ListArray`` offsets +
+       ``pc.binary_join`` (no per-doc Python).
+
+    The corpus is read twice (count pass, reassembly pass) — inherent to
+    any count-then-filter over data too big to persist intermediate."""
+    from ..pipeline import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ensure_serializable()
+    corpus = line_corpus(sf_dir)
+
+    def explode_keys(batch: pa.Table) -> pa.Table:
+        doc_id, line_idx, flat = _explode_lines(batch)
+        h1, h2 = text_hash128(flat, "engine-linedkey")
+        blank = np.asarray(pc.equal(flat, "").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "_hb": pa.array(_bucket_of(h1, h2, num_buckets=num_buckets)),
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
+                "doc_id": pa.array(doc_id),
+                "line_idx": pa.array(line_idx),
+                "blank": pa.array(blank),
+            }
+        )
+
+    def mark_bucket(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("h1", "ascending"), ("h2", "ascending")])
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "line_idx": pa.array([], pa.int64()),
+                    "banned": pa.array([], pa.int8()),
+                }
+            )
+        h1 = t["h1"].to_numpy(zero_copy_only=False)
+        h2 = t["h2"].to_numpy(zero_copy_only=False)
+        blank = t["blank"].to_numpy(zero_copy_only=False)
+        run_id = np.cumsum(_run_starts(h1, h2)) - 1
+        per_row = np.bincount(run_id)[run_id]
+        banned = ((per_row >= min_count) & ~blank).astype(np.int8)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "line_idx": t["line_idx"],
+                "banned": pa.array(banned),
+            }
+        )
+
+    marks = (
+        corpus.map_batches(explode_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_hb")
+        .map_groups(
+            lambda g: mark_bucket(g.drop_columns(["_hb"])), batch_format="pyarrow"
+        )
+    )
+
+    def tag_lines(batch: pa.Table) -> pa.Table:
+        doc_id, line_idx, flat = _explode_lines(batch)
+        return pa.table(
+            {
+                "_db": pa.array(_bucket_of(doc_id, num_buckets=num_buckets)),
+                "doc_id": pa.array(doc_id),
+                "line_idx": pa.array(line_idx),
+                "line": flat,
+                "banned": pa.array(np.zeros(len(doc_id), dtype=np.int8)),
+                "is_mark": pa.array(np.zeros(len(doc_id), dtype=np.int8)),
+            }
+        )
+
+    def tag_marks(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_db": pa.array(_bucket_of(doc_id, num_buckets=num_buckets)),
+                "doc_id": batch["doc_id"],
+                "line_idx": batch["line_idx"],
+                "line": pa.array([""] * len(doc_id), pa.string()),
+                "banned": batch["banned"],
+                "is_mark": pa.array(np.ones(len(doc_id), dtype=np.int8)),
+            }
+        )
+
+    tagged = corpus.map_batches(
+        tag_lines, batch_format="pyarrow", zero_copy_batch=True
+    ).union(marks.map_batches(tag_marks, batch_format="pyarrow", zero_copy_batch=True))
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "clean_text": pa.array([], pa.string()),
+                "n_kept": pa.array([], pa.int64()),
+                "n_dropped": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        is_mark = pc.equal(group["is_mark"], 1)
+        order = [("doc_id", "ascending"), ("line_idx", "ascending")]
+        lt = group.filter(pc.invert(is_mark)).sort_by(order).combine_chunks()
+        mt = group.filter(is_mark).sort_by(order).combine_chunks()
+        if lt.num_rows == 0:
+            return empty
+        doc = lt["doc_id"].to_numpy(zero_copy_only=False)
+        lkey = _packed_line_key(doc, lt["line_idx"].to_numpy(zero_copy_only=False))
+        mkey = _packed_line_key(
+            mt["doc_id"].to_numpy(zero_copy_only=False),
+            mt["line_idx"].to_numpy(zero_copy_only=False),
+        )
+        if not np.array_equal(lkey, mkey):  # M13-style loud invariant
+            raise ValueError(
+                f"dedup_lines mark/line misalignment: {len(lkey)} lines vs "
+                f"{len(mkey)} marks in bucket"
+            )
+        banned = mt["banned"].to_numpy(zero_copy_only=False) == 1
+        doc_starts = np.flatnonzero(np.diff(doc, prepend=doc[0] - 1))
+        n_per_doc = np.diff(np.append(doc_starts, len(doc)))
+        kept = ~banned
+        n_kept = np.add.reduceat(kept, doc_starts).astype(np.int64)
+        # reduceat on an all-False run still yields that run's first
+        # element; recompute exactly via cumsum to be safe
+        csum = np.concatenate([[0], np.cumsum(kept)])
+        bounds = np.append(doc_starts, len(doc))
+        n_kept = (csum[bounds[1:]] - csum[bounds[:-1]]).astype(np.int64)
+        kept_lines = lt["line"].filter(pa.array(kept)).combine_chunks()
+        offsets = np.concatenate([[0], np.cumsum(n_kept)]).astype(np.int64)
+        la = pa.LargeListArray.from_arrays(pa.array(offsets), kept_lines)
+        clean = pc.binary_join(la, "\n")
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[doc_starts]),
+                "clean_text": clean,
+                "n_kept": pa.array(n_kept),
+                "n_dropped": pa.array((n_per_doc - n_kept).astype(np.int64)),
+            }
+        )
+
+    return tagged.groupby("_db").map_groups(
+        lambda g: reassemble(g.drop_columns(["_db"])), batch_format="pyarrow"
+    )

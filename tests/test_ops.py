@@ -68,7 +68,7 @@ SQL_CHECKED = [
     "q16_supplier_counts", "q17_small_qty_revenue", "q22_idle_customers",
     "gopher_rules", "lm_score_buckets", "bm25_topk", "curate_documents",
     "rolling_fingerprint", "kmeans_embeddings", "diverse_sample",
-    "semdedup",
+    "semdedup", "dedup_lines",
 ]
 
 
@@ -1371,3 +1371,60 @@ def test_kmeans_seed_contract_is_loud(tmp_path):
     )
     with _pytest.raises(ValueError, match="seed contract"):
         kmeans_train_exact(str(tmp_path), k=8, iters=1)
+
+
+def test_dedup_lines_crafted_edges(tmp_path):
+    """Corpus-wide line dedup on a crafted corpus: a doc whose every
+    non-blank line is duplicated (clean_text collapses to ''), interior
+    blank lines always kept, and the min_count knob separating a
+    2x-duplicated line (dropped at 2, kept at 3) from a 3x one
+    (dropped at both)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+    from engine.ops.dedup import dedup_lines
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 2, 1, 3, 5], pa.int64()),
+                "text": pa.array(
+                    [
+                        "dup body",
+                        "dup body",
+                        "duo line\ntri line\nsolo one",
+                        "duo line\ntri line\n\nsolo two",
+                        "tri line\nsolo three",
+                    ]
+                ),
+                "source": pa.array(["sA", "sA", "sB", "sB", "sB"]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{tmp_path}/documents.parquet'")
+    sql2 = entrymod.oracle_sql()["dedup_lines"]
+
+    got2 = canon(_as_df(dedup_lines(str(tmp_path))))
+    want2 = canon(con.sql(sql2).df())
+    pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
+
+    by_id = got2.set_index("doc_id")
+    # doc 0: header, body and 'source: sA' footer all duplicated; only
+    # the injected blank separator survives -> empty clean text
+    assert by_id.loc[0, "clean_text"] == "" and by_id.loc[0, "n_kept"] == 1
+    assert by_id.loc[0, "n_dropped"] == 3
+    # 2x and 3x lines both drop at min_count=2; uniques + blanks stay
+    assert "duo line" not in by_id.loc[1, "clean_text"]
+    assert "tri line" not in by_id.loc[5, "clean_text"]
+    # both blanks (injected separator + interior) survive in order
+    assert by_id.loc[3, "clean_text"].splitlines().count("") == 2
+
+    got3 = canon(_as_df(dedup_lines(str(tmp_path), min_count=3)))
+    want3 = canon(con.sql(sql2.replace("c.c >= 2", "c.c >= 3")).df())
+    pd.testing.assert_frame_equal(got3, want3, check_dtype=False)
+    by3 = got3.set_index("doc_id")
+    assert "duo line" in by3.loc[1, "clean_text"]       # 2x: kept at 3
+    assert "tri line" not in by3.loc[1, "clean_text"]   # 3x: still dropped
