@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_documents": textstats.normalize_documents,
         "doc_fingerprint": textstats.doc_fingerprint,
         "rolling_fingerprint": textstats.rolling_fingerprint,
+        "pack_sequences": textstats.pack_sequences,
         "doc_repetition": textstats.doc_repetition,
         "span_corruption": textstats.span_corruption,
         "oov_rate": textstats.oov_rate,
@@ -411,6 +412,7 @@ def oracle_sql() -> dict[str, str]:
         STOPWORDS,
         TOKEN_PATTERN,
     )
+    from engine.ops import textstats as textstats_mod
 
     def marker_score(lang: str) -> str:
         return " + ".join(
@@ -1213,6 +1215,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "pack_sequences": f"""
+            -- GPT-style sequence packing: concat docs in doc_id order,
+            -- slice into {textstats_mod.PACK_SEQ_LEN}-token windows; each
+            -- doc carries the window its first token lands in + offset
+            WITH toks AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(coalesce(text, ''),
+                          '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens
+              FROM documents),
+            cum AS (
+              SELECT doc_id, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS start_tok
+              FROM toks)
+            SELECT doc_id, n_tokens,
+                   CAST(start_tok // {textstats_mod.PACK_SEQ_LEN} AS BIGINT) AS seq_id,
+                   CAST(start_tok % {textstats_mod.PACK_SEQ_LEN} AS BIGINT) AS seq_offset
+            FROM cum
+        """,
         "redact_transcripts": _redact_sql(transcripts),
         "dedup_turns": f"""
             -- grouped by full text on the oracle side; the engine groups

@@ -1226,3 +1226,113 @@ def curate_documents(sf_dir: str) -> ray.data.Dataset:
         Count(alias_name="n_dups"),
     )
     return agg.select_columns(["doc_id", "n_words", "n_dups"])
+
+
+# ---------------------------------------------------------------------------
+# training-sequence packing (global ordered prefix-scan)
+# ---------------------------------------------------------------------------
+
+PACK_SEQ_LEN = 2048
+PACK_SPAN = 256  # contiguous doc_ids per scan bucket (see pack_sequences)
+
+
+def pack_sequences(
+    sf_dir: str, seq_len: int = PACK_SEQ_LEN, span: int = PACK_SPAN
+) -> ray.data.Dataset:
+    """GPT-style sequence PACKING: concatenate documents in doc_id order
+    and slice the token stream into fixed ``seq_len`` windows — each doc
+    gets its global token start offset, the id of the training sequence
+    its first token lands in (``seq_id``) and the offset within it
+    (``seq_offset``). Long docs simply span sequences; their start
+    coordinates stay exact.
+
+    This is the engine's GLOBAL ordered prefix-scan primitive — done
+    WITHOUT a global sort: doc_ids bucket by CONTIGUOUS range
+    (``doc_id // span``), so bucket order IS document order. Pass 1
+    reduces each bucket to one token-total row (per-batch ``bincount``
+    combiner, then a native Sum groupby); the driver exclusive-cumsums
+    the ~(max_doc_id / span) bucket totals — the only driver-side state,
+    16 B per bucket; size ``span`` so that stays small — and broadcasts
+    the offset table via ``ray.put``. Pass 2 re-buckets the per-doc
+    counts and adds the in-bucket cumsum to the bucket's base offset.
+    Both shuffles move int64 rows only; text never leaves pass-local
+    batches."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def doc_tokens(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n_tok = pc.cast(
+            pc.count_substring_regex(
+                pc.fill_null(batch["text"], ""), TOKEN_PATTERN
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_sb": pa.array((doc_id // span).astype(np.int64)),
+                "doc_id": pa.array(doc_id),
+                "n_tokens": pa.array(n_tok),
+            }
+        )
+
+    def bucket_partials(batch: pa.Table) -> pa.Table:
+        t = doc_tokens(batch)
+        sb = t["_sb"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(sb, return_inverse=True)
+        sums = np.bincount(inv, weights=t["n_tokens"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"_sb": pa.array(uniq), "toks": pa.array(sums.astype(np.int64))}
+        )
+
+    totals = (
+        ds.map_batches(bucket_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_sb")
+        .aggregate(Sum("toks", alias_name="toks"))
+        .to_pandas()
+        .sort_values("_sb")
+    )
+    bucket_ids = totals["_sb"].to_numpy().astype(np.int64)
+    base = np.concatenate([[0], np.cumsum(totals["toks"].to_numpy())[:-1]]).astype(
+        np.int64
+    )
+    offsets_ref = ray.put((bucket_ids, base))
+
+    def scan_bucket(group: pa.Table, _ids, _base) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "seq_id": pa.array([], pa.int64()),
+                    "seq_offset": pa.array([], pa.int64()),
+                }
+            )
+        t = group.sort_by([("doc_id", "ascending")])
+        sb = int(t["_sb"][0].as_py())
+        pos = int(np.searchsorted(_ids, sb))
+        if pos >= len(_ids) or _ids[pos] != sb:  # loud: pass-1/pass-2 drift
+            raise ValueError(f"pack_sequences: bucket {sb} missing from scan base")
+        n_tok = t["n_tokens"].to_numpy(zero_copy_only=False)
+        start = _base[pos] + np.concatenate([[0], np.cumsum(n_tok)[:-1]]).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "seq_id": pa.array(start // seq_len),
+                "seq_offset": pa.array(start % seq_len),
+            }
+        )
+
+    def scan_with_base(group: pa.Table) -> pa.Table:
+        ids, base_arr = ray.get(offsets_ref)  # local object-store hit, zero-copy
+        return scan_bucket(group, ids, base_arr)
+
+    return (
+        ds.map_batches(doc_tokens, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_sb")
+        .map_groups(scan_with_base, batch_format="pyarrow")
+    )

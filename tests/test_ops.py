@@ -68,7 +68,7 @@ SQL_CHECKED = [
     "q16_supplier_counts", "q17_small_qty_revenue", "q22_idle_customers",
     "gopher_rules", "lm_score_buckets", "bm25_topk", "curate_documents",
     "rolling_fingerprint", "kmeans_embeddings", "diverse_sample",
-    "semdedup", "dedup_lines",
+    "semdedup", "dedup_lines", "pack_sequences",
 ]
 
 
@@ -1428,3 +1428,49 @@ def test_dedup_lines_crafted_edges(tmp_path):
     by3 = got3.set_index("doc_id")
     assert "duo line" in by3.loc[1, "clean_text"]       # 2x: kept at 3
     assert "tri line" not in by3.loc[1, "clean_text"]   # 3x: still dropped
+
+
+def test_pack_sequences_crafted_scan_edges(tmp_path):
+    """The global prefix-scan under stress: gappy doc_ids straddling
+    scan-bucket boundaries (span=4 forces many buckets, some empty), an
+    empty doc (0 tokens — zero-width in the stream), and a doc longer
+    than seq_len (spans multiple windows; successors land past it)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+    from engine.ops.textstats import pack_sequences
+
+    long_doc = " ".join(f"w{i}" for i in range(50))  # > seq_len below
+    pq.write_table(
+        pa.table(
+            {
+                # gaps: buckets 0,1,6,25 exist at span=4; 2..5 and 7..24 empty
+                "doc_id": pa.array([0, 3, 5, 24, 25, 100], pa.int64()),
+                "text": pa.array(
+                    ["a b c", "", long_doc, "x y", "one", "tail doc here"]
+                ),
+                "source": pa.array(["s"] * 6),
+                "lang": pa.array(["en"] * 6),
+                "n_chars": pa.array([0] * 6, pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{tmp_path}/documents.parquet'")
+    seq_len = 16
+
+    got = canon(_as_df(pack_sequences(str(tmp_path), seq_len=seq_len, span=4)))
+    sql = entrymod.oracle_sql()["pack_sequences"]
+    for k in ("// 2048", "% 2048"):
+        sql = sql.replace(k, k.replace("2048", str(seq_len)))
+    want = canon(con.sql(sql).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    by_id = got.set_index("doc_id")
+    # stream: d0 [0,3), d3 [3,3) zero-width, d5 [3,53), d24 [53,55), ...
+    assert by_id.loc[3, ["n_tokens", "seq_id", "seq_offset"]].tolist() == [0, 0, 3]
+    assert by_id.loc[5, "n_tokens"] == 50 and by_id.loc[5, "seq_id"] == 0
+    assert by_id.loc[24, "seq_id"] == 53 // seq_len          # past the long doc
+    assert by_id.loc[24, "seq_offset"] == 53 % seq_len
