@@ -159,6 +159,12 @@ def _compact_history(sf_dir: str):
     return compact_history(_transcript_files(sf_dir))
 
 
+def _sft_pairs(sf_dir: str):
+    from engine.ops.convstats import sft_pairs
+
+    return sft_pairs(_transcript_files(sf_dir))
+
+
 def _redact_transcripts(sf_dir: str):
     from engine.ops.convstats import redact_transcripts
 
@@ -243,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_turns": _dedup_turns,
         "chunk_conversations": _chunk_conversations,
         "valid_role_alternation": _valid_role_alternation,
+        "sft_pairs": _sft_pairs,
         "conv_stats_jsonl": _conv_stats_jsonl,
         # relational operators (SURVEY SS2.6-2.7, SS2.10)
         "pricing_summary": relational.pricing_summary,
@@ -646,6 +653,20 @@ def oracle_sql() -> dict[str, str]:
                    max(epoch_us(ts)) AS last_ts_us
             FROM {transcripts}
             GROUP BY conv_id
+        """,
+        "sft_pairs": f"""
+            -- SFT pair mining: every user turn immediately followed (in
+            -- turn order) by an assistant turn -> one training pair
+            WITH w AS (
+              SELECT conv_id, turn_idx, role, text,
+                     lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                       AS nrole,
+                     lead(text) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                       AS nresp
+              FROM {transcripts})
+            SELECT conv_id, CAST(turn_idx AS INTEGER) AS prompt_idx,
+                   text AS prompt, nresp AS response
+            FROM w WHERE role = 'user' AND nrole = 'assistant'
         """,
         "valid_role_alternation": f"""
             WITH t AS (

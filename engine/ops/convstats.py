@@ -376,3 +376,77 @@ def valid_role_alternation(transcript_paths, num_buckets: int = 64) -> ray.data.
     return tagged.groupby("_b").map_groups(
         lambda g: validate_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
     )
+
+
+def sft_pairs(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
+    """SFT PAIR MINING — the dataset-construction step that turns raw
+    transcripts into supervised (prompt, response) examples: every
+    adjacent turn pair where a 'user' turn is immediately followed (in
+    turn order, positionally) by an 'assistant' turn emits one training
+    pair carrying the prompt's turn_idx.
+
+    Same physical shape as ``valid_role_alternation``: rows bucket on
+    hash(conv_id) — the engine's one partitioning key — each bucket
+    lexsorts once, and the pair predicate evaluates as a vectorized
+    shift-compare over run boundaries (a pair never crosses a conv
+    boundary). Text rides the shuffle once; no per-conv Python."""
+    ds = _transcript_ds(transcript_paths, ["conv_id", "turn_idx", "role", "text"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        conv = batch["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array(
+                    (_hash_conv_ids(conv) % num_buckets).astype(np.int32)
+                ),
+                "conv_id": batch["conv_id"],
+                "turn_idx": pc.cast(batch["turn_idx"], pa.int32()),
+                "role": batch["role"],
+                "text": batch["text"],
+            }
+        )
+
+    def pair_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "prompt_idx": pa.array([], pa.int32()),
+                "prompt": pa.array([], pa.string()),
+                "response": pa.array([], pa.string()),
+            }
+        )
+        t = group.sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")]
+        ).combine_chunks()
+        n = t.num_rows
+        if n < 2:
+            return empty
+        conv = t.column("conv_id")
+        same_conv = pc.equal(conv.slice(1), conv.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        role = t.column("role")
+        is_user = pc.equal(pc.fill_null(role, ""), "user").to_numpy(
+            zero_copy_only=False
+        )
+        is_asst = pc.equal(pc.fill_null(role, ""), "assistant").to_numpy(
+            zero_copy_only=False
+        )
+        left = np.flatnonzero(is_user[:-1] & is_asst[1:] & same_conv)
+        if len(left) == 0:
+            return empty
+        li = pa.array(left)
+        ri = pa.array(left + 1)
+        return pa.table(
+            {
+                "conv_id": conv.take(li),
+                "prompt_idx": t.column("turn_idx").take(li),
+                "prompt": t.column("text").take(li),
+                "response": t.column("text").take(ri),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("_b").map_groups(
+        lambda g: pair_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
+    )

@@ -175,7 +175,8 @@ def test_heavy_hitter_words_bounds(duck):
     "name",
     ["render_conversations", "render_deepseek", "compact_history", "conv_stats",
      "turn_token_counts", "redact_transcripts", "dedup_turns",
-     "chunk_conversations", "valid_role_alternation", "conv_stats_jsonl"],
+     "chunk_conversations", "valid_role_alternation", "conv_stats_jsonl",
+     "sft_pairs"],
 )
 def test_transcript_query_matches_oracle(name, duck):
     """These oracles read the transcript fixture by path at the driver's
@@ -1474,3 +1475,44 @@ def test_pack_sequences_crafted_scan_edges(tmp_path):
     assert by_id.loc[5, "n_tokens"] == 50 and by_id.loc[5, "seq_id"] == 0
     assert by_id.loc[24, "seq_id"] == 53 // seq_len          # past the long doc
     assert by_id.loc[24, "seq_offset"] == 53 % seq_len
+
+
+def test_sft_pairs_adjacency_edges(tmp_path):
+    """Pairs are POSITIONAL in turn order: a tool turn between user and
+    assistant breaks the pair; conv boundaries never pair (even with
+    dovetailing turn_idx); NULL prompt/response text passes through."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from engine.ops.convstats import sft_pairs
+
+    ts = np.datetime64("2026-01-01", "us")
+    path = str(tmp_path / "t.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": pa.array(["a", "a", "a", "a", "b", "b", "c"]),
+                "turn_idx": pa.array([0, 1, 2, 3, 0, 1, 0], pa.int32()),
+                "role": pa.array(
+                    ["user", "assistant", "user", "tool", "user", "assistant",
+                     "assistant"]
+                ),
+                "text": pa.array(["q1", None, "q2", "t", "q3", "r3", "orphan"]),
+                "tool": pa.array([None] * 7, pa.string()),
+                "ts": pa.array([ts] * 7),
+            }
+        ),
+        path,
+    )
+    got = (
+        sft_pairs([path])
+        .to_pandas()
+        .sort_values(["conv_id", "prompt_idx"])
+        .reset_index(drop=True)
+    )
+    # a: (0,1) pairs with NULL response; (2,3) blocked by the tool turn.
+    # b: (0,1) pairs. c: lone assistant never pairs. No a->b crossover.
+    assert list(got["conv_id"]) == ["a", "b"]
+    assert list(got["prompt_idx"]) == [0, 0]
+    assert got.loc[0, "prompt"] == "q1" and pd.isna(got.loc[0, "response"])
+    assert got.loc[1, "prompt"] == "q3" and got.loc[1, "response"] == "r3"
