@@ -1337,6 +1337,10 @@ _LINE_IDX_BITS = 21  # <= 2^21 lines per doc; doc_id stays < 2^42
 def _packed_line_key(doc_id: np.ndarray, line_idx: np.ndarray) -> np.ndarray:
     if len(line_idx) and int(line_idx.max()) >= (1 << _LINE_IDX_BITS):
         raise ValueError("doc exceeds 2^21 lines; widen _LINE_IDX_BITS")
+    if len(doc_id) and int(doc_id.max()) >= (1 << (63 - _LINE_IDX_BITS)):
+        # numpy wraps the shift silently; a wrapped key could alias two
+        # docs and let the alignment assertion pass on misaligned rows
+        raise ValueError("doc_id exceeds 2^42; widen the packed-key layout")
     return (doc_id.astype(np.int64) << _LINE_IDX_BITS) | line_idx.astype(np.int64)
 
 
@@ -1467,6 +1471,10 @@ def dedup_lines(
         lt = group.filter(pc.invert(is_mark)).sort_by(order).combine_chunks()
         mt = group.filter(is_mark).sort_by(order).combine_chunks()
         if lt.num_rows == 0:
+            if mt.num_rows:  # drift must raise, same as the mirror case below
+                raise ValueError(
+                    f"dedup_lines: bucket holds {mt.num_rows} marks but no lines"
+                )
             return empty
         doc = lt["doc_id"].to_numpy(zero_copy_only=False)
         lkey = _packed_line_key(doc, lt["line_idx"].to_numpy(zero_copy_only=False))
@@ -1483,9 +1491,6 @@ def dedup_lines(
         doc_starts = np.flatnonzero(np.diff(doc, prepend=doc[0] - 1))
         n_per_doc = np.diff(np.append(doc_starts, len(doc)))
         kept = ~banned
-        n_kept = np.add.reduceat(kept, doc_starts).astype(np.int64)
-        # reduceat on an all-False run still yields that run's first
-        # element; recompute exactly via cumsum to be safe
         csum = np.concatenate([[0], np.cumsum(kept)])
         bounds = np.append(doc_starts, len(doc))
         n_kept = (csum[bounds[1:]] - csum[bounds[:-1]]).astype(np.int64)

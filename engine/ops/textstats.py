@@ -1248,15 +1248,17 @@ def pack_sequences(
 
     This is the engine's GLOBAL ordered prefix-scan primitive — done
     WITHOUT a global sort: doc_ids bucket by CONTIGUOUS range
-    (``doc_id // span``), so bucket order IS document order. Pass 1
-    reduces each bucket to one token-total row (per-batch ``bincount``
-    combiner, then a native Sum groupby); the driver exclusive-cumsums
-    the ~(max_doc_id / span) bucket totals — the only driver-side state,
-    16 B per bucket; size ``span`` so that stays small — and broadcasts
-    the offset table via ``ray.put``. Pass 2 re-buckets the per-doc
-    counts and adds the in-bucket cumsum to the bucket's base offset.
-    Both shuffles move int64 rows only; text never leaves pass-local
-    batches."""
+    (``doc_id // span``), so bucket order IS document order. The regex
+    tokenizer (the dominant cost) runs ONCE: the per-doc int table
+    (_sb, doc_id, n_tokens — ~24 B/doc, spillable) is materialized and
+    feeds both passes. Pass 1 reduces each bucket to one token-total
+    row (per-batch ``bincount`` combiner, then a native Sum groupby);
+    the driver exclusive-cumsums the ~(max_doc_id / span) bucket totals
+    — the only driver-side state, 16 B per bucket; size ``span`` so
+    that stays small — and broadcasts the offset table via ``ray.put``.
+    Pass 2 re-buckets the per-doc counts and adds the in-bucket cumsum
+    to the bucket's base offset. Both shuffles move int64 rows only;
+    text never leaves pass-1 batches."""
     from ray.data.aggregate import Sum
 
     ds = _read_documents(sf_dir, ["doc_id", "text"])
@@ -1277,17 +1279,22 @@ def pack_sequences(
             }
         )
 
-    def bucket_partials(batch: pa.Table) -> pa.Table:
-        t = doc_tokens(batch)
+    def bucket_partials(t: pa.Table) -> pa.Table:
         sb = t["_sb"].to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(sb, return_inverse=True)
+        # float64 weights are exact here: a per-batch partial stays far
+        # below 2^53 tokens; the global Sum accumulates in int64
         sums = np.bincount(inv, weights=t["n_tokens"].to_numpy(zero_copy_only=False))
         return pa.table(
             {"_sb": pa.array(uniq), "toks": pa.array(sums.astype(np.int64))}
         )
 
+    # tokenize ONCE; both passes read the materialized int table
+    tok = ds.map_batches(
+        doc_tokens, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
     totals = (
-        ds.map_batches(bucket_partials, batch_format="pyarrow", zero_copy_batch=True)
+        tok.map_batches(bucket_partials, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_sb")
         .aggregate(Sum("toks", alias_name="toks"))
         .to_pandas()
@@ -1331,8 +1338,4 @@ def pack_sequences(
         ids, base_arr = ray.get(offsets_ref)  # local object-store hit, zero-copy
         return scan_bucket(group, ids, base_arr)
 
-    return (
-        ds.map_batches(doc_tokens, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_sb")
-        .map_groups(scan_with_base, batch_format="pyarrow")
-    )
+    return tok.groupby("_sb").map_groups(scan_with_base, batch_format="pyarrow")

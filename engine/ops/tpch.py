@@ -53,6 +53,20 @@ def _sorted_lookup(keys: np.ndarray, vals: np.ndarray):
     return keys[order], vals[order]
 
 
+def _pin_empty_schema(ds, dtypes: dict):
+    """Eager-materialize a BOUNDED aggregate result, pinning its column
+    schema when it comes back empty (an empty Ray aggregate drops its
+    schema entirely). Only for results whose row count is bounded by a
+    small key domain (|nations x years| etc.) — never for corpus-scale
+    datasets. ``dtypes``: output column -> pandas/numpy dtype."""
+    import pandas as pd
+
+    out = ds.to_pandas()
+    if out.empty:
+        out = pd.DataFrame({c: pd.Series([], dtype=dt) for c, dt in dtypes.items()})
+    return out
+
+
 def _probe_i64(sorted_keys: np.ndarray, vals: np.ndarray, probe: np.ndarray,
                missing: int = -1) -> np.ndarray:
     """Vectorized hash-join probe against a broadcast sorted-key table."""
@@ -644,20 +658,10 @@ def q9_nation_profit(sf_dir: str):
             }
         )
 
-    out = agg.map_batches(finalize, batch_format="pyarrow").to_pandas()
-    if out.empty:
-        # an empty Ray aggregate drops its schema; pin it (|nations x
-        # years| rows — inherently tiny, so pandas is fine here)
-        import pandas as pd
-
-        out = pd.DataFrame(
-            {
-                "n_name": pd.Series([], dtype=object),
-                "l_year": pd.Series([], dtype=np.int64),
-                "profit_e4": pd.Series([], dtype=np.int64),
-            }
-        )
-    return out
+    return _pin_empty_schema(
+        agg.map_batches(finalize, batch_format="pyarrow"),
+        {"n_name": object, "l_year": np.int64, "profit_e4": np.int64},
+    )
 
 
 # ---------------------------------------------------------------------------
