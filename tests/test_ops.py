@@ -1516,3 +1516,80 @@ def test_sft_pairs_adjacency_edges(tmp_path):
     assert list(got["prompt_idx"]) == [0, 0]
     assert got.loc[0, "prompt"] == "q1" and pd.isna(got.loc[0, "response"])
     assert got.loc[1, "prompt"] == "q3" and got.loc[1, "response"] == "r3"
+
+
+def test_randomized_dedup_lines_parity(tmp_path):
+    """Random corpus with engineered line collisions (lines drawn from a
+    small pool so corpus-wide duplicates arise organically, plus random
+    blank lines and docs with no newline at all) — engine vs the DuckDB
+    unnest/string_agg oracle."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+    from engine.ops.dedup import dedup_lines
+
+    rng = np.random.default_rng(61)
+    pool = [f"line pool {i}" for i in range(12)]  # small pool -> collisions
+    docs, n = [], 120
+    for d in range(n):
+        k = int(rng.integers(1, 6))
+        lines = []
+        for _ in range(k):
+            r = rng.random()
+            if r < 0.15:
+                lines.append("")                        # blank
+            elif r < 0.55:
+                lines.append(pool[int(rng.integers(len(pool)))])
+            else:
+                lines.append(f"unique {d}-{rng.integers(1 << 30)}")
+        docs.append("\n".join(lines))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64) * 3),  # gappy
+                "text": pa.array(docs),
+                "source": pa.array([f"s{d % 4}" for d in range(n)]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = canon(_as_df(dedup_lines(str(tmp_path), num_buckets=8)))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{tmp_path}/documents.parquet'")
+    want = canon(con.sql(entrymod.oracle_sql()["dedup_lines"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["n_dropped"].sum() > 0  # collisions actually exercised
+
+
+def test_randomized_pack_sequences_parity(tmp_path):
+    """Random token counts over a gappy doc_id space at several
+    (seq_len, span) combos — the distributed scan must equal the plain
+    single-array exclusive cumsum at any bucketing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from engine.ops.textstats import pack_sequences
+
+    rng = np.random.default_rng(67)
+    n = 150
+    doc_id = np.unique(rng.integers(0, 5000, n).astype(np.int64))
+    texts = [
+        " ".join(f"t{j}" for j in range(int(rng.integers(0, 40))))
+        for _ in range(len(doc_id))
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(doc_id), "text": pa.array(texts)}),
+        str(tmp_path / "documents.parquet"),
+    )
+    n_tok = np.array([len(t.split()) if t else 0 for t in texts], dtype=np.int64)
+    start = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+    for seq_len, span in ((16, 4), (128, 1), (64, 10_000)):
+        got = (
+            _as_df(pack_sequences(str(tmp_path), seq_len=seq_len, span=span))
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert np.array_equal(got["doc_id"].to_numpy(), doc_id)
+        assert np.array_equal(got["n_tokens"].to_numpy(), n_tok)
+        assert np.array_equal(got["seq_id"].to_numpy(), start // seq_len)
+        assert np.array_equal(got["seq_offset"].to_numpy(), start % seq_len)
