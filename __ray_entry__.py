@@ -352,6 +352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": textstats.doc_fingerprint,
         "rolling_fingerprint": textstats.rolling_fingerprint,
         "pack_sequences": textstats.pack_sequences,
+        "chunk_documents": textstats.chunk_documents,
+        "source_mix_weights": textstats.source_mix_weights,
         "doc_repetition": textstats.doc_repetition,
         "span_corruption": textstats.span_corruption,
         "oov_rate": textstats.oov_rate,
@@ -1236,6 +1238,47 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "source_mix_weights": """
+            -- alpha=0.5 temperature-scaled domain-mixing weights; sqrt
+            -- quantizes to int64 micro-units BEFORE the (exact) sum so
+            -- no float accumulation order can diverge from the engine
+            WITH c AS (
+              SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+            q AS (
+              SELECT source, n_docs,
+                     CAST(round(1000000 * sqrt(n_docs)) AS BIGINT) AS sqrt_e6
+              FROM c)
+            SELECT source, n_docs, sqrt_e6,
+                   CAST(round(1000000.0 * sqrt_e6
+                              / (SELECT sum(sqrt_e6) FROM q)) AS BIGINT)
+                     AS weight_e6
+            FROM q
+        """,
+        "chunk_documents": f"""
+            -- RAG sliding-window chunking: one chunk per window start
+            -- k*stride < n_tokens; tokens joined by single spaces
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(coalesce(text, ''),
+                                        '{TOKEN_PATTERN}') AS toks
+              FROM documents),
+            ch AS (
+              SELECT doc_id, toks,
+                     unnest(range((len(toks) + {textstats_mod.CHUNK_STRIDE} - 1)
+                                  // {textstats_mod.CHUNK_STRIDE})) AS chunk_idx
+              FROM toks WHERE len(toks) > 0)
+            SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   array_to_string(
+                     list_slice(toks,
+                                chunk_idx * {textstats_mod.CHUNK_STRIDE} + 1,
+                                chunk_idx * {textstats_mod.CHUNK_STRIDE}
+                                  + {textstats_mod.CHUNK_TOKENS}), ' ')
+                     AS chunk_text,
+                   CAST(least({textstats_mod.CHUNK_TOKENS},
+                              len(toks) - chunk_idx * {textstats_mod.CHUNK_STRIDE})
+                        AS BIGINT) AS n_chunk_tokens
+            FROM ch
+        """,
         "pack_sequences": f"""
             -- GPT-style sequence packing: concat docs in doc_id order,
             -- slice into {textstats_mod.PACK_SEQ_LEN}-token windows; each

@@ -1339,3 +1339,140 @@ def pack_sequences(
         return scan_bucket(group, ids, base_arr)
 
     return tok.groupby("_sb").map_groups(scan_with_base, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# RAG-style overlapping document chunking
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64   # window size W
+CHUNK_STRIDE = 48   # stride S (overlap = W - S = 16 tokens)
+
+
+def chunk_documents(
+    sf_dir: str, window: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> ray.data.Dataset:
+    """Sliding-window CHUNKING for retrieval / embedding prep: each doc
+    tokenizes (ASCII ``\\S+``) and emits one chunk per window start
+    ``k*stride < n_tokens`` — tokens ``[k*stride, k*stride+window)``
+    joined by single spaces (the detokenized form both engine and oracle
+    define identically). Overlapping windows (stride < window) give
+    every token ~window/stride chances to land mid-chunk, the standard
+    RAG indexing trade; tails shorter than ``window`` emit as-is; empty
+    docs emit nothing.
+
+    Physical shape: a pure 1->N flat map — NO shuffle; chunk text is
+    assembled inside an actor pool whose ``__init__`` compiles the
+    tokenizer once. Per-doc Python here is output-bound (each chunk's
+    string must be built regardless), the same rationale as
+    ``user_journeys``."""
+    from .._rayutil import pool_size
+
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    class Chunker:
+        def __init__(self):
+            self._tok = re.compile(TOKEN_PATTERN, re.ASCII)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_doc, out_idx, out_text, out_n = [], [], [], []
+            doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            for did, text in zip(doc_ids, batch["text"].to_pylist()):
+                toks = self._tok.findall(text or "")
+                n = len(toks)
+                for k in range((n + stride - 1) // stride):
+                    piece = toks[k * stride : k * stride + window]
+                    out_doc.append(did)
+                    out_idx.append(k)
+                    out_text.append(" ".join(piece))
+                    out_n.append(len(piece))
+            return pa.table(
+                {
+                    "doc_id": pa.array(np.asarray(out_doc, dtype=np.int64)),
+                    "chunk_idx": pa.array(np.asarray(out_idx, dtype=np.int64)),
+                    "chunk_text": pa.array(out_text, pa.string()),
+                    "n_chunk_tokens": pa.array(np.asarray(out_n, dtype=np.int64)),
+                }
+            )
+
+    return ds.map_batches(
+        Chunker,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        num_cpus=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# domain-mixing weights
+# ---------------------------------------------------------------------------
+
+
+def source_mix_weights(sf_dir: str):
+    """DOMAIN MIXING: temperature-scaled (alpha = 0.5) sampling weights
+    per source — w_s = sqrt(n_s) / sum(sqrt(n_s')) — the exponentiated
+    smoothing used to up-weight small domains in multilingual / multi-
+    source training mixes.
+
+    Exactness discipline: sqrt quantizes to int64 micro-units FIRST
+    (one IEEE sqrt + one pinned-mode round on each side), the sum runs
+    over exact integers (order-free), and the final weight is a single
+    identical float division + round on both sides — no cross-source
+    float accumulation whose order could differ from the oracle's.
+
+    Physical shape: per-batch count partials -> one tiny groupby; the
+    result is bounded by the source domain (|sources| rows), so the
+    weight arithmetic runs on the driver like ``stage_totals``."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_documents(sf_dir, ["doc_id", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"source": batch["source"]})
+        g = t.group_by("source").aggregate([("source", "count")])
+        return pa.table(
+            {
+                "source": g["source"],
+                "n": pc.cast(g["source_count"], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    n = pa.array(counts["n_docs"].to_numpy().astype(np.int64))
+    sqrt_e6 = pc.cast(
+        pc.round(
+            pc.multiply(pc.sqrt(pc.cast(n, pa.float64())), 1e6),
+            ndigits=0,
+            round_mode="half_towards_infinity",
+        ),
+        pa.int64(),
+    )
+    total = pc.sum(sqrt_e6).as_py()  # exact int64 sum, order-free
+    weight_e6 = pc.cast(
+        pc.round(
+            pc.divide(pc.multiply(pc.cast(sqrt_e6, pa.float64()), 1e6), float(total)),
+            ndigits=0,
+            round_mode="half_towards_infinity",
+        ),
+        pa.int64(),
+    )
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "source": counts["source"],
+            "n_docs": counts["n_docs"].astype(np.int64),
+            "sqrt_e6": sqrt_e6.to_numpy(),
+            "weight_e6": weight_e6.to_numpy(),
+        }
+    )

@@ -68,7 +68,8 @@ SQL_CHECKED = [
     "q16_supplier_counts", "q17_small_qty_revenue", "q22_idle_customers",
     "gopher_rules", "lm_score_buckets", "bm25_topk", "curate_documents",
     "rolling_fingerprint", "kmeans_embeddings", "diverse_sample",
-    "semdedup", "dedup_lines", "pack_sequences",
+    "semdedup", "dedup_lines", "pack_sequences", "chunk_documents",
+    "source_mix_weights",
 ]
 
 
@@ -1593,3 +1594,78 @@ def test_randomized_pack_sequences_parity(tmp_path):
         assert np.array_equal(got["n_tokens"].to_numpy(), n_tok)
         assert np.array_equal(got["seq_id"].to_numpy(), start // seq_len)
         assert np.array_equal(got["seq_offset"].to_numpy(), start % seq_len)
+
+
+def test_chunk_documents_window_semantics(tmp_path):
+    """Overlap + tail semantics: every token appears in its expected
+    windows, a doc shorter than one window emits exactly one chunk,
+    empty docs emit nothing, and adjacent chunks share window-stride
+    tokens of overlap."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+    from engine.ops.textstats import chunk_documents
+
+    long_text = " ".join(f"w{i}" for i in range(100))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array([long_text, "a b", ""]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    window, stride = 64, 48
+    got = (
+        _as_df(chunk_documents(str(tmp_path), window=window, stride=stride))
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{tmp_path}/documents.parquet'")
+    want = canon(con.sql(entrymod.oracle_sql()["chunk_documents"]).df())
+    pd.testing.assert_frame_equal(canon(got), want, check_dtype=False)
+
+    d1 = got[got.doc_id == 1].reset_index(drop=True)
+    # 100 tokens, stride 48 -> starts 0, 48, 96
+    assert list(d1["n_chunk_tokens"]) == [64, 52, 4]
+    # overlap: chunk 0's last 16 tokens == chunk 1's first 16
+    assert d1.loc[0, "chunk_text"].split()[-16:] == d1.loc[1, "chunk_text"].split()[:16]
+    assert d1.loc[2, "chunk_text"] == "w96 w97 w98 w99"
+    assert list(got[got.doc_id == 2]["chunk_text"]) == ["a b"]
+    assert (got.doc_id != 3).all()
+
+
+def test_source_mix_weights_upweights_small_domains(tmp_path):
+    """alpha=0.5 mixing: a 4x-larger source gets only 2x the weight;
+    weights sum to ~1e6; oracle parity on a skewed crafted corpus."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+    from engine.ops.textstats import source_mix_weights
+
+    sources = ["big"] * 400 + ["small"] * 100 + ["tiny"] * 25
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(sources), dtype=np.int64)),
+                "source": pa.array(sources),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = canon(_as_df(source_mix_weights(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{tmp_path}/documents.parquet'")
+    want = canon(con.sql(entrymod.oracle_sql()["source_mix_weights"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    by = got.set_index("source")
+    # last-digit slack: each weight rounds independently (20/35 rounds
+    # up where 10/35 rounds down)
+    assert abs(by.loc["big", "weight_e6"] - 2 * by.loc["small", "weight_e6"]) <= 1
+    assert abs(by.loc["small", "weight_e6"] - 2 * by.loc["tiny", "weight_e6"]) <= 1
+    assert abs(got["weight_e6"].sum() - 1_000_000) <= 2  # rounding slack
