@@ -1263,9 +1263,15 @@ def oracle_sql() -> dict[str, str]:
                                         '{TOKEN_PATTERN}') AS toks
               FROM documents),
             ch AS (
+              -- stop at the FIRST window reaching the end of the doc:
+              -- no tail chunk is a strict suffix of its predecessor
               SELECT doc_id, toks,
-                     unnest(range((len(toks) + {textstats_mod.CHUNK_STRIDE} - 1)
-                                  // {textstats_mod.CHUNK_STRIDE})) AS chunk_idx
+                     unnest(range(
+                       CASE WHEN len(toks) <= {textstats_mod.CHUNK_TOKENS} THEN 1
+                            ELSE (len(toks) - {textstats_mod.CHUNK_TOKENS}
+                                  + {textstats_mod.CHUNK_STRIDE} - 1)
+                                 // {textstats_mod.CHUNK_STRIDE} + 1 END))
+                       AS chunk_idx
               FROM toks WHERE len(toks) > 0)
             SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
                    array_to_string(

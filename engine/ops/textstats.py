@@ -1353,13 +1353,15 @@ def chunk_documents(
     sf_dir: str, window: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
 ) -> ray.data.Dataset:
     """Sliding-window CHUNKING for retrieval / embedding prep: each doc
-    tokenizes (ASCII ``\\S+``) and emits one chunk per window start
-    ``k*stride < n_tokens`` — tokens ``[k*stride, k*stride+window)``
-    joined by single spaces (the detokenized form both engine and oracle
-    define identically). Overlapping windows (stride < window) give
-    every token ~window/stride chances to land mid-chunk, the standard
-    RAG indexing trade; tails shorter than ``window`` emit as-is; empty
-    docs emit nothing.
+    tokenizes (ASCII ``\\S+``) and emits chunks at starts ``k*stride``,
+    stopping at the FIRST window that reaches the end of the doc (the
+    standard chunker rule — no chunk is ever a strict suffix of its
+    predecessor, so a RAG index gets no duplicate-content tail chunks).
+    Chunk text = tokens ``[k*stride, k*stride+window)`` joined by single
+    spaces (the detokenized form both engine and oracle define
+    identically). Overlapping windows (stride < window, enforced) give
+    every token ~window/stride chances to land mid-chunk; docs shorter
+    than one window emit one chunk; empty docs emit nothing.
 
     Physical shape: a pure 1->N flat map — NO shuffle; chunk text is
     assembled inside an actor pool whose ``__init__`` compiles the
@@ -1370,6 +1372,9 @@ def chunk_documents(
 
     if stride <= 0 or window <= 0:
         raise ValueError("window and stride must be positive")
+    if stride > window:
+        # tokens between windows would silently land in NO chunk
+        raise ValueError("stride must be <= window (gapless coverage)")
     ds = _read_documents(sf_dir, ["doc_id", "text"])
 
     class Chunker:
@@ -1382,7 +1387,12 @@ def chunk_documents(
             for did, text in zip(doc_ids, batch["text"].to_pylist()):
                 toks = self._tok.findall(text or "")
                 n = len(toks)
-                for k in range((n + stride - 1) // stride):
+                if n == 0:
+                    continue
+                n_chunks = (
+                    1 if n <= window else (n - window + stride - 1) // stride + 1
+                )
+                for k in range(n_chunks):
                     piece = toks[k * stride : k * stride + window]
                     out_doc.append(did)
                     out_idx.append(k)
@@ -1431,23 +1441,44 @@ def source_mix_weights(sf_dir: str):
     ds = _read_documents(sf_dir, ["doc_id", "source"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        t = pa.table({"source": batch["source"]})
-        g = t.group_by("source").aggregate([("source", "count")])
+        # NULL sources form their own group like SQL's GROUP BY: Ray's
+        # groupby can't sort a null string key, so the key travels as
+        # (fill_null(''), is_null) and count(*) parity uses count_all
+        src = batch["source"]
+        t = pa.table(
+            {
+                "source": pc.fill_null(src, ""),
+                "_nul": pc.cast(pc.is_null(src), pa.int8()),
+            }
+        )
+        g = t.group_by(["source", "_nul"]).aggregate([([], "count_all")])
         return pa.table(
             {
                 "source": g["source"],
-                "n": pc.cast(g["source_count"], pa.int64()),
+                "_nul": g["_nul"],
+                "n": pc.cast(g["count_all"], pa.int64()),
             }
         )
 
     counts = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("source")
+        .groupby(["source", "_nul"])
         .aggregate(Sum("n", alias_name="n_docs"))
         .to_pandas()
-        .sort_values("source")
-        .reset_index(drop=True)
     )
+    import pandas as pd
+
+    if counts.empty:  # empty corpus -> empty result, like the oracle
+        return pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "n_docs": pd.Series([], dtype=np.int64),
+                "sqrt_e6": pd.Series([], dtype=np.int64),
+                "weight_e6": pd.Series([], dtype=np.int64),
+            }
+        )
+    counts.loc[counts["_nul"] == 1, "source"] = None
+    counts = counts.sort_values("source").reset_index(drop=True)
     n = pa.array(counts["n_docs"].to_numpy().astype(np.int64))
     sqrt_e6 = pc.cast(
         pc.round(
@@ -1466,8 +1497,6 @@ def source_mix_weights(sf_dir: str):
         ),
         pa.int64(),
     )
-    import pandas as pd
-
     return pd.DataFrame(
         {
             "source": counts["source"],

@@ -1629,13 +1629,17 @@ def test_chunk_documents_window_semantics(tmp_path):
     pd.testing.assert_frame_equal(canon(got), want, check_dtype=False)
 
     d1 = got[got.doc_id == 1].reset_index(drop=True)
-    # 100 tokens, stride 48 -> starts 0, 48, 96
-    assert list(d1["n_chunk_tokens"]) == [64, 52, 4]
+    # 100 tokens, stride 48: chunk 1 (tokens 48..99) reaches the end, so
+    # NO third chunk (it would be a strict suffix of chunk 1)
+    assert list(d1["n_chunk_tokens"]) == [64, 52]
     # overlap: chunk 0's last 16 tokens == chunk 1's first 16
     assert d1.loc[0, "chunk_text"].split()[-16:] == d1.loc[1, "chunk_text"].split()[:16]
-    assert d1.loc[2, "chunk_text"] == "w96 w97 w98 w99"
+    assert d1.loc[1, "chunk_text"].split()[-1] == "w99"  # tail covered
     assert list(got[got.doc_id == 2]["chunk_text"]) == ["a b"]
     assert (got.doc_id != 3).all()
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(str(tmp_path), window=4, stride=8)
 
 
 def test_source_mix_weights_upweights_small_domains(tmp_path):
@@ -1669,3 +1673,45 @@ def test_source_mix_weights_upweights_small_domains(tmp_path):
     assert abs(by.loc["big", "weight_e6"] - 2 * by.loc["small", "weight_e6"]) <= 1
     assert abs(by.loc["small", "weight_e6"] - 2 * by.loc["tiny", "weight_e6"]) <= 1
     assert abs(got["weight_e6"].sum() - 1_000_000) <= 2  # rounding slack
+
+
+def test_source_mix_weights_null_source_and_empty(tmp_path):
+    """NULL sources form their own GROUP BY group (count(*) semantics,
+    like the oracle); an empty corpus yields an empty, schema-stable
+    frame instead of crashing."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+    from engine.ops.textstats import source_mix_weights
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+                "source": pa.array(["a", "a", "b", None, None, None]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = canon(_as_df(source_mix_weights(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{tmp_path}/documents.parquet'")
+    want = canon(con.sql(entrymod.oracle_sql()["source_mix_weights"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["n_docs"].sum() == 6  # the NULL group counted count(*)-style
+
+    empty_dir = tmp_path / "empty"
+    empty_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+            }
+        ),
+        str(empty_dir / "documents.parquet"),
+    )
+    out = _as_df(source_mix_weights(str(empty_dir)))
+    assert list(out.columns) == ["source", "n_docs", "sqrt_e6", "weight_e6"]
+    assert len(out) == 0
