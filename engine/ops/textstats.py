@@ -107,29 +107,35 @@ def quality_score(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def _lang_predict(text_col):
+    """Shared marker-word scoring kernel: lowercased text column ->
+    (pred ndarray, {lang: int64 score array}, cjk score array).
+    pred = lexicographically-first language among the max scorers
+    ('zh' wins on any CJK presence)."""
+    text = pc.utf8_lower(text_col)
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        s = None
+        for w in markers:
+            hits = pc.count_substring_regex(text, rf"\b{w}\b")
+            s = hits if s is None else pc.add(s, hits)
+        scores[lang] = pc.cast(s, pa.int64())
+    cjk = pc.cast(pc.count_substring_regex(text, CJK_PATTERN), pa.int64())
+    score_mat = np.column_stack(
+        [scores[lang].to_numpy(zero_copy_only=False) for lang in sorted(scores)]
+    )
+    langs = np.array(sorted(scores))
+    best = langs[score_mat.argmax(axis=1)]  # argmax -> first max (lexicographic)
+    pred = np.where(cjk.to_numpy(zero_copy_only=False) > 0, "zh", best)
+    return pred, scores, cjk
+
+
 def lang_id(sf_dir: str) -> ray.data.Dataset:
     """Marker-word language ID. pred_lang = lexicographically-first language
     among the max scorers ('zh' wins on any CJK presence)."""
 
     def predict(batch: pa.Table) -> pa.Table:
-        text = pc.utf8_lower(batch["text"])
-        scores = {}
-        for lang, markers in LANG_MARKERS.items():
-            s = None
-            for w in markers:
-                hits = pc.count_substring_regex(text, rf"\b{w}\b")
-                s = hits if s is None else pc.add(s, hits)
-            scores[lang] = pc.cast(s, pa.int64())
-        cjk = pc.cast(pc.count_substring_regex(text, CJK_PATTERN), pa.int64())
-
-        score_mat = np.column_stack(
-            [scores[lang].to_numpy(zero_copy_only=False) for lang in sorted(scores)]
-        )
-        langs = np.array(sorted(scores))
-        best = langs[score_mat.argmax(axis=1)]  # argmax -> first max (lexicographic)
-        pred = np.where(
-            cjk.to_numpy(zero_copy_only=False) > 0, "zh", best
-        )
+        pred, scores, cjk = _lang_predict(batch["text"])
         cols = {"doc_id": batch["doc_id"], "pred_lang": pa.array(pred, pa.string())}
         for lang in sorted(scores):
             cols[f"score_{lang}"] = scores[lang]
@@ -142,43 +148,27 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
 
 
 def lang_id_accuracy(sf_dir: str) -> ray.data.Dataset:
-    """Aggregate confusion counts of pred_lang vs the table's lang label."""
-    import pyarrow.parquet as pq
+    """Aggregate confusion counts of pred_lang vs the table's lang label.
 
-    labels = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
-    )
-    label_ref = ray.put(
-        dict(zip(labels["doc_id"].to_pylist(), labels["lang"].to_pylist()))
-    )
-
-    class JoinLabel:
-        """Actor: the label dict is fetched ONCE per actor in __init__
-        (broadcast-lookup discipline), not per batch."""
-
-        def __init__(self, ref):
-            self._lookup = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            langs = [self._lookup[i] for i in batch["doc_id"].to_pylist()]
-            t = pa.table(
-                {"lang": pa.array(langs), "pred_lang": batch["pred_lang"]}
-            )
-            return t.group_by(["lang", "pred_lang"]).aggregate(
-                [("pred_lang", "count")]
-            )
-
-    from .._rayutil import pool_size
-
-    partials = lang_id(sf_dir).map_batches(
-        JoinLabel,
-        fn_constructor_args=(label_ref,),
-        batch_format="pyarrow",
-        concurrency=pool_size(),
-        num_cpus=1,
-    )
+    The label lives in the SAME table as the text, so this is one pass:
+    predict + per-batch (lang, pred_lang) count partials + a tiny global
+    Sum over |langs|^2 keys. (The previous version broadcast a full
+    doc_id -> lang dict built driver-side — unbounded state at corpus
+    scale, for a join the read can do for free.)"""
     from ray.data.aggregate import Sum
 
+    def confuse(batch: pa.Table) -> pa.Table:
+        pred, _, _ = _lang_predict(batch["text"])
+        t = pa.table(
+            {"lang": batch["lang"], "pred_lang": pa.array(pred, pa.string())}
+        )
+        return t.group_by(["lang", "pred_lang"]).aggregate(
+            [("pred_lang", "count")]
+        )
+
+    partials = _read_documents(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        confuse, batch_format="pyarrow", zero_copy_batch=True
+    )
     return partials.groupby(["lang", "pred_lang"]).aggregate(
         Sum("pred_lang_count", alias_name="n_docs")
     )
