@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": textstats.pack_sequences,
         "chunk_documents": textstats.chunk_documents,
         "source_mix_weights": textstats.source_mix_weights,
+        "inverted_index": textstats.inverted_index,
         "doc_repetition": textstats.doc_repetition,
         "span_corruption": textstats.span_corruption,
         "oov_rate": textstats.oov_rate,
@@ -1238,6 +1239,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "inverted_index": """
+            -- term -> df + ascending '|'-joined posting list, over the
+            -- same single-space tokenization as word_counts
+            WITH raw AS (
+              SELECT doc_id,
+                     unnest(string_split(coalesce(text, ''), ' ')) AS term
+              FROM documents),
+            toks AS (
+              SELECT DISTINCT doc_id, term FROM raw WHERE term <> '')
+            SELECT term, CAST(count(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id)
+                     AS postings
+            FROM toks GROUP BY term
+        """,
         "source_mix_weights": """
             -- alpha=0.5 temperature-scaled domain-mixing weights; sqrt
             -- quantizes to int64 micro-units BEFORE the (exact) sum so

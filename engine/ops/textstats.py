@@ -1495,3 +1495,106 @@ def source_mix_weights(sf_dir: str):
             "weight_e6": weight_e6.to_numpy(),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# inverted index (retrieval artifact)
+# ---------------------------------------------------------------------------
+
+
+def inverted_index(sf_dir: str, num_buckets: int | None = None) -> ray.data.Dataset:
+    """INVERTED INDEX construction: term -> (document frequency, posting
+    list of doc_ids in ascending order, '|'-joined) — the retrieval
+    artifact behind BM25/boolean search, materialized as a table.
+    Tokenization is the same literal single-space split as
+    ``word_counts`` (identical on both engines), empties dropped.
+
+    Scale shape: per-batch DISTINCT (term, doc_id) pairs (an empty
+    pyarrow group_by — the combiner discipline), ONE hash(term) bucket
+    shuffle, then per bucket: one sort, cross-batch re-dedup via run
+    detection, and posting strings assembled by ListArray offsets +
+    ``pc.binary_join`` — no per-term Python. A corpus-scale deployment
+    caps df (stopword terms would each produce one posting row of every
+    doc_id — the same hot-key trade documented at dedup_jaccard's
+    df-cap); uncapped here for oracle parity."""
+    from pandas.util import hash_array
+
+    from ..pipeline import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(pc.fill_null(batch["text"], ""), " ")
+        flat = pc.list_flatten(lists).combine_chunks()
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)[parent]
+        keep = pc.not_equal(flat, "")
+        t = pa.table(
+            {"term": flat.filter(keep), "doc_id": pa.array(doc).filter(keep)}
+        )
+        g = t.group_by(["term", "doc_id"]).aggregate([])  # batch-local distinct
+        term_np = np.asarray(g["term"].to_pylist(), dtype=object)
+        bucket = (hash_array(term_np) % num_buckets).astype(np.int32)
+        return pa.table(
+            {
+                "_tb": pa.array(bucket),
+                "term": g["term"],
+                "doc_id": g["doc_id"],
+            }
+        )
+
+    def index_bucket(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [("term", "ascending"), ("doc_id", "ascending")]
+        ).combine_chunks()
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "postings": pa.array([], pa.string()),
+                }
+            )
+        term = np.asarray(t["term"].to_pylist(), dtype=object)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        first = _run_starts_obj(term, doc)  # cross-batch distinct
+        t = t.filter(pa.array(first))
+        term = term[first]
+        doc = doc[first]
+        m = len(term)
+        new_term = np.zeros(m, dtype=bool)
+        new_term[0] = True
+        new_term[1:] = term[1:] != term[:-1]
+        starts = np.flatnonzero(new_term)
+        df = np.diff(np.append(starts, m)).astype(np.int64)
+        doc_str = pc.cast(t["doc_id"], pa.string()).combine_chunks()
+        offsets = pa.array(np.append(starts, m).astype(np.int64))
+        la = pa.LargeListArray.from_arrays(offsets, doc_str)
+        return pa.table(
+            {
+                "term": pa.array(term[starts], pa.string()),
+                "df": pa.array(df),
+                "postings": pc.binary_join(la, "|"),
+            }
+        )
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds.groupby("_tb").map_groups(
+        lambda g: index_bucket(g.drop_columns(["_tb"])), batch_format="pyarrow"
+    )
+
+
+def _run_starts_obj(*cols) -> np.ndarray:
+    """Boolean new-run marker over sorted parallel columns (object or
+    numeric dtypes)."""
+    n = len(cols[0])
+    new = np.zeros(n, dtype=bool)
+    if n:
+        new[0] = True
+        for col in cols:
+            new[1:] |= col[1:] != col[:-1]
+    return new

@@ -69,7 +69,7 @@ SQL_CHECKED = [
     "gopher_rules", "lm_score_buckets", "bm25_topk", "curate_documents",
     "rolling_fingerprint", "kmeans_embeddings", "diverse_sample",
     "semdedup", "dedup_lines", "pack_sequences", "chunk_documents",
-    "source_mix_weights",
+    "source_mix_weights", "inverted_index",
 ]
 
 
@@ -1715,3 +1715,30 @@ def test_source_mix_weights_null_source_and_empty(tmp_path):
     out = _as_df(source_mix_weights(str(empty_dir)))
     assert list(out.columns) == ["source", "n_docs", "sqrt_e6", "weight_e6"]
     assert len(out) == 0
+
+
+def test_inverted_index_postings(tmp_path):
+    """Posting lists: ascending doc order, within-doc repeats collapse
+    to one posting, empty docs index nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from engine.ops.textstats import inverted_index
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([7, 3, 5, 9], pa.int64()),
+                "text": pa.array(["x y y x", "y z", "y", ""]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = (
+        _as_df(inverted_index(str(tmp_path), num_buckets=4))
+        .set_index("term")
+        .sort_index()
+    )
+    assert got.loc["y", "df"] == 3 and got.loc["y", "postings"] == "3|5|7"
+    assert got.loc["x", "df"] == 1 and got.loc["x", "postings"] == "7"
+    assert got.loc["z", "postings"] == "3"
+    assert set(got.index) == {"x", "y", "z"}
