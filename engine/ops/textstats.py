@@ -1559,7 +1559,10 @@ def inverted_index(sf_dir: str, num_buckets: int | None = None) -> ray.data.Data
             )
         term = np.asarray(t["term"].to_pylist(), dtype=object)
         doc = t["doc_id"].to_numpy(zero_copy_only=False)
-        first = _run_starts_obj(term, doc)  # cross-batch distinct
+        from .dedup import _run_starts
+
+        first = _run_starts(term, doc)  # defensive distinct (same pattern
+        # as relational's reuse of dedup's run helpers)
         t = t.filter(pa.array(first))
         term = term[first]
         doc = doc[first]
@@ -1586,15 +1589,3 @@ def inverted_index(sf_dir: str, num_buckets: int | None = None) -> ray.data.Data
     return ds.groupby("_tb").map_groups(
         lambda g: index_bucket(g.drop_columns(["_tb"])), batch_format="pyarrow"
     )
-
-
-def _run_starts_obj(*cols) -> np.ndarray:
-    """Boolean new-run marker over sorted parallel columns (object or
-    numeric dtypes)."""
-    n = len(cols[0])
-    new = np.zeros(n, dtype=bool)
-    if n:
-        new[0] = True
-        for col in cols:
-            new[1:] |= col[1:] != col[:-1]
-    return new
