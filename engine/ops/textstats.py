@@ -1520,6 +1520,9 @@ def inverted_index(sf_dir: str, num_buckets: int | None = None) -> ray.data.Data
     from pandas.util import hash_array
 
     from ..pipeline import default_num_buckets
+    from .dedup import _run_starts  # driver-time import: the UDF closure
+    # must capture the symbol (a worker-side relative import would fail
+    # under serialize-by-value)
 
     if num_buckets is None:
         num_buckets = default_num_buckets()
@@ -1559,10 +1562,7 @@ def inverted_index(sf_dir: str, num_buckets: int | None = None) -> ray.data.Data
             )
         term = np.asarray(t["term"].to_pylist(), dtype=object)
         doc = t["doc_id"].to_numpy(zero_copy_only=False)
-        from .dedup import _run_starts
-
-        first = _run_starts(term, doc)  # defensive distinct (same pattern
-        # as relational's reuse of dedup's run helpers)
+        first = _run_starts(term, doc)  # defensive cross-batch distinct
         t = t.filter(pa.array(first))
         term = term[first]
         doc = doc[first]
