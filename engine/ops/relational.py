@@ -22,6 +22,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from .._rayutil import ensure_serializable, pool_size
+from .sketches import _splitmix64
 
 
 def _fixed_point(col, scale: int):
@@ -2270,9 +2271,9 @@ BLOOM_BITS = 1 << 20  # 128 KB bitmap; ~0.1% FP at sf0.1 probe cardinality
 
 def _bloom_positions(keys: np.ndarray):
     """Two bit positions per key from one SplitMix64 mix (upper/lower
-    halves) — k=2 Bloom hashing, vectorized."""
-    from .sketches import _splitmix64
-
+    halves) — k=2 Bloom hashing, vectorized. NOTE: _splitmix64 must be
+    imported at MODULE level — this helper runs inside worker UDFs,
+    where a runtime relative import fails under serialize-by-value."""
     h = _splitmix64(keys.astype(np.uint64))
     mask = np.uint64(BLOOM_BITS - 1)
     return (h & mask).astype(np.int64), (
