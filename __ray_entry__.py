@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": textstats.chunk_documents,
         "source_mix_weights": textstats.source_mix_weights,
         "inverted_index": textstats.inverted_index,
+        "fim_examples": textstats.fim_examples,
         "doc_repetition": textstats.doc_repetition,
         "span_corruption": textstats.span_corruption,
         "oov_rate": textstats.oov_rate,
@@ -1239,6 +1240,34 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "fim_examples": f"""
+            -- fill-in-the-middle construction: deterministic split
+            -- points from doc_id modular arithmetic (mod prime FIRST so
+            -- products never overflow BIGINT), PSM re-serialization
+            WITH base AS (
+              SELECT doc_id, coalesce(text, '') AS t,
+                     length(coalesce(text, '')) AS n
+              FROM documents),
+            pts AS (
+              SELECT doc_id, t, n,
+                     (doc_id % {textstats_mod._FIM_M1})
+                       * {textstats_mod._FIM_A1} % (n + 1) AS a
+              FROM base),
+            pts2 AS (
+              SELECT doc_id, t, n, a,
+                     a + (doc_id % {textstats_mod._FIM_M2})
+                           * {textstats_mod._FIM_A2} % (n - a + 1) AS b
+              FROM pts)
+            SELECT doc_id,
+                   substr(t, 1, a) AS prefix,
+                   substr(t, a + 1, b - a) AS middle,
+                   substr(t, b + 1) AS suffix,
+                   '{textstats_mod.FIM_PRE}' || substr(t, 1, a)
+                     || '{textstats_mod.FIM_SUF}' || substr(t, b + 1)
+                     || '{textstats_mod.FIM_MID}' || substr(t, a + 1, b - a)
+                     AS fim_text
+            FROM pts2
+        """,
         "inverted_index": """
             -- term -> df + ascending '|'-joined posting list, over the
             -- same single-space tokenization as word_counts

@@ -1589,3 +1589,54 @@ def inverted_index(sf_dir: str, num_buckets: int | None = None) -> ray.data.Data
     return ds.groupby("_tb").map_groups(
         lambda g: index_bucket(g.drop_columns(["_tb"])), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# fill-in-the-middle example construction
+# ---------------------------------------------------------------------------
+
+FIM_PRE, FIM_SUF, FIM_MID = "<PRE>", "<SUF>", "<MID>"
+_FIM_M1, _FIM_A1 = 100_003, 40_503   # split-point mixers; doc_id reduced
+_FIM_M2, _FIM_A2 = 99_991, 69_069    # mod first so products stay < 2^63
+
+
+def fim_examples(sf_dir: str) -> ray.data.Dataset:
+    """FILL-IN-THE-MIDDLE example construction (the code-model
+    pretraining transform): each document splits at two deterministic
+    char offsets into (prefix, middle, suffix) and re-serializes in PSM
+    order — ``<PRE>prefix<SUF>suffix<MID>middle`` — so the model learns
+    to infill. Split points derive from pure doc_id modular arithmetic
+    (no RNG in the data path, O4 determinism): both mixers reduce
+    doc_id mod a prime FIRST so every product stays far below 2^63 —
+    numpy would wrap silently and DuckDB would error where they differ.
+
+    Physical shape: embarrassingly parallel stateless map over pruned
+    (doc_id, text); per-row Python is output-bound (three slices + one
+    concat per example), same rationale as ``chunk_documents``."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        pre, mid, suf, fim = [], [], [], []
+        for did, text in zip(doc_id, texts):
+            t = text or ""
+            n = len(t)
+            a = (int(did) % _FIM_M1) * _FIM_A1 % (n + 1)
+            b = a + (int(did) % _FIM_M2) * _FIM_A2 % (n - a + 1)
+            p, m, s = t[:a], t[a:b], t[b:]
+            pre.append(p)
+            mid.append(m)
+            suf.append(s)
+            fim.append(f"{FIM_PRE}{p}{FIM_SUF}{s}{FIM_MID}{m}")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "prefix": pa.array(pre, pa.string()),
+                "middle": pa.array(mid, pa.string()),
+                "suffix": pa.array(suf, pa.string()),
+                "fim_text": pa.array(fim, pa.string()),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow", zero_copy_batch=True)

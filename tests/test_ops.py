@@ -69,7 +69,7 @@ SQL_CHECKED = [
     "gopher_rules", "lm_score_buckets", "bm25_topk", "curate_documents",
     "rolling_fingerprint", "kmeans_embeddings", "diverse_sample",
     "semdedup", "dedup_lines", "pack_sequences", "chunk_documents",
-    "source_mix_weights", "inverted_index",
+    "source_mix_weights", "inverted_index", "fim_examples",
 ]
 
 
@@ -1742,3 +1742,40 @@ def test_inverted_index_postings(tmp_path):
     assert got.loc["x", "df"] == 1 and got.loc["x", "postings"] == "7"
     assert got.loc["z", "postings"] == "3"
     assert set(got.index) == {"x", "y", "z"}
+
+
+def test_fim_examples_reconstruction(tmp_path):
+    """prefix+middle+suffix must reconstruct the original text exactly
+    for every doc (lossless split), the PSM string carries the three
+    sentinels in order, and empty docs emit three empty parts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import duckdb
+    import __ray_entry__ as entrymod
+    from engine.ops.textstats import fim_examples
+
+    texts = ["hello world, this is a document", "", "ab", "x" * 500]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 999_999_937], pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = (
+        _as_df(fim_examples(str(tmp_path)))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{tmp_path}/documents.parquet'")
+    want = canon(con.sql(entrymod.oracle_sql()["fim_examples"]).df())
+    pd.testing.assert_frame_equal(canon(got), want, check_dtype=False)
+
+    for _, r in got.iterrows():
+        assert r["prefix"] + r["middle"] + r["suffix"] in texts
+        assert r["fim_text"] == f"<PRE>{r['prefix']}<SUF>{r['suffix']}<MID>{r['middle']}"
+    empty = got[got.doc_id == 1].iloc[0]
+    assert empty["prefix"] == empty["middle"] == empty["suffix"] == ""
