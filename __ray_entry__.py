@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix_weights": textstats.source_mix_weights,
         "inverted_index": textstats.inverted_index,
         "fim_examples": textstats.fim_examples,
+        "contrastive_pairs": textstats.contrastive_pairs,
         "doc_repetition": textstats.doc_repetition,
         "span_corruption": textstats.span_corruption,
         "oov_rate": textstats.oov_rate,
@@ -1240,6 +1241,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "contrastive_pairs": """
+            -- deterministic negative mining: the doc halfway across the
+            -- corpus in doc_id-rank order (collision-free derangement)
+            WITH r AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY doc_id) - 1 AS rank
+              FROM documents),
+            n AS (SELECT count(*) AS total FROM documents)
+            SELECT a.doc_id,
+                   b.doc_id AS neg_doc_id
+            FROM r a, n, r b
+            WHERE b.rank = (a.rank + greatest(1, n.total // 2)) % n.total
+        """,
         "fim_examples": f"""
             -- fill-in-the-middle construction: deterministic split
             -- points from doc_id modular arithmetic (mod prime FIRST so

@@ -1249,8 +1249,6 @@ def pack_sequences(
     Pass 2 re-buckets the per-doc counts and adds the in-bucket cumsum
     to the bucket's base offset. Both shuffles move int64 rows only;
     text never leaves pass-1 batches."""
-    from ray.data.aggregate import Sum
-
     ds = _read_documents(sf_dir, ["doc_id", "text"])
 
     def doc_tokens(batch: pa.Table) -> pa.Table:
@@ -1269,66 +1267,79 @@ def pack_sequences(
             }
         )
 
-    def bucket_partials(t: pa.Table) -> pa.Table:
-        sb = t["_sb"].to_numpy(zero_copy_only=False)
-        uniq, inv = np.unique(sb, return_inverse=True)
-        # float64 weights are exact here: a per-batch partial stays far
-        # below 2^53 tokens; the global Sum accumulates in int64
-        sums = np.bincount(inv, weights=t["n_tokens"].to_numpy(zero_copy_only=False))
-        return pa.table(
-            {"_sb": pa.array(uniq), "toks": pa.array(sums.astype(np.int64))}
-        )
-
-    # tokenize ONCE; both passes read the materialized int table
+    # tokenize ONCE; both scan passes read the materialized int table
     tok = ds.map_batches(
         doc_tokens, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
-    totals = (
-        tok.map_batches(bucket_partials, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_sb")
-        .aggregate(Sum("toks", alias_name="toks"))
-        .to_pandas()
-        .sort_values("_sb")
-    )
-    bucket_ids = totals["_sb"].to_numpy().astype(np.int64)
-    base = np.concatenate([[0], np.cumsum(totals["toks"].to_numpy())[:-1]]).astype(
-        np.int64
-    )
-    offsets_ref = ray.put((bucket_ids, base))
+    scanned, _total = _prefix_scan(tok, "n_tokens")
 
-    def scan_bucket(group: pa.Table, _ids, _base) -> pa.Table:
-        if group.num_rows == 0:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "n_tokens": pa.array([], pa.int64()),
-                    "seq_id": pa.array([], pa.int64()),
-                    "seq_offset": pa.array([], pa.int64()),
-                }
-            )
-        t = group.sort_by([("doc_id", "ascending")])
-        sb = int(t["_sb"][0].as_py())
-        pos = int(np.searchsorted(_ids, sb))
-        if pos >= len(_ids) or _ids[pos] != sb:  # loud: pass-1/pass-2 drift
-            raise ValueError(f"pack_sequences: bucket {sb} missing from scan base")
-        n_tok = t["n_tokens"].to_numpy(zero_copy_only=False)
-        start = _base[pos] + np.concatenate([[0], np.cumsum(n_tok)[:-1]]).astype(
-            np.int64
-        )
+    def windows(batch: pa.Table) -> pa.Table:
+        start = batch["start"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "doc_id": t["doc_id"],
-                "n_tokens": t["n_tokens"],
+                "doc_id": batch["doc_id"],
+                "n_tokens": batch["n_tokens"],
                 "seq_id": pa.array(start // seq_len),
                 "seq_offset": pa.array(start % seq_len),
             }
         )
 
-    def scan_with_base(group: pa.Table) -> pa.Table:
-        ids, base_arr = ray.get(offsets_ref)  # local object-store hit, zero-copy
-        return scan_bucket(group, ids, base_arr)
+    return scanned.map_batches(windows, batch_format="pyarrow", zero_copy_batch=True)
 
-    return tok.groupby("_sb").map_groups(scan_with_base, batch_format="pyarrow")
+
+def _prefix_scan(tok: ray.data.Dataset, weight_col: str):
+    """Distributed EXACT exclusive prefix scan over doc_id order: input
+    rows (_sb, doc_id, <weight_col>) where ``_sb = doc_id // span`` is a
+    CONTIGUOUS-range bucket (bucket order IS doc order); output adds
+    ``start`` = sum of weights of all earlier doc_ids. Pass 1 reduces
+    each bucket to one weight-total row (per-batch ``bincount`` combiner
+    — float64 weights exact below 2^53 per batch — then a native int64
+    Sum); the driver exclusive-cumsums the tiny bucket table (16 B per
+    bucket) and ``ray.put``s it; pass 2 adds in-bucket cumsums to the
+    bucket base. Returns (dataset, exact total weight)."""
+    from ray.data.aggregate import Sum
+
+    def bucket_partials(t: pa.Table) -> pa.Table:
+        sb = t["_sb"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(sb, return_inverse=True)
+        sums = np.bincount(inv, weights=t[weight_col].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"_sb": pa.array(uniq), "w": pa.array(sums.astype(np.int64))}
+        )
+
+    totals = (
+        tok.map_batches(bucket_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_sb")
+        .aggregate(Sum("w", alias_name="w"))
+        .to_pandas()
+        .sort_values("_sb")
+    )
+    w = totals["w"].to_numpy().astype(np.int64)
+    total = int(w.sum())
+    bucket_ids = totals["_sb"].to_numpy().astype(np.int64)
+    base = np.concatenate([[0], np.cumsum(w)[:-1]]).astype(np.int64)
+    offsets_ref = ray.put((bucket_ids, base))
+
+    def scan_bucket(group: pa.Table) -> pa.Table:
+        empty = group.schema.empty_table().append_column(
+            "start", pa.array([], pa.int64())
+        )
+        if group.num_rows == 0:
+            return empty
+        _ids, _base = ray.get(offsets_ref)  # local object-store, zero-copy
+        t = group.sort_by([("doc_id", "ascending")])
+        sb = int(t["_sb"][0].as_py())
+        pos = int(np.searchsorted(_ids, sb))
+        if pos >= len(_ids) or _ids[pos] != sb:  # loud: pass-1/pass-2 drift
+            raise ValueError(f"_prefix_scan: bucket {sb} missing from scan base")
+        wv = t[weight_col].to_numpy(zero_copy_only=False)
+        start = _base[pos] + np.concatenate([[0], np.cumsum(wv)[:-1]]).astype(
+            np.int64
+        )
+        return t.append_column("start", pa.array(start))
+
+    scanned = tok.groupby("_sb").map_groups(scan_bucket, batch_format="pyarrow")
+    return scanned, total
 
 
 # ---------------------------------------------------------------------------
@@ -1640,3 +1651,105 @@ def fim_examples(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(build, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# deterministic negative sampling (contrastive pairs)
+# ---------------------------------------------------------------------------
+
+CONTRASTIVE_SHIFT_FRAC = 2  # negative = doc at rank (r + N//2) mod N
+
+
+def contrastive_pairs(sf_dir: str, span: int = PACK_SPAN) -> ray.data.Dataset:
+    """NEGATIVE SAMPLING for contrastive training: each document pairs
+    with the document halfway across the corpus in doc_id-rank order —
+    negative_rank = (rank + N//{CONTRASTIVE_SHIFT_FRAC}) mod N — a
+    deterministic, collision-free derangement (for N > 2) standing in
+    for random negative mining (O4: no RNG in the data path; resumed
+    runs re-derive identical pairs).
+
+    Physical shape: ranks come from the shared ``_prefix_scan`` (weight
+    1 per doc — the same contiguous-bucket scan as ``pack_sequences``);
+    the rank->rank self-join co-locates by hash(rank) buckets and
+    matches with one vectorized searchsorted per bucket. Every shuffle
+    row is int64; text never moves."""
+    ds = _read_documents(sf_dir, ["doc_id"])
+
+    def ones(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_sb": pa.array((doc_id // span).astype(np.int64)),
+                "doc_id": pa.array(doc_id),
+                "one": pa.array(np.ones(len(doc_id), dtype=np.int64)),
+            }
+        )
+
+    tok = ds.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True)
+    ranked, total = _prefix_scan(tok, "one")
+    if total == 0:
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "neg_doc_id": pd.Series([], dtype=np.int64),
+            }
+        )
+    shift = max(1, total // CONTRASTIVE_SHIFT_FRAC)
+    nb = max(1, total // max(span, 1))
+
+    def tag_anchor(batch: pa.Table) -> pa.Table:
+        rank = batch["start"].to_numpy(zero_copy_only=False)
+        want = (rank + shift) % total
+        return pa.table(
+            {
+                "_rb": pa.array((want % nb).astype(np.int32)),
+                "rank": pa.array(want),
+                "doc_id": batch["doc_id"],
+                "is_anchor": pa.array(np.ones(len(rank), dtype=np.int8)),
+            }
+        )
+
+    def tag_member(batch: pa.Table) -> pa.Table:
+        rank = batch["start"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_rb": pa.array((rank % nb).astype(np.int32)),
+                "rank": pa.array(rank),
+                "doc_id": batch["doc_id"],
+                "is_anchor": pa.array(np.zeros(len(rank), dtype=np.int8)),
+            }
+        )
+
+    tagged = ranked.map_batches(
+        tag_anchor, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        ranked.map_batches(tag_member, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        anchor = t["is_anchor"].to_numpy(zero_copy_only=False) == 1
+        a_rank = t["rank"].to_numpy(zero_copy_only=False)[anchor]
+        a_doc = t["doc_id"].to_numpy(zero_copy_only=False)[anchor]
+        m_rank = t["rank"].to_numpy(zero_copy_only=False)[~anchor]
+        m_doc = t["doc_id"].to_numpy(zero_copy_only=False)[~anchor]
+        order = np.argsort(m_rank)
+        m_rank, m_doc = m_rank[order], m_doc[order]
+        pos = np.searchsorted(m_rank, a_rank)
+        if len(a_rank) and (
+            pos.max(initial=0) >= len(m_rank)
+            or not np.array_equal(m_rank[pos], a_rank)
+        ):  # every wanted rank must exist exactly once in its bucket
+            raise ValueError("contrastive_pairs: rank join missed a member")
+        return pa.table(
+            {
+                "doc_id": pa.array(a_doc),
+                "neg_doc_id": pa.array(m_doc[pos] if len(a_rank) else m_doc[:0]),
+            }
+        )
+
+    return tagged.groupby("_rb").map_groups(
+        lambda g: join_bucket(g.drop_columns(["_rb"])), batch_format="pyarrow"
+    )

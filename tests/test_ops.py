@@ -70,6 +70,7 @@ SQL_CHECKED = [
     "rolling_fingerprint", "kmeans_embeddings", "diverse_sample",
     "semdedup", "dedup_lines", "pack_sequences", "chunk_documents",
     "source_mix_weights", "inverted_index", "fim_examples",
+    "contrastive_pairs",
 ]
 
 
@@ -1779,3 +1780,40 @@ def test_fim_examples_reconstruction(tmp_path):
         assert r["fim_text"] == f"<PRE>{r['prefix']}<SUF>{r['suffix']}<MID>{r['middle']}"
     empty = got[got.doc_id == 1].iloc[0]
     assert empty["prefix"] == empty["middle"] == empty["suffix"] == ""
+
+
+def test_contrastive_pairs_derangement(tmp_path):
+    """On a gappy doc_id space: every doc gets exactly one negative,
+    every doc serves as a negative exactly once (bijection), and no doc
+    pairs with itself for N > 1; N=1 degenerates to a self-pair on both
+    engines."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+    from engine.ops.textstats import contrastive_pairs
+
+    rng = np.random.default_rng(71)
+    ids = np.unique(rng.integers(0, 10_000, 97).astype(np.int64))
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids), "text": pa.array(["t"] * len(ids))}),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = canon(_as_df(contrastive_pairs(str(tmp_path), span=16)))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{tmp_path}/documents.parquet'")
+    want = canon(con.sql(entrymod.oracle_sql()["contrastive_pairs"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) == len(ids)
+    assert (got["doc_id"] != got["neg_doc_id"]).all()          # derangement
+    assert set(got["neg_doc_id"]) == set(ids)                  # bijection
+
+    solo = tmp_path / "solo"
+    solo.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([42], pa.int64()),
+                  "text": pa.array(["x"])}),
+        str(solo / "documents.parquet"),
+    )
+    one = _as_df(contrastive_pairs(str(solo)))
+    assert len(one) == 1 and one.iloc[0]["neg_doc_id"] == 42  # degenerate N=1
