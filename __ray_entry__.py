@@ -357,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": textstats.inverted_index,
         "fim_examples": textstats.fim_examples,
         "contrastive_pairs": textstats.contrastive_pairs,
+        "mixture_sample": textstats.mixture_sample,
         "doc_repetition": textstats.doc_repetition,
         "span_corruption": textstats.span_corruption,
         "oov_rate": textstats.oov_rate,
@@ -1241,6 +1242,35 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "mixture_sample": f"""
+            -- temperature sampling: downsample to ~1/{textstats_mod.MIX_TARGET_DIV}
+            -- with expected per-source counts proportional to the mix
+            -- weights; all-integer thresholds, keep iff
+            -- knuth_hash(doc_id) % 1e6 < thr_e6 of the doc's source
+            WITH c AS (
+              SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+            q AS (
+              SELECT source, n_docs,
+                     CAST(round(1000000 * sqrt(n_docs)) AS BIGINT) AS sqrt_e6
+              FROM c),
+            w AS (
+              SELECT source, n_docs,
+                     CAST(round(1000000.0 * sqrt_e6
+                                / (SELECT sum(sqrt_e6) FROM q)) AS BIGINT)
+                       AS weight_e6
+              FROM q),
+            thr AS (
+              SELECT source,
+                     least(1000000,
+                           ((SELECT sum(n_docs) FROM c)
+                             // {textstats_mod.MIX_TARGET_DIV})
+                             * weight_e6 // n_docs) AS thr_e6
+              FROM w)
+            SELECT d.doc_id, d.source, CAST(t.thr_e6 AS BIGINT) AS thr_e6
+            FROM documents d JOIN thr t ON d.source = t.source
+            WHERE ((d.doc_id * 2654435761 + 12345) % 4294967296) % 1000000
+                  < t.thr_e6
+        """,
         "contrastive_pairs": """
             -- deterministic negative mining: the doc halfway across the
             -- corpus in doc_id-rank order (collision-free derangement)

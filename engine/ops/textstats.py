@@ -1753,3 +1753,81 @@ def contrastive_pairs(sf_dir: str, span: int = PACK_SPAN) -> ray.data.Dataset:
     return tagged.groupby("_rb").map_groups(
         lambda g: join_bucket(g.drop_columns(["_rb"])), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# mixture-weighted corpus sampling
+# ---------------------------------------------------------------------------
+
+
+MIX_TARGET_DIV = 4  # sample the corpus down to ~1/4 its size
+
+
+def mixture_sample(sf_dir: str) -> ray.data.Dataset:
+    """Apply the alpha=0.5 domain-mixing weights as the
+    temperature-sampling step a training mix runs after
+    ``source_mix_weights``: downsample the corpus to ~1/{MIX_TARGET_DIV}
+    with EXPECTED per-source counts proportional to the mix weights —
+    keep a doc iff ``hash(doc_id) % 1e6 < thr_s`` where
+    ``thr_s = min(1e6, (n_total // {MIX_TARGET_DIV}) * weight_e6_s //
+    n_docs_s)`` (small domains keep a LARGER fraction; a domain whose
+    target exceeds its size caps at keep-everything). All-integer
+    thresholds — products stay < n_total * 1e6, far under 2^63 at any
+    corpus size that fits int64 doc counts — so both engines compare
+    the same exact numbers. Deterministic in doc_id (Knuth
+    multiplicative hash, the ``sample_events`` discipline), so a
+    resumed partition keeps the identical sample. Docs whose source is
+    NULL drop (SQL inner-join-on-equality semantics).
+
+    Physical shape: phase 1 is the bounded source-weight aggregate
+    (driver-side, |sources| rows); phase 2 broadcasts the threshold
+    table once and runs a stateless vectorized filter per batch — the
+    big side never shuffles (rule 11)."""
+    from .sketches import _sample_hash
+
+    weights = source_mix_weights(sf_dir)
+    n_total = int(weights["n_docs"].sum())
+    target = n_total // MIX_TARGET_DIV
+    lookup = {
+        s: min(1_000_000, target * int(w) // int(n))
+        for s, w, n in zip(
+            weights["source"], weights["weight_e6"], weights["n_docs"]
+        )
+        if s is not None
+    }
+    lookup_ref = ray.put(lookup)
+
+    ds = _read_documents(sf_dir, ["doc_id", "source"])
+
+    class KeepWeighted:
+        def __init__(self, ref):
+            self._w = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+            src = pd.Series(batch["source"].to_pylist(), dtype=object)
+            w = src.map(self._w).to_numpy()
+            known = pd.notna(w)
+            wv = np.where(known, w, -1).astype(np.int64)
+            keep = known & ((_sample_hash(doc_id) % 1_000_000) < wv)
+            out = batch.filter(pa.array(keep))
+            return pa.table(
+                {
+                    "doc_id": out["doc_id"],
+                    "source": out["source"],
+                    "thr_e6": pa.array(wv[keep]),
+                }
+            )
+
+    from .._rayutil import pool_size
+
+    return ds.map_batches(
+        KeepWeighted,
+        fn_constructor_args=(lookup_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        num_cpus=1,
+    )

@@ -70,7 +70,7 @@ SQL_CHECKED = [
     "rolling_fingerprint", "kmeans_embeddings", "diverse_sample",
     "semdedup", "dedup_lines", "pack_sequences", "chunk_documents",
     "source_mix_weights", "inverted_index", "fim_examples",
-    "contrastive_pairs",
+    "contrastive_pairs", "mixture_sample",
 ]
 
 
@@ -1817,3 +1817,37 @@ def test_contrastive_pairs_derangement(tmp_path):
     )
     one = _as_df(contrastive_pairs(str(solo)))
     assert len(one) == 1 and one.iloc[0]["neg_doc_id"] == 42  # degenerate N=1
+
+
+def test_mixture_sample_rates_and_null_sources(tmp_path):
+    """Per-source keep rates track weight_e6/1e6 (small domains keep a
+    larger fraction) and NULL-source docs drop like the SQL inner
+    join."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+    from engine.ops.textstats import mixture_sample
+
+    sources = ["big"] * 4000 + ["small"] * 250 + [None] * 50
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(sources), dtype=np.int64)),
+                "source": pa.array(sources, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = canon(_as_df(mixture_sample(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{tmp_path}/documents.parquet'")
+    want = canon(con.sql(entrymod.oracle_sql()["mixture_sample"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    assert got["source"].notna().all()  # NULL-source docs never sampled
+    rates = got.groupby("source").size()
+    # sqrt weighting: 'small' (1/16 the docs) keeps ~4x the rate of 'big'
+    r_small = rates.get("small", 0) / 250
+    r_big = rates.get("big", 0) / 4000
+    assert r_small > 2 * r_big
