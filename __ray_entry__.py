@@ -1271,9 +1271,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((d.doc_id * 2654435761 + 12345) % 4294967296) % 1000000
                   < t.thr_e6
         """,
-        "contrastive_pairs": """
-            -- deterministic negative mining: the doc halfway across the
-            -- corpus in doc_id-rank order (collision-free derangement)
+        "contrastive_pairs": f"""
+            -- deterministic negative mining: the doc 1/{textstats_mod.CONTRASTIVE_SHIFT_FRAC}
+            -- across the corpus in doc_id-rank order (collision-free
+            -- derangement)
             WITH r AS (
               SELECT doc_id,
                      row_number() OVER (ORDER BY doc_id) - 1 AS rank
@@ -1282,7 +1283,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id,
                    b.doc_id AS neg_doc_id
             FROM r a, n, r b
-            WHERE b.rank = (a.rank + greatest(1, n.total // 2)) % n.total
+            WHERE b.rank = (a.rank + greatest(1,
+                    n.total // {textstats_mod.CONTRASTIVE_SHIFT_FRAC})) % n.total
         """,
         "fim_examples": f"""
             -- fill-in-the-middle construction: deterministic split

@@ -166,7 +166,7 @@ def lang_id_accuracy(sf_dir: str) -> ray.data.Dataset:
             [("pred_lang", "count")]
         )
 
-    partials = _read_documents(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+    partials = _read_documents(sf_dir, ["text", "lang"]).map_batches(
         confuse, batch_format="pyarrow", zero_copy_batch=True
     )
     return partials.groupby(["lang", "pred_lang"]).aggregate(
@@ -1321,11 +1321,10 @@ def _prefix_scan(tok: ray.data.Dataset, weight_col: str):
     offsets_ref = ray.put((bucket_ids, base))
 
     def scan_bucket(group: pa.Table) -> pa.Table:
-        empty = group.schema.empty_table().append_column(
-            "start", pa.array([], pa.int64())
-        )
         if group.num_rows == 0:
-            return empty
+            return group.schema.empty_table().append_column(
+                "start", pa.array([], pa.int64())
+            )
         _ids, _base = ray.get(offsets_ref)  # local object-store, zero-copy
         t = group.sort_by([("doc_id", "ascending")])
         sb = int(t["_sb"][0].as_py())
@@ -1663,16 +1662,18 @@ CONTRASTIVE_SHIFT_FRAC = 2  # negative = doc at rank (r + N//2) mod N
 def contrastive_pairs(sf_dir: str, span: int = PACK_SPAN) -> ray.data.Dataset:
     """NEGATIVE SAMPLING for contrastive training: each document pairs
     with the document halfway across the corpus in doc_id-rank order —
-    negative_rank = (rank + N//{CONTRASTIVE_SHIFT_FRAC}) mod N — a
-    deterministic, collision-free derangement (for N > 2) standing in
+    negative_rank = (rank + N // CONTRASTIVE_SHIFT_FRAC) mod N — a
+    deterministic, collision-free derangement (for N > 1) standing in
     for random negative mining (O4: no RNG in the data path; resumed
     runs re-derive identical pairs).
 
     Physical shape: ranks come from the shared ``_prefix_scan`` (weight
     1 per doc — the same contiguous-bucket scan as ``pack_sequences``);
-    the rank->rank self-join co-locates by hash(rank) buckets and
-    matches with one vectorized searchsorted per bucket. Every shuffle
-    row is int64; text never moves."""
+    the int-only rank table MATERIALIZES once (Ray re-executes lineage
+    per consumer, and three consumers read it), then the rank->rank
+    self-join co-locates by hash(rank) buckets and matches with one
+    vectorized searchsorted per bucket. Every shuffle row is int64;
+    text never moves."""
     ds = _read_documents(sf_dir, ["doc_id"])
 
     def ones(batch: pa.Table) -> pa.Table:
@@ -1685,7 +1686,9 @@ def contrastive_pairs(sf_dir: str, span: int = PACK_SPAN) -> ray.data.Dataset:
             }
         )
 
-    tok = ds.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True)
+    tok = ds.map_batches(
+        ones, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
     ranked, total = _prefix_scan(tok, "one")
     if total == 0:
         import pandas as pd
@@ -1696,6 +1699,7 @@ def contrastive_pairs(sf_dir: str, span: int = PACK_SPAN) -> ray.data.Dataset:
                 "neg_doc_id": pd.Series([], dtype=np.int64),
             }
         )
+    ranked = ranked.materialize()  # read by both union branches
     shift = max(1, total // CONTRASTIVE_SHIFT_FRAC)
     nb = max(1, total // max(span, 1))
 
@@ -1766,68 +1770,57 @@ MIX_TARGET_DIV = 4  # sample the corpus down to ~1/4 its size
 def mixture_sample(sf_dir: str) -> ray.data.Dataset:
     """Apply the alpha=0.5 domain-mixing weights as the
     temperature-sampling step a training mix runs after
-    ``source_mix_weights``: downsample the corpus to ~1/{MIX_TARGET_DIV}
+    ``source_mix_weights``: downsample the corpus to ~1/MIX_TARGET_DIV
     with EXPECTED per-source counts proportional to the mix weights —
     keep a doc iff ``hash(doc_id) % 1e6 < thr_s`` where
-    ``thr_s = min(1e6, (n_total // {MIX_TARGET_DIV}) * weight_e6_s //
+    ``thr_s = min(1e6, (n_total // MIX_TARGET_DIV) * weight_e6_s //
     n_docs_s)`` (small domains keep a LARGER fraction; a domain whose
-    target exceeds its size caps at keep-everything). All-integer
-    thresholds — products stay < n_total * 1e6, far under 2^63 at any
-    corpus size that fits int64 doc counts — so both engines compare
-    the same exact numbers. Deterministic in doc_id (Knuth
-    multiplicative hash, the ``sample_events`` discipline), so a
-    resumed partition keeps the identical sample. Docs whose source is
-    NULL drop (SQL inner-join-on-equality semantics).
+    target exceeds its size caps at keep-everything). Thresholds are
+    all-integer (exact Python ints on the driver, exact HUGEINT in the
+    oracle); the hash itself shares ``sample_events``' documented
+    domain — exact for doc_id < ~3.4e9, beyond which numpy wraps where
+    DuckDB errors. Deterministic in doc_id, so a resumed partition
+    keeps the identical sample. Docs whose source is NULL drop (SQL
+    inner-join-on-equality semantics).
 
     Physical shape: phase 1 is the bounded source-weight aggregate
-    (driver-side, |sources| rows); phase 2 broadcasts the threshold
-    table once and runs a stateless vectorized filter per batch — the
-    big side never shuffles (rule 11)."""
+    (driver-side, |sources| rows); phase 2 is a stateless fully
+    vectorized filter per batch — ``pc.index_in`` against the tiny
+    source list + ``np.take`` on the threshold array — and the big
+    side never shuffles (rule 11)."""
     from .sketches import _sample_hash
 
     weights = source_mix_weights(sf_dir)
     n_total = int(weights["n_docs"].sum())
     target = n_total // MIX_TARGET_DIV
-    lookup = {
-        s: min(1_000_000, target * int(w) // int(n))
-        for s, w, n in zip(
-            weights["source"], weights["weight_e6"], weights["n_docs"]
-        )
-        if s is not None
-    }
-    lookup_ref = ray.put(lookup)
+    known = weights[weights["source"].notna()]
+    src_list = pa.array(list(known["source"]), pa.string())
+    thr_arr = np.array(
+        [
+            min(1_000_000, target * int(w) // int(n))
+            for w, n in zip(known["weight_e6"], known["n_docs"])
+        ],
+        dtype=np.int64,
+    )
 
     ds = _read_documents(sf_dir, ["doc_id", "source"])
 
-    class KeepWeighted:
-        def __init__(self, ref):
-            self._w = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import pandas as pd
-
-            doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
-            src = pd.Series(batch["source"].to_pylist(), dtype=object)
-            w = src.map(self._w).to_numpy()
-            known = pd.notna(w)
-            wv = np.where(known, w, -1).astype(np.int64)
-            keep = known & ((_sample_hash(doc_id) % 1_000_000) < wv)
-            out = batch.filter(pa.array(keep))
-            return pa.table(
-                {
-                    "doc_id": out["doc_id"],
-                    "source": out["source"],
-                    "thr_e6": pa.array(wv[keep]),
-                }
-            )
-
-    from .._rayutil import pool_size
+    def keep_weighted(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        idx = pc.index_in(batch["source"], value_set=src_list)
+        hit = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        iv = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        thr = np.where(hit, thr_arr[iv] if len(thr_arr) else 0, -1)
+        keep = hit & ((_sample_hash(doc_id) % 1_000_000) < thr)
+        out = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_id": out["doc_id"],
+                "source": out["source"],
+                "thr_e6": pa.array(thr[keep].astype(np.int64)),
+            }
+        )
 
     return ds.map_batches(
-        KeepWeighted,
-        fn_constructor_args=(lookup_ref,),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=pool_size(),
-        num_cpus=1,
+        keep_weighted, batch_format="pyarrow", zero_copy_batch=True
     )
