@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_events_per_user": relational.ewma_events_per_user,
         "anti_join_customers_bloom": relational.anti_join_customers_bloom,
         "dense_rank_events_per_user": relational.dense_rank_events_per_user,
+        "percent_rank_events": relational.percent_rank_events,
         "densify_user_days": relational.densify_user_days,
         "user_journeys": relational.user_journeys,
         "q18_large_orders": relational.q18_large_orders,
@@ -376,10 +377,14 @@ def _transcripts_sql_source() -> str:
     scale (sf0.01 -> tier t2), materialized on demand so the oracle can run
     before any Ray query touches it. The transcript table is synthesized
     (BASELINE.json input_hint) and not among the driver's pre-registered
-    views, so the SQL reads it by path."""
+    views, so the SQL reads it by path.
+
+    ``ENGINE_ORACLE_TRANSCRIPT_TIER`` overrides the tier so local gate
+    replicas (scripts/check_correctness.py) can compare transcript-family
+    oracles at sf0.001/sf0.1 too; the driver sets nothing and gets t2."""
     from engine import synth
 
-    d = synth.fixture_dir("t2")
+    d = synth.fixture_dir(os.environ.get("ENGINE_ORACLE_TRANSCRIPT_TIER", "t2"))
     return f"read_parquet('{d}/*.parquet')"
 
 
@@ -1543,6 +1548,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dense_rank() OVER (
                      PARTITION BY user_id ORDER BY value DESC) AS BIGINT)
                      AS drank
+            FROM events
+        """,
+        "percent_rank_events": """
+            SELECT event_id, user_id,
+                   percent_rank() OVER (
+                     PARTITION BY user_id
+                     ORDER BY value, ts, event_id) AS pct_rank,
+                   cume_dist() OVER (
+                     PARTITION BY user_id
+                     ORDER BY value, ts, event_id) AS cume
             FROM events
         """,
         "user_journeys": """

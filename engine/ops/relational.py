@@ -2462,6 +2462,54 @@ def dense_rank_events_per_user(
     )
 
 
+def percent_rank_events(
+    sf_dir: str, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """PERCENT_RANK() and CUME_DIST() OVER (PARTITION BY user ORDER BY
+    value, ts, event_id) — the relative-position window functions that
+    round out the ranking family (row_number / rank / dense_rank /
+    ntile are elsewhere in this module).
+
+    The ORDER BY is total (event_id is unique), so rank == row_number
+    and every row is its own peer group: percent_rank = (rn−1)/(n−1)
+    (0.0 for single-row partitions, SQL's defined value for the 0/0
+    case) and cume_dist = rn/n. Both are a SINGLE int64÷int64 division
+    in IEEE double — exactly rounded, so the bits match DuckDB on any
+    worker count. Same physical shape as the other per-user windows:
+    one hash(user_id) bucket shuffle, vectorized run arithmetic."""
+
+    def finalize(t: pa.Table, starts: np.ndarray, n: int) -> pa.Table:
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "pct_rank": pa.array([], pa.float64()),
+                    "cume": pa.array([], pa.float64()),
+                }
+            )
+        sizes = np.diff(np.append(starts, n))
+        rn = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes) + 1
+        n_user = np.repeat(sizes, sizes).astype(np.int64)
+        pct = np.where(n_user > 1, (rn - 1) / np.maximum(n_user - 1, 1), 0.0)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "pct_rank": pa.array(pct),
+                "cume": pa.array(rn / n_user),
+            }
+        )
+
+    return _per_user_ordered(
+        sf_dir, num_buckets, finalize,
+        sort_keys=[
+            ("user_id", "ascending"), ("value", "ascending"),
+            ("ts", "ascending"), ("event_id", "ascending"),
+        ],
+    )
+
+
 def densify_user_days(sf_dir: str, num_buckets: int | None = None) -> ray.data.Dataset:
     """Time-series DENSIFY / gap fill: one row per (user, calendar day)
     for EVERY day in the user's [first, last] activity span, zero-filled

@@ -33,6 +33,13 @@ def main():
     import duckdb
     import ray
 
+    # Point the transcript-family oracles at the fixture tier matching
+    # sf_dir (the driver always compares at sf0.01/t2; this keeps the
+    # local replica meaningful at other scales).
+    from engine import synth
+
+    os.environ["ENGINE_ORACLE_TRANSCRIPT_TIER"] = synth.tier_for_sf_dir(sf_dir)
+
     ray.init(
         address="local", num_cpus=16, include_dashboard=False,
         ignore_reinit_error=True, logging_level="ERROR",

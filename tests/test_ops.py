@@ -55,7 +55,7 @@ SQL_CHECKED = [
     "unnest_embeddings",
     "q10_returned_revenue", "ntile_events_per_user", "bigram_counts",
     "anti_join_customers_bloom",
-    "dense_rank_events_per_user", "densify_user_days",
+    "dense_rank_events_per_user", "percent_rank_events", "densify_user_days",
     "user_journeys", "outlier_events",
     "q18_large_orders", "funnel_conversion", "train_test_split",
     "decontaminate_documents",
