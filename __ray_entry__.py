@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_jaccard": dedup.dedup_jaccard,
+        "dedup_spans": dedup.dedup_spans,
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_embedding": dedup.dedup_embedding,
         "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
@@ -430,6 +431,7 @@ def oracle_sql() -> dict[str, str]:
         STOPWORDS,
         TOKEN_PATTERN,
     )
+    from engine.ops import dedup
     from engine.ops import textstats as textstats_mod
 
     def marker_score(lang: str) -> str:
@@ -995,6 +997,38 @@ def oracle_sql() -> dict[str, str]:
             FROM marked GROUP BY doc_id
         """,
         "dedup_jaccard": jaccard_sql,
+        "dedup_spans": f"""
+            -- exact-substring dedup: a word-8-gram window is duplicated
+            -- for a doc iff it also occurs in a LOWER doc_id; drop when
+            -- >= 4/5 of a doc's distinct windows are duplicated. Gram
+            -- STRINGS here vs 64-bit gram hashes in the engine (same
+            -- collision contract as dedup_jaccard).
+            WITH corpus AS ({dup_corpus_sql}),
+            worded AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS words
+              FROM corpus),
+            grams AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(words) < {dedup.SPAN_K}
+                     THEN [array_to_string(words, ' ')]
+                     ELSE list_transform(range(len(words) - {dedup.SPAN_K - 1}),
+                            i -> array_to_string(
+                              list_slice(words, CAST(i + 1 AS INT),
+                                         CAST(i + {dedup.SPAN_K} AS INT)), ' '))
+                END)) AS gram
+              FROM worded),
+            lo AS (SELECT gram, min(doc_id) AS lo_id FROM grams GROUP BY gram)
+            SELECT g.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_windows,
+                   CAST(count(*) FILTER (WHERE g.doc_id > lo_id) AS BIGINT)
+                     AS n_dup_windows,
+                   CAST(CASE WHEN {dedup.SPAN_DROP_DEN}
+                               * count(*) FILTER (WHERE g.doc_id > lo_id)
+                             < {dedup.SPAN_DROP_NUM} * count(*)
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM grams g JOIN lo USING (gram)
+            GROUP BY g.doc_id
+        """,
         "dedup_clusters": f"""
             -- transitive closure over the near-dup pair graph: cluster_id
             -- = min doc_id reachable through jaccard >= 0.6 pairs

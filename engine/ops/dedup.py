@@ -573,16 +573,17 @@ class GramIndexStage:
     c / (na + nb - c) where c = number of gram buckets a pair shares —
     the inverted-index identity |A∩B| = #{g : g∈A and g∈B}."""
 
-    def __init__(self, num_buckets: int) -> None:
+    def __init__(self, num_buckets: int, k: int = SHINGLE_K) -> None:
         self._gram_hashes = _gram_hashes
         self._num_buckets = num_buckets
+        self._k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         gh_out, id_out, n_out = [], [], []
         for doc_id, text in zip(ids, texts):
-            gh = self._gram_hashes(text)
+            gh = self._gram_hashes(text, self._k)
             gh_out.append(gh)
             id_out.append(np.full(len(gh), doc_id, dtype=np.int64))
             n_out.append(np.full(len(gh), len(gh), dtype=np.int64))
@@ -656,6 +657,108 @@ def dedup_jaccard(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> ray.data
         )
 
     return _combine_pairs_bucketed(pairs, finalize)
+
+
+# ---------------------------------------------------------------------------
+# exact-substring (duplicated word-window) dedup, keep-first
+# ---------------------------------------------------------------------------
+
+SPAN_K = 8  # words per window (the test-scale analog of ~50-token spans)
+SPAN_DROP_NUM, SPAN_DROP_DEN = 4, 5  # drop iff n_dup_low/n_windows >= 4/5
+
+
+def _span_bucket_partials(group: pa.Table) -> pa.Table:
+    """One shuffle bucket of (gram_hash, doc_id) rows: window runs →
+    'this window also lives in a LOWER doc_id' flags → per-doc partial
+    (n_windows, n_dup_low) counts. In-bucket flags are globally correct
+    because a gram hash lives in exactly one bucket; rows within a run
+    are doc_id-sorted, so the run head IS the minimum owner."""
+    t = group.sort_by(
+        [("gram_hash", "ascending"), ("doc_id", "ascending")]
+    ).combine_chunks()
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_win": pa.array([], pa.int64()),
+                "n_dup": pa.array([], pa.int64()),
+            }
+        )
+    gh = t.column("gram_hash").to_numpy(zero_copy_only=False)
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    marker = _run_starts(gh)
+    run_id = np.cumsum(marker) - 1
+    run_min = ids[np.flatnonzero(marker)][run_id]
+    part = pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "dup": pa.array((ids > run_min).astype(np.int64)),
+        }
+    )
+    agg = part.group_by(["doc_id"]).aggregate([("dup", "sum"), ("dup", "count")])
+    return pa.table(
+        {
+            "doc_id": agg["doc_id"],
+            "n_win": pc.cast(agg["dup_count"], pa.int64()),
+            "n_dup": pc.cast(agg["dup_sum"], pa.int64()),
+        }
+    )
+
+
+def dedup_spans(sf_dir: str) -> ray.data.Dataset:
+    """Exact-substring dedup over duplicated word-8-gram windows,
+    keep-first: a window is 'duplicated' for a doc iff the identical
+    window occurs in some LOWER doc_id; a doc is dropped (keep = 0) when
+    ≥ 4/5 of its distinct windows are duplicated. The span-level
+    complement of whole-doc ``dedup_exact``: documents assembled mostly
+    from text already owned by earlier documents are culled even when no
+    single doc equals them (the 'exact substring' family of
+    training-data dedup, at word-window granularity).
+
+    Scale shape — the inverted-index pattern ``dedup_jaccard``
+    established, with a COUNTING finisher instead of pair expansion (no
+    quadratic run risk at any hot-window df): explode docs to
+    (gram_hash, doc_id) rows bucketed by hash(gram) (the ONE text-free
+    shuffle; 2×int64 + int32 per row), per-bucket run arithmetic marks
+    lower-owner windows and pre-aggregates per doc, then a tiny
+    groupby(doc_id) sums partials. The oracle compares gram STRINGS
+    while the engine compares 64-bit gram hashes — identical up to crc
+    collisions (~2⁻⁶⁴, same contract as ``dedup_jaccard``)."""
+    from ray.data.aggregate import Sum
+
+    num_buckets = _pair_num_buckets()
+    ds = dup_corpus(sf_dir)
+    exploded = ds.map_batches(
+        GramIndexStage,
+        fn_constructor_args=(num_buckets, SPAN_K),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        num_cpus=1,
+    )
+    partials = exploded.groupby("_pb").map_groups(
+        lambda g: _span_bucket_partials(g.drop_columns(["_pb", "n_grams"])),
+        batch_format="pyarrow",
+    )
+    agg = partials.groupby("doc_id").aggregate(
+        Sum("n_win", alias_name="n_windows"),
+        Sum("n_dup", alias_name="n_dup_windows"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        nw = batch["n_windows"].to_numpy(zero_copy_only=False)
+        nd = batch["n_dup_windows"].to_numpy(zero_copy_only=False)
+        keep = (SPAN_DROP_DEN * nd < SPAN_DROP_NUM * nw).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_windows": batch["n_windows"],
+                "n_dup_windows": batch["n_dup_windows"],
+                "keep": pa.array(keep),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------

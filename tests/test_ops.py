@@ -34,7 +34,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 SQL_CHECKED = [
     "pricing_summary", "stage_totals", "top_stages", "distinct_event_types",
     "orders_by_segment", "windowed_events", "sessionized_events",
-    "top_event_per_user", "asof_join_events_orders", "dedup_exact", "dedup_jaccard", "dedup_clusters",
+    "top_event_per_user", "asof_join_events_orders", "dedup_exact", "dedup_jaccard", "dedup_spans", "dedup_clusters",
     "dedup_embedding",
     "knn_bruteforce",
     "quality_score", "lang_id", "lang_id_accuracy", "bpe_token_counts",
@@ -1431,6 +1431,34 @@ def test_dedup_lines_crafted_edges(tmp_path):
     by3 = got3.set_index("doc_id")
     assert "duo line" in by3.loc[1, "clean_text"]       # 2x: kept at 3
     assert "tri line" not in by3.loc[1, "clean_text"]   # 3x: still dropped
+
+
+def test_dedup_spans_crafted_threshold_boundary(tmp_path):
+    """Keep-first exact-substring dedup at the 4/5 boundary: a doc with
+    exactly 4 of 5 windows owned by a lower doc drops; 3 of 5 keeps;
+    dup_corpus's injected exact copies always drop (5/5 dup)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from engine.ops.dedup import dedup_spans
+
+    a = [f"a{i}" for i in range(1, 13)]             # doc 1: a1..a12
+    doc3 = a[:11] + ["b1"]                          # 4/5 windows dup
+    doc5 = a[:10] + ["c1", "c2"]                    # 3/5 windows dup
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 3, 5], pa.int64()),
+                "text": pa.array([" ".join(a), " ".join(doc3), " ".join(doc5)]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = _as_df(dedup_spans(str(tmp_path))).set_index("doc_id")
+    assert (got["n_windows"] == 5).all()
+    keeps = got["keep"].to_dict()
+    assert keeps == {1: 1, 3: 0, 5: 1, 100001: 0, 100003: 0, 100005: 0}
+    assert got.loc[3, "n_dup_windows"] == 4
+    assert got.loc[5, "n_dup_windows"] == 3
 
 
 def test_pack_sequences_crafted_scan_edges(tmp_path):
