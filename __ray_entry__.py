@@ -229,7 +229,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from engine.ops import (
-        dedup, multimodal, relational, similarity, sketches, textstats, tpch,
+        dedup, graph, multimodal, relational, similarity, sketches, textstats, tpch,
     )
 
     return {
@@ -329,6 +329,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_documents": dedup.decontaminate_documents,
         "dedup_incremental": dedup.dedup_incremental,
         "dedup_lines": dedup.dedup_lines,
+        "dedup_editdist": dedup.dedup_editdist,
+        # iterative graph analytics
+        "pagerank_entities": graph.pagerank_entities,
         # similarity search
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_ivf": similarity.knn_ivf,
@@ -432,7 +435,25 @@ def oracle_sql() -> dict[str, str]:
         TOKEN_PATTERN,
     )
     from engine.ops import dedup
+    from engine.ops import graph as graph_mod
     from engine.ops import textstats as textstats_mod
+
+    def _pr_iter_cte(cur: str, prev: str) -> str:
+        # one PageRank iteration; sum(BIGINT) is HUGEINT in DuckDB, so
+        # the update is CAST back to BIGINT to hash like the engine
+        return f"""{cur} AS (
+              SELECT e.dst AS node,
+                     CAST({graph_mod.PR_TELEPORT}
+                          + ({graph_mod.PR_D_NUM} * sum(r.r // d.outdeg))
+                            // {graph_mod.PR_D_DEN} AS BIGINT) AS r
+              FROM edges e
+              JOIN deg d ON d.src = e.src
+              JOIN {prev} r ON r.node = e.src
+              GROUP BY e.dst)"""
+
+    pr_ctes = ",\n".join(
+        _pr_iter_cte(f"r{i + 1}", f"r{i}") for i in range(graph_mod.PR_ITERS)
+    )
 
     def marker_score(lang: str) -> str:
         return " + ".join(
@@ -997,6 +1018,61 @@ def oracle_sql() -> dict[str, str]:
             FROM marked GROUP BY doc_id
         """,
         "dedup_jaccard": jaccard_sql,
+        "dedup_editdist": f"""
+            -- FastSS oracle: quadratic levenshtein join over the short-
+            -- ASCII corpus + its one-char corrupted copies. The length
+            -- and first-or-last-char prefilters are provably lossless
+            -- for ED<=1 on strings of length >= 2 (a single edit leaves
+            -- the first or the last character untouched).
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              WHERE n_chars <= {dedup.ED_MAX_CHARS}
+                AND strlen(text) = length(text) AND length(text) > 0
+            ), corpus AS (
+              SELECT doc_id, text FROM base
+              UNION ALL
+              SELECT doc_id + {dedup.ED_SUB_OFFSET},
+                     substr(text, 1, doc_id % length(text)) || 'x'
+                       || substr(text, (doc_id % length(text)) + 2)
+              FROM base WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id + {dedup.ED_DEL_OFFSET},
+                     substr(text, 1, doc_id % length(text))
+                       || substr(text, (doc_id % length(text)) + 2)
+              FROM base WHERE doc_id % 3 = 1
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance
+            FROM corpus a JOIN corpus b
+              ON a.doc_id < b.doc_id
+             AND abs(length(a.text) - length(b.text)) <= 1
+             AND (substr(a.text, 1, 1) = substr(b.text, 1, 1)
+               OR substr(a.text, length(a.text), 1)
+                  = substr(b.text, length(b.text), 1))
+             AND levenshtein(a.text, b.text) <= 1
+        """,
+        "pagerank_entities": f"""
+            -- unrolled {graph_mod.PR_ITERS}-iteration exact-integer
+            -- PageRank replay over the bidirectional customer-supplier
+            -- trade graph (node = 2*custkey | 2*suppkey+1)
+            WITH pairs AS (
+              SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+              FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            ), edges AS (
+              SELECT CAST(2 * c AS BIGINT) AS src,
+                     CAST(2 * s + 1 AS BIGINT) AS dst FROM pairs
+              UNION ALL
+              SELECT CAST(2 * s + 1 AS BIGINT), CAST(2 * c AS BIGINT) FROM pairs
+            ), deg AS (
+              SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+              FROM edges GROUP BY src
+            ), r0 AS (
+              SELECT src AS node, CAST({graph_mod.PR_SCALE} AS BIGINT) AS r
+              FROM deg
+            ),
+            {pr_ctes}
+            SELECT node, r AS rank_micro FROM r{graph_mod.PR_ITERS}
+        """,
         "dedup_spans": f"""
             -- exact-substring dedup: a word-8-gram window is duplicated
             -- for a doc iff it also occurs in a LOWER doc_id; drop when

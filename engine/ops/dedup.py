@@ -204,7 +204,9 @@ def _pairs_within_runs(new_run: np.ndarray):
 _PAIR_LOW32 = np.int64(0xFFFFFFFF)
 
 
-def _combine_pairs_bucketed(pairs: ray.data.Dataset, finalize) -> ray.data.Dataset:
+def _combine_pairs_bucketed(
+    pairs: ray.data.Dataset, finalize, extra_reducers: dict | None = None
+) -> ray.data.Dataset:
     """Global (doc_a, doc_b) pair combine WITHOUT a millions-of-distinct-
     keys shuffle.
 
@@ -218,11 +220,15 @@ def _combine_pairs_bucketed(pairs: ray.data.Dataset, finalize) -> ray.data.Datas
     ``np.unique`` — the shuffle key drops to ``_pair_num_buckets()``
     distinct values (7.4s for the same input, 11x).
 
-    ``pairs`` columns: doc_a, doc_b (+ pair-constant value columns).
+    ``pairs`` columns: doc_a, doc_b (+ value columns).
     ``finalize(doc_a, doc_b, cnt, extras)`` gets per-distinct-pair
-    arrays (extras = one representative value per pair column) and
-    returns the op's output table."""
+    arrays (extras = one value per pair column: a representative by
+    default — correct only for pair-constant columns — or a real
+    per-pair reduction when ``extra_reducers`` names one, currently
+    ``"max"``; used by ``dedup_editdist`` where the eq witness flag
+    varies across a pair's rows) and returns the op's output table."""
     num_qb = _pair_num_buckets()
+    extra_reducers = extra_reducers or {}
 
     def tag(batch: pa.Table) -> pa.Table:
         a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -247,8 +253,15 @@ def _combine_pairs_bucketed(pairs: ray.data.Dataset, finalize) -> ray.data.Datas
             if name == "pk":
                 continue
             col = t[name].to_numpy(zero_copy_only=False)
-            rep = np.empty(len(uniq), dtype=col.dtype)
-            rep[inv] = col  # pair-constant columns: any representative
+            red = extra_reducers.get(name)
+            if red == "max":
+                rep = np.full(len(uniq), np.iinfo(col.dtype).min, dtype=col.dtype)
+                np.maximum.at(rep, inv, col)
+            elif red is None:
+                rep = np.empty(len(uniq), dtype=col.dtype)
+                rep[inv] = col  # pair-constant columns: any representative
+            else:
+                raise ValueError(f"unknown extra reducer {red!r} for {name!r}")
             extras[name] = rep
         return finalize(uniq >> 32, uniq & _PAIR_LOW32, cnt.astype(np.int64), extras)
 
@@ -1613,3 +1626,267 @@ def dedup_lines(
     return tagged.groupby("_db").map_groups(
         lambda g: reassemble(g.drop_columns(["_db"])), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance <= 1 near-dup pairs (deletion-neighborhood blocking)
+# ---------------------------------------------------------------------------
+
+ED_SUB_OFFSET = 300_000
+ED_DEL_OFFSET = 400_000
+ED_MAX_CHARS = 250    # short-record regime: titles / lines / snippets
+ED_MAX_LEN = 2048     # hard bound for the per-actor power tables
+
+# odd 64-bit mix constants (splitmix64-family) -> invertible mod 2^64;
+# deliberately NOT _GOLDEN so variant hashes don't correlate with the
+# _bucket_of mixer they feed.
+_ED_B1 = 0xD1B54A32D192ED03
+_ED_B2 = 0xAEF17502108EF2D9
+
+
+def editdist_corpus(sf_dir: str) -> ray.data.Dataset:
+    """Short ASCII documents UNION one-char-substituted copies (doc_id%3==0,
+    id+ED_SUB_OFFSET) UNION one-char-deleted copies (doc_id%3==1,
+    id+ED_DEL_OFFSET). The corrupt position is ``doc_id % len(text)``
+    (0-based) and the substitute char a literal ``'x'`` — both
+    SQL-expressible (substr composition), so the ED<=1 pair set has a
+    full DuckDB ``levenshtein`` oracle. The n_chars cap is pushed into
+    the parquet read; the byte==codepoint filter pins ASCII so the
+    engine's byte-level edit distance equals the oracle's char-level one.
+
+    The per-row string surgery here is corpus-synth scaffolding (test
+    fixture construction, bounded by the cap) — the operator's hot path
+    is the fully vectorized `_EdVariantStage`."""
+    ensure_serializable()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=(pc.field("n_chars") <= ED_MAX_CHARS),
+    )
+
+    def synth(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        ascii_only = pc.and_(
+            pc.equal(pc.utf8_length(text), pc.binary_length(text)),
+            pc.greater(pc.binary_length(text), 0),
+        )
+        base = batch.set_column(
+            batch.schema.get_field_index("text"), "text", text
+        ).filter(ascii_only)
+        ids = base.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = base.column("text").to_pylist()
+        out_ids: list[int] = []
+        out_txt: list[str] = []
+        for i, s in zip(ids, texts):
+            p = int(i) % len(s)
+            if i % 3 == 0:
+                out_ids.append(int(i) + ED_SUB_OFFSET)
+                out_txt.append(s[:p] + "x" + s[p + 1 :])
+            elif i % 3 == 1:
+                out_ids.append(int(i) + ED_DEL_OFFSET)
+                out_txt.append(s[:p] + s[p + 1 :])
+        corrupted = pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "text": pa.array(out_txt, pa.string()),
+            }
+        )
+        return pa.concat_tables([base.select(["doc_id", "text"]), corrupted])
+
+    return ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class _EdVariantStage:
+    """Explode each doc into its deletion-1 neighborhood as INT rows.
+
+    For text s of length L emit L+1 rows: (h1, h2, vlen, del_pos,
+    doc_id) for s itself (del_pos=-1) and every single-byte deletion
+    (del_pos=p). Hashes are two independent polynomial hashes mod 2^64
+    (odd bases -> invertible), and every deletion hash comes from the
+    closed form
+
+        H(del_p(s)) = B^(L-2) * U_p + B^(L-1) * (E - U_{p+1})
+
+    where U_p = sum_{k<p} s_k * B^(-k) is an exclusive segmented cumsum
+    over the batch's FLAT zero-copy byte buffer and E its per-doc total
+    — O(L) work per doc for all L+1 variant hashes instead of the
+    naive O(L^2) rehash-every-variant (uint64 wraparound does the
+    modular arithmetic for free). Power/inverse-power tables are built
+    once per actor (S5-style __init__ state)."""
+
+    def __init__(self, num_buckets: int):
+        self._nb = num_buckets
+        self._pow1, self._ipow1 = self._tables(_ED_B1)
+        self._pow2, self._ipow2 = self._tables(_ED_B2)
+
+    @staticmethod
+    def _tables(base: int):
+        inv = pow(base, -1, 1 << 64)
+        p = np.full(ED_MAX_LEN + 1, np.uint64(base), dtype=np.uint64)
+        ip = np.full(ED_MAX_LEN + 1, np.uint64(inv), dtype=np.uint64)
+        p[0] = ip[0] = 1
+        return np.cumprod(p, dtype=np.uint64), np.cumprod(ip, dtype=np.uint64)
+
+    @staticmethod
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                "_pb": pa.array([], pa.int32()),
+                "h1": pa.array([], pa.int64()),
+                "h2": pa.array([], pa.int64()),
+                "vlen": pa.array([], pa.int32()),
+                "del_pos": pa.array([], pa.int32()),
+                "doc_id": pa.array([], pa.int64()),
+            }
+        )
+
+    def _plane(self, flat, pos, doc_idx, starts, L, pow_t, ipow_t):
+        e = flat * ipow_t[pos]
+        cum = np.cumsum(e, dtype=np.uint64)
+        g = np.empty_like(cum)
+        g[0] = 0
+        g[1:] = cum[:-1]                       # exclusive global cumsum
+        seg_base = g[starts]                   # value at each doc start
+        U = g - seg_base[doc_idx]              # U_p per byte position
+        E = cum[starts + L - 1] - seg_base     # per-doc total (L >= 1)
+        U_next = U + e                         # U_{p+1}
+        Ld = L[doc_idx]
+        h_del = pow_t[np.maximum(Ld - 2, 0)] * U + pow_t[Ld - 1] * (
+            E[doc_idx] - U_next
+        )
+        h_del = np.where(Ld == 1, np.uint64(0), h_del)  # deleting the only byte -> ""
+        h_full = pow_t[L - 1] * E
+        return np.concatenate([h_del, h_full]).view(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return self._empty()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        barr = batch.column("text").combine_chunks().cast(pa.large_binary())
+        off = np.frombuffer(barr.buffers()[1], dtype=np.int64)[
+            barr.offset : barr.offset + len(barr) + 1
+        ]
+        data = np.frombuffer(barr.buffers()[2], dtype=np.uint8)
+        flat = data[off[0] : off[-1]].astype(np.uint64)
+        starts = (off[:-1] - off[0]).astype(np.int64)
+        L = np.diff(off).astype(np.int64)
+        if (L == 0).any() or (L > ED_MAX_LEN).any():
+            raise ValueError("editdist corpus contract: 1 <= len(text) <= ED_MAX_LEN")
+        n = int(flat.size)
+        ndocs = len(L)
+        doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), L)
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, L)
+        h1 = self._plane(flat, pos, doc_idx, starts, L, self._pow1, self._ipow1)
+        h2 = self._plane(flat, pos, doc_idx, starts, L, self._pow2, self._ipow2)
+        vlen = np.concatenate([L[doc_idx] - 1, L]).astype(np.int32)
+        del_pos = np.concatenate(
+            [pos, np.full(ndocs, -1, dtype=np.int64)]
+        ).astype(np.int32)
+        out_ids = np.concatenate([ids[doc_idx], ids])
+        return pa.table(
+            {
+                "_pb": pa.array(
+                    _bucket_of(h1, h2, vlen.astype(np.int64), num_buckets=self._nb)
+                ),
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
+                "vlen": pa.array(vlen),
+                "del_pos": pa.array(del_pos),
+                "doc_id": pa.array(out_ids),
+            }
+        )
+
+
+def _editdist_bucket_pairs(group: pa.Table) -> pa.Table:
+    """One call per SHUFFLE BUCKET: pairs within each (h1, h2, vlen)
+    run, filtered by the exact FastSS witness predicate:
+
+      ED(u, v) <= 1  <=>  u, v share a variant with
+        - del_pos_u == del_pos_v   (both -1: u == v; both p: they can
+          differ only at byte p -> substitution), or
+        - exactly one side -1      (the shorter string IS a deletion of
+          the longer -> insert/delete).
+
+    Sharing a variant at two DIFFERENT deletion positions proves only
+    ED <= 2 ("ab"/"ba" share "a" and "b") and is correctly rejected —
+    no verify join, no strings shuffled, exact mod 128-bit hash
+    collisions (same collision contract as dedup_exact)."""
+    t = group.sort_by(
+        [
+            ("h1", "ascending"),
+            ("h2", "ascending"),
+            ("vlen", "ascending"),
+            ("doc_id", "ascending"),
+        ]
+    ).combine_chunks()
+    h1 = t.column("h1").to_numpy(zero_copy_only=False)
+    h2 = t.column("h2").to_numpy(zero_copy_only=False)
+    vlen = t.column("vlen").to_numpy(zero_copy_only=False)
+    dp = t.column("del_pos").to_numpy(zero_copy_only=False)
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    ii, jj = _pairs_within_runs(_run_starts(h1, h2, vlen))
+    di, dj = dp[ii], dp[jj]
+    keep = (ids[ii] != ids[jj]) & ((di == dj) | ((di == -1) != (dj == -1)))
+    ii, jj = ii[keep], jj[keep]
+    eq = ((dp[ii] == -1) & (dp[jj] == -1)).astype(np.int8)
+    return pa.table(
+        {
+            "doc_a": pa.array(ids[ii]),
+            "doc_b": pa.array(ids[jj]),
+            "eq": pa.array(eq),
+        }
+    )
+
+
+def dedup_editdist(sf_dir: str) -> ray.data.Dataset:
+    """All unordered doc pairs at Levenshtein distance <= 1, found
+    EXACTLY (no estimate-verify round) via FastSS deletion-neighborhood
+    blocking (Bocek et al. 2007, "Fast Similarity Search in Large
+    Dictionaries") -> (doc_a, doc_b, edit_distance 0|1).
+
+    Physical shape — one int-only shuffle, zero per-key Python:
+      read (n_chars cap pushed into the scan) -> _EdVariantStage actor
+      pool explodes each doc into L+1 (hash128, vlen, del_pos, doc_id)
+      int rows via the O(L) closed-form deletion hashes -> ONE bucketed
+      shuffle on hash(h1,h2,vlen) % _pair_num_buckets() -> vectorized
+      within-run pair expansion + witness predicate per BUCKET ->
+      _combine_pairs_bucketed dedups pairs and max-reduces the eq flag
+      (equal docs carry eq=1 on their (-1,-1) witness only).
+
+    Scale notes: rows shuffled = ~34 bytes x (L+1) per doc — FastSS is
+    a short-record operator (titles, lines, log messages; ED_MAX_CHARS
+    cap documented and pushed into the read); for long-document
+    near-dup use dedup_minhash/dedup_jaccard, for mass exact equality
+    dedup_exact. Output is Θ(#true pairs): a group of g pairwise-equal
+    strings legitimately yields g(g-1)/2 rows — there is deliberately
+    NO df-cap here because the oracle (and the semantics) admit no
+    silent candidate drops; the analog of the reference's
+    equality-gated parity contract is per-pair exactness
+    (/root/reference/crates/core/src/inference.rs:142-147's
+    byte-identical normalize discipline applied to pair semantics)."""
+    num_buckets = _pair_num_buckets()
+    ds = editdist_corpus(sf_dir)
+    exploded = ds.map_batches(
+        _EdVariantStage,
+        fn_constructor_args=(num_buckets,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        num_cpus=1,
+    )
+    pairs = exploded.groupby("_pb").map_groups(
+        lambda g: _editdist_bucket_pairs(g.drop_columns(["_pb"])),
+        batch_format="pyarrow",
+    )
+
+    def finalize(doc_a, doc_b, cnt, extras):
+        ed = 1 - extras["eq"].astype(np.int64)
+        return pa.table(
+            {
+                "doc_a": pa.array(doc_a.astype(np.int64)),
+                "doc_b": pa.array(doc_b.astype(np.int64)),
+                "edit_distance": pa.array(ed),
+            }
+        )
+
+    return _combine_pairs_bucketed(pairs, finalize, extra_reducers={"eq": "max"})

@@ -70,7 +70,8 @@ SQL_CHECKED = [
     "rolling_fingerprint", "kmeans_embeddings", "diverse_sample",
     "semdedup", "dedup_lines", "pack_sequences", "chunk_documents",
     "source_mix_weights", "inverted_index", "fim_examples",
-    "contrastive_pairs", "mixture_sample",
+    "contrastive_pairs", "mixture_sample", "dedup_editdist",
+    "pagerank_entities",
 ]
 
 
@@ -1879,3 +1880,145 @@ def test_mixture_sample_rates_and_null_sources(tmp_path):
     r_small = rates.get("small", 0) / 250
     r_big = rates.get("big", 0) / 4000
     assert r_small > 2 * r_big
+
+
+def test_editdist_variant_hashes_match_naive():
+    """_EdVariantStage's O(L) closed-form deletion hashes equal the
+    naive Horner polynomial hash of each materialized deletion string
+    (both planes), including length-1 docs and repeated-char runs."""
+    import pyarrow as pa
+    from engine.ops.dedup import _ED_B1, _ED_B2, _EdVariantStage
+
+    rng = np.random.default_rng(7)
+    texts = [
+        "".join(chr(c) for c in rng.integers(97, 123, size=L))
+        for L in (1, 2, 3, 7, 40, 250)
+    ] + ["aaaaabbbbb"]
+    stage = _EdVariantStage(num_buckets=8)
+    out = stage(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    ).to_pandas()
+    M = 1 << 64
+
+    def naive(s: str, B: int) -> int:
+        h = 0
+        for byte in s.encode():
+            h = (h * B + byte) % M
+        return h
+
+    assert len(out) == sum(len(t) + 1 for t in texts)
+    for row in out.itertuples():
+        doc = texts[row.doc_id]
+        s = doc if row.del_pos == -1 else doc[: row.del_pos] + doc[row.del_pos + 1 :]
+        assert row.vlen == len(s)
+        assert row.h1 % M == naive(s, _ED_B1)
+        assert row.h2 % M == naive(s, _ED_B2)
+
+
+def test_dedup_editdist_witness_predicate(tmp_path):
+    """FastSS predicate edges on a crafted corpus (all ids = 2 mod 3 so
+    the corruption synth stays out of the way): 'ab'/'ba' share two
+    deletion variants yet are ED=2 and must NOT pair; substitution,
+    insertion, and delete-inside-a-char-run (multiple witnesses -> one
+    row) pairs all found at ED=1; an exact-equal pair reports ED=0.
+    Engine output is also checked bit-exact against the DuckDB oracle
+    run over the same crafted table."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+    from engine.ops.dedup import dedup_editdist
+
+    texts = {
+        2: "ab",
+        5: "ba",
+        8: "hello world",
+        11: "hxllo world",
+        14: "banana split",
+        17: "banana splits",
+        20: "same text here",
+        23: "same text here",
+        26: "aaaa bbbb",
+        29: "aaa bbbb",
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(texts), pa.int64()),
+                "text": pa.array(list(texts.values())),
+                "n_chars": pa.array([len(t) for t in texts.values()], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = canon(_as_df(dedup_editdist(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{tmp_path}/documents.parquet'")
+    want = canon(con.sql(entrymod.oracle_sql()["dedup_editdist"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    pairs = {
+        (int(r.doc_a), int(r.doc_b)): int(r.edit_distance) for r in got.itertuples()
+    }
+    assert pairs == {(8, 11): 1, (14, 17): 1, (20, 23): 0, (26, 29): 1}
+
+
+def test_pagerank_crafted_star_graph(tmp_path):
+    """3-iteration exact PageRank on a hand-checkable star: customer 1
+    trades with suppliers 1..3, customer 2 with supplier 1 only. The
+    hub supplier (node 3 = 2*1+1) must outrank the leaf suppliers, the
+    busy customer the single-order one, and the whole vector must equal
+    both the DuckDB unrolled-CTE oracle and a literal numpy replay of
+    r' = 150000 + (85 * sum(r // outdeg)) // 100."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+    from engine.ops.graph import PR_ITERS, PR_SCALE, pagerank_entities
+
+    # orders: (okey, cust); lineitem: (okey, supp) — duplicate supplier
+    # rows within an order must not double-count the edge
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([10, 11, 12, 13], pa.int64()),
+                "o_custkey": pa.array([1, 1, 1, 2], pa.int64()),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([10, 10, 11, 12, 13, 13], pa.int64()),
+                "l_suppkey": pa.array([1, 2, 2, 3, 1, 1], pa.int64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    got = canon(_as_df(pagerank_entities(str(tmp_path))))
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS FROM '{tmp_path}/{t}.parquet'")
+    want = canon(con.sql(entrymod.oracle_sql()["pagerank_entities"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # literal replay on the known edge set
+    edges = {(2, 3), (2, 5), (2, 7), (4, 3)}  # cust node -> supp node
+    edges |= {(b, a) for a, b in edges}
+    nodes = sorted({n for e in edges for n in e})
+    outdeg = {n: sum(1 for a, _ in edges if a == n) for n in nodes}
+    r = {n: PR_SCALE for n in nodes}
+    for _ in range(PR_ITERS):
+        inc = {n: 0 for n in nodes}
+        for a, b in edges:
+            inc[b] += r[a] // outdeg[a]
+        r = {n: 150000 + (85 * inc[n]) // 100 for n in nodes}
+    by_node = got.set_index("node")["rank_micro"].to_dict()
+    assert by_node == r
+    assert by_node[3] > by_node[5] == by_node[7]  # hub supplier wins
+    assert by_node[2] > by_node[4]                # busy customer wins
