@@ -177,6 +177,12 @@ def _dedup_turns(sf_dir: str):
     return dedup_turns(_transcript_files(sf_dir))
 
 
+def _link_stats(sf_dir: str):
+    from engine.ops.convstats import link_stats
+
+    return link_stats(_transcript_files(sf_dir))
+
+
 def _chunk_conversations(sf_dir: str):
     from engine.ops.convstats import chunk_conversations
 
@@ -247,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_token_counts": _turn_token_counts,
         "redact_transcripts": _redact_transcripts,
         "dedup_turns": _dedup_turns,
+        "link_stats": _link_stats,
         "chunk_conversations": _chunk_conversations,
         "valid_role_alternation": _valid_role_alternation,
         "sft_pairs": _sft_pairs,
@@ -1519,6 +1526,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups
             FROM {transcripts}
             GROUP BY coalesce(text, '')
+        """,
+        "link_stats": f"""
+            -- href popularity: per-turn counts first (a turn is one
+            -- input row, so the engine's batch-local counts are already
+            -- complete per turn), then per-href occurrence/turn/conv
+            -- totals. href grouped by STRING here vs a 128-bit hash in
+            -- the engine (dedup_exact collision contract).
+            WITH hits AS (
+              SELECT conv_id, turn_idx,
+                     unnest(regexp_extract_all(text, 'href="([^"]*)"', 1))
+                       AS href
+              FROM {transcripts}
+              WHERE text IS NOT NULL
+            ), per_turn AS (
+              SELECT href, conv_id, turn_idx, count(*) AS n
+              FROM hits GROUP BY href, conv_id, turn_idx
+            )
+            SELECT href,
+                   CAST(sum(n) AS BIGINT) AS n_occurrences,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+            FROM per_turn GROUP BY href
         """,
         "chunk_conversations": f"""
             WITH tok AS (

@@ -24,8 +24,9 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from .._rayutil import ensure_serializable
+from .._rayutil import ensure_serializable, pool_size
 from ..pipeline import _hash_conv_ids
+from .dedup import _bucket_of, _run_starts, text_hash128
 
 TOKEN_RE = r"\S+"
 
@@ -449,4 +450,121 @@ def sft_pairs(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby("_b").map_groups(
         lambda g: pair_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# link statistics (href extraction over embedded HTML payloads)
+# ---------------------------------------------------------------------------
+
+LINK_PATTERN = r'href="([^"]*)"'
+
+
+class _LinkExtract:
+    """Per-turn href extraction: the regex compiles once per actor
+    (T-pattern), and a vectorized ``match_substring`` gate keeps rows
+    without the literal ``href="`` marker out of Python entirely — the
+    same sniff-gate shape as the flagship extractor (most turns carry
+    no HTML payload). A (conv_id, turn_idx) lives on exactly ONE input
+    row, so the per-row href counts emitted here are already complete
+    per-turn aggregates; only (href, conv_id, n) triples reach the
+    shuffle."""
+
+    def __init__(self, num_buckets: int):
+        import re
+
+        self._re = re.compile(LINK_PATTERN)
+        self._nb = num_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        gate = pc.match_substring(text, 'href="').to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(gate)
+        out_href: list[str] = []
+        out_conv: list[str] = []
+        out_n: list[int] = []
+        if idx.size:
+            conv = batch.column("conv_id").to_numpy(zero_copy_only=False)[idx]
+            cand = text.take(pa.array(idx)).to_pylist()
+            for cid, s in zip(conv, cand):
+                counts: dict[str, int] = {}
+                for h in self._re.findall(s):
+                    counts[h] = counts.get(h, 0) + 1
+                for h, n in counts.items():
+                    out_href.append(h)
+                    out_conv.append(cid)
+                    out_n.append(n)
+        href = pa.array(out_href, pa.string())
+        h1, h2 = text_hash128(href, "engine-linkskey")
+        return pa.table(
+            {
+                "_lb": pa.array(_bucket_of(h1, h2, num_buckets=self._nb)),
+                "href": href,
+                "conv_id": pa.array(out_conv, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+
+def link_stats(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
+    """Corpus-wide link popularity over the hrefs embedded in turn text
+    -> (href, n_occurrences, n_turns, n_convs). This is the link-graph
+    frequency signal a boilerplate stripper feeds on (nav/footer links
+    recur across conversations; article links don't) — the corpus-level
+    complement of the per-document link-density heuristic in
+    engine/html_extract.py. Operates on the RAW turn text: hrefs inside
+    a base64 data-URL payload are out of scope on BOTH the engine and
+    the oracle side (same visibility contract).
+
+    Scale shape: ONE shuffle, bucketed by a 128-bit href hash (the
+    dedup_exact collision contract); rows are (href, conv_id, n) where
+    the per-turn counting already happened batch-locally. One
+    map_groups per BUCKET computes all three aggregates vectorized from
+    run boundaries (sum n per href run = occurrences, rows per run =
+    turns, (href, conv) sub-runs = distinct convs — every occurrence of
+    an href shares its bucket, so in-bucket runs are global)."""
+    ensure_serializable()
+    ds = _transcript_ds(transcript_paths, ["conv_id", "turn_idx", "text"])
+    tagged = ds.map_batches(
+        _LinkExtract,
+        fn_constructor_args=(num_buckets,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        num_cpus=1,
+    )
+
+    def stats_bucket(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [("href", "ascending"), ("conv_id", "ascending")]
+        ).combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "href": pa.array([], pa.string()),
+                    "n_occurrences": pa.array([], pa.int64()),
+                    "n_turns": pa.array([], pa.int64()),
+                    "n_convs": pa.array([], pa.int64()),
+                }
+            )
+        href = np.asarray(t.column("href").to_pylist(), dtype=object)
+        conv = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        new_h = _run_starts(href)
+        hid = np.cumsum(new_h) - 1
+        n_occ = np.bincount(hid, weights=n).astype(np.int64)
+        n_turns = np.bincount(hid).astype(np.int64)
+        conv_start = _run_starts(href, conv)
+        n_convs = np.bincount(hid[conv_start]).astype(np.int64)
+        return pa.table(
+            {
+                "href": pa.array(href[new_h]),
+                "n_occurrences": pa.array(n_occ),
+                "n_turns": pa.array(n_turns),
+                "n_convs": pa.array(n_convs),
+            }
+        )
+
+    return tagged.groupby("_lb").map_groups(
+        lambda g: stats_bucket(g.drop_columns(["_lb"])), batch_format="pyarrow"
     )

@@ -179,7 +179,7 @@ def test_heavy_hitter_words_bounds(duck):
     ["render_conversations", "render_deepseek", "compact_history", "conv_stats",
      "turn_token_counts", "redact_transcripts", "dedup_turns",
      "chunk_conversations", "valid_role_alternation", "conv_stats_jsonl",
-     "sft_pairs"],
+     "sft_pairs", "link_stats"],
 )
 def test_transcript_query_matches_oracle(name, duck):
     """These oracles read the transcript fixture by path at the driver's
@@ -2022,3 +2022,36 @@ def test_pagerank_crafted_star_graph(tmp_path):
     assert by_node == r
     assert by_node[3] > by_node[5] == by_node[7]  # hub supplier wins
     assert by_node[2] > by_node[4]                # busy customer wins
+
+
+def test_link_stats_crafted_multiplicity(tmp_path):
+    """Same href twice in one turn counts 2 occurrences but 1 turn; a
+    second conversation lifts n_convs; NULL text rows are ignored."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from engine.ops.convstats import link_stats
+
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": pa.array(["c1", "c1", "c2", "c2"]),
+                "turn_idx": pa.array([0, 1, 0, 1], pa.int32()),
+                "text": pa.array(
+                    [
+                        'see <a href="/a">x</a> and <a href="/a">y</a>',
+                        '<a href="/b">z</a>',
+                        '<a href="/a">w</a>',
+                        None,
+                    ]
+                ),
+            }
+        ),
+        str(tmp_path / "t.parquet"),
+    )
+    got = _as_df(link_stats([str(tmp_path / "t.parquet")])).set_index("href")
+    assert got.loc["/a"].to_dict() == {
+        "n_occurrences": 3, "n_turns": 2, "n_convs": 2,
+    }
+    assert got.loc["/b"].to_dict() == {
+        "n_occurrences": 1, "n_turns": 1, "n_convs": 1,
+    }
