@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textstats.lang_id,
         "lang_id_accuracy": textstats.lang_id_accuracy,
         "bpe_token_counts": textstats.bpe_token_counts,
+        "bpe_train": textstats.bpe_train,
         "word_counts": textstats.word_counts,
         "bigram_counts": textstats.bigram_counts,
         "tfidf_top_terms": textstats.tfidf_top_terms,

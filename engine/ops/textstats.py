@@ -1824,3 +1824,150 @@ def mixture_sample(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(
         keep_weighted, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (iterative distributed pair counting)
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 8
+BPE_EOW = "</w>"
+
+
+def _bpe_apply(syms: list, merges) -> list:
+    """Apply learned merges in rank order, greedy left-to-right within
+    each rank — the canonical BPE application rule (Sennrich et al.
+    2016). Pure and shared by every pair-count pass; the independent
+    test reference implements its own copy."""
+    for a, b in merges:
+        out = []
+        i = 0
+        n = len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_train(sf_dir: str, n_merges: int = BPE_MERGES) -> pa.Table:
+    """Learn the top-``n_merges`` BPE merges over documents.text ->
+    (merge_rank, left, right, pair_count). Tokenization: single-space
+    words, each word = its characters + one {BPE_EOW} end symbol.
+    Tiebreak: highest count, then lexicographically smallest (left,
+    right) — a strict total order, so the learned merge list is
+    bit-identical at any parallelism (exact int64 counts).
+
+    Scale shape — the standard two-level BPE trainer layout: the CORPUS
+    is touched exactly once (word-count partials -> one vocabulary-
+    bounded groupby); every training iteration then runs over the
+    materialized DISTINCT-WORD table (cost scales with vocabulary x
+    word length, never tokens). Per iteration: re-tokenize each word
+    from scratch under the broadcast merge list (ray.put, fetched once
+    per batch), count adjacent pairs x word frequency into per-batch
+    partials, ONE pair-keyed groupby Sum, per-block argmax rows, and a
+    driver reduce over <= num_blocks candidates (the kmeans partials
+    pattern — the corpus never reaches the driver). Re-tokenizing from
+    scratch each pass keeps the plan O(K) passes over the word table
+    instead of a K-deep lazy chain that re-executes earlier passes.
+
+    No SQL oracle (iterative argmax + re-tokenization is not
+    practically SQL-expressible): rows-only in the driver gate, exact
+    merge-list parity vs an independent pure-Python reference in
+    pytest."""
+    from ray.data.aggregate import Sum
+
+    ensure_serializable()
+
+    def word_partial(batch: pa.Table) -> pa.Table:
+        words = pc.list_flatten(
+            pc.split_pattern(pc.fill_null(batch["text"], ""), " ")
+        )
+        t = pa.table({"word": words})
+        t = t.filter(pc.not_equal(t["word"], ""))
+        agg = t.group_by(["word"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"word": agg["word"], "n": pc.cast(agg["count_all"], pa.int64())}
+        )
+
+    words = (
+        _read_documents(sf_dir, ["text"])
+        .map_batches(word_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    def make_pair_partial(mref):
+        def pair_partial(batch: pa.Table) -> pa.Table:
+            merges = ray.get(mref)
+            wlist = batch["word"].to_pylist()
+            ns = batch["n"].to_numpy(zero_copy_only=False)
+            counts: dict = {}
+            for w, n in zip(wlist, ns):
+                syms = _bpe_apply(list(w) + [BPE_EOW], merges)
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + int(n)
+            items = list(counts.items())
+            return pa.table(
+                {
+                    "left": pa.array([k[0] for k, _ in items], pa.string()),
+                    "right": pa.array([k[1] for k, _ in items], pa.string()),
+                    "n": pa.array([v for _, v in items], pa.int64()),
+                }
+            )
+
+        return pair_partial
+
+    def block_argmax(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        n = batch["pair_count"].to_numpy(zero_copy_only=False)
+        best = None
+        left = batch["left"].to_pylist()
+        right = batch["right"].to_pylist()
+        for i in range(len(n)):
+            key = (-int(n[i]), left[i], right[i])
+            if best is None or key < best:
+                best = key
+        return pa.table(
+            {
+                "left": pa.array([best[1]], pa.string()),
+                "right": pa.array([best[2]], pa.string()),
+                "pair_count": pa.array([-best[0]], pa.int64()),
+            }
+        )
+
+    merges: list = []
+    merge_counts: list = []
+    for _ in range(n_merges):
+        mref = ray.put(tuple(merges))
+        agg = (
+            words.map_batches(
+                make_pair_partial(mref), batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby(["left", "right"])
+            .aggregate(Sum("n", alias_name="pair_count"))
+        )
+        candidates = agg.map_batches(
+            block_argmax, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        if not candidates:
+            break
+        best = min(
+            candidates, key=lambda r: (-r["pair_count"], r["left"], r["right"])
+        )
+        merges.append((best["left"], best["right"]))
+        merge_counts.append(int(best["pair_count"]))
+    return pa.table(
+        {
+            "merge_rank": pa.array(range(len(merges)), pa.int64()),
+            "left": pa.array([a for a, _ in merges], pa.string()),
+            "right": pa.array([b for _, b in merges], pa.string()),
+            "pair_count": pa.array(merge_counts, pa.int64()),
+        }
+    )
