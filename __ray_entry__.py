@@ -357,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_accuracy": textstats.lang_id_accuracy,
         "bpe_token_counts": textstats.bpe_token_counts,
         "bpe_train": textstats.bpe_train,
+        "compression_ratio": textstats.compression_ratio,
         "word_counts": textstats.word_counts,
         "bigram_counts": textstats.bigram_counts,
         "tfidf_top_terms": textstats.tfidf_top_terms,

@@ -1971,3 +1971,52 @@ def bpe_train(sf_dir: str, n_merges: int = BPE_MERGES) -> pa.Table:
             "pair_count": pa.array(merge_counts, pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# compression-ratio repetition signal
+# ---------------------------------------------------------------------------
+
+ZRATIO_LEVEL = 6
+
+
+def compression_ratio(sf_dir: str) -> ray.data.Dataset:
+    """Per-document zlib compression ratio -> (doc_id, raw_bytes,
+    compressed_bytes, ratio_micro). The compressibility signal
+    Gopher/RefinedWeb-class curation uses alongside explicit repetition
+    rules (engine.ops.textstats.doc_repetition): templated or repeated
+    text compresses far below natural prose, so a low ratio flags
+    boilerplate the n-gram rules miss.
+
+    ratio_micro = compressed*1e6 // raw in exact int64 micro-units (the
+    repo-wide no-float-accumulation discipline). Per-row zlib.compress
+    is one C call per document — the same inherent-per-row shape as
+    doc_fingerprint's md5 — in an embarrassingly parallel map, no
+    shuffle. Rows-only in the gate (no zlib in DuckDB): pytest pins
+    exact parity with a local zlib replay, the repetitive<natural
+    ordering, and the deterministic-level contract (level pinned at
+    {ZRATIO_LEVEL}; zlib output is stable for a fixed level + library,
+    the documented determinism assumption)."""
+    import zlib
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        raw = np.empty(len(texts), dtype=np.int64)
+        comp = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            b = (t or "").encode()
+            raw[i] = len(b)
+            comp[i] = len(zlib.compress(b, ZRATIO_LEVEL))
+        ratio_micro = np.where(raw > 0, comp * 1_000_000 // np.maximum(raw, 1), -1)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "raw_bytes": pa.array(raw),
+                "compressed_bytes": pa.array(comp),
+                "ratio_micro": pa.array(ratio_micro.astype(np.int64)),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        ratio, batch_format="pyarrow", zero_copy_batch=True
+    )

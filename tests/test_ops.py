@@ -103,7 +103,7 @@ def test_all_queries_have_oracle_or_are_documented():
         "image_metadata", "image_resize", "video_frame_sample",
         "audio_features", "approx_distinct_users", "heavy_hitter_words",
         "ewma_events_per_user", "image_phash_dedup",
-        "cms_word_counts", "bpe_train",
+        "cms_word_counts", "bpe_train", "compression_ratio",
     }
 
 
@@ -2143,3 +2143,37 @@ def test_bpe_train_crafted_tiebreak(tmp_path):
     # rank-0 tie (count 3: ('a','a') from two 'aa' + 'ab'? -> verify the
     # reference actually produced a lexicographic tiebreak somewhere
     assert len(got_list) >= 1
+
+
+def test_compression_ratio_parity_and_ordering(tmp_path):
+    """Engine values equal a local zlib replay exactly; repetitive text
+    scores a materially lower ratio than natural prose; empty text
+    yields the -1 sentinel."""
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from engine.ops.textstats import ZRATIO_LEVEL, compression_ratio
+
+    texts = ["spam ham " * 50, "the quick brown fox jumps over the lazy dog", ""]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = _as_df(compression_ratio(str(tmp_path))).set_index("doc_id")
+    for i, t in zip((1, 2, 3), texts):
+        b = t.encode()
+        assert got.loc[i, "raw_bytes"] == len(b)
+        assert got.loc[i, "compressed_bytes"] == len(zlib.compress(b, ZRATIO_LEVEL))
+        if b:
+            assert (
+                got.loc[i, "ratio_micro"]
+                == len(zlib.compress(b, ZRATIO_LEVEL)) * 1_000_000 // len(b)
+            )
+    assert got.loc[3, "ratio_micro"] == -1
+    assert got.loc[1, "ratio_micro"] < got.loc[2, "ratio_micro"] // 2
