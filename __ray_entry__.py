@@ -358,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": textstats.bpe_token_counts,
         "bpe_train": textstats.bpe_train,
         "compression_ratio": textstats.compression_ratio,
+        "tokenize_bpe": textstats.tokenize_bpe,
         "word_counts": textstats.word_counts,
         "bigram_counts": textstats.bigram_counts,
         "tfidf_top_terms": textstats.tfidf_top_terms,

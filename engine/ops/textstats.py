@@ -2020,3 +2020,73 @@ def compression_ratio(sf_dir: str) -> ray.data.Dataset:
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         ratio, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def tokenize_bpe(sf_dir: str, n_merges: int = BPE_MERGES) -> ray.data.Dataset:
+    """Apply the merges learned by ``bpe_train`` back to the corpus ->
+    (doc_id, n_tokens, n_chars_tokenized): the artifact-chaining
+    pattern — phase 1 trains a bounded model (the merge list), phase 2
+    is a stateless broadcast map over the stream (rule 11), the corpus
+    shuffles ZERO times across both phases. The per-actor stage caches
+    a word -> token-count memo (S5-style __init__ state + bounded memo)
+    because corpus word frequency is Zipfian — the memo turns the
+    per-occurrence re-tokenization into one `_bpe_apply` per DISTINCT
+    word per actor.
+
+    Rows-only in the gate (depends on the trained merges); pytest pins
+    token counts against the independent reference tokenizer."""
+    from .._rayutil import pool_size
+
+    merges_tbl = bpe_train(sf_dir, n_merges)
+    merges = tuple(
+        zip(merges_tbl["left"].to_pylist(), merges_tbl["right"].to_pylist())
+    )
+    mref = ray.put(merges)
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        _ApplyBPE,
+        fn_constructor_args=(mref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        num_cpus=1,
+    )
+
+
+class _ApplyBPE:
+    """Broadcast-merge-list tokenizer stage: merges fetched once per
+    actor, word -> token-count memo bounded at 1M entries (Zipfian
+    corpora re-tokenize each distinct word once per actor, not per
+    occurrence)."""
+
+    def __init__(self, mref):
+        self._merges = ray.get(mref)
+        self._memo: dict = {}
+
+    def _count(self, w: str) -> int:
+        n = self._memo.get(w)
+        if n is None:
+            n = len(_bpe_apply(list(w) + [BPE_EOW], self._merges))
+            if len(self._memo) < 1_000_000:  # bound actor memory
+                self._memo[w] = n
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        out = np.empty(len(texts), dtype=np.int64)
+        chars = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            total = 0
+            nch = 0
+            for w in (t or "").split(" "):
+                if w:
+                    total += self._count(w)
+                    nch += len(w)
+            out[i] = total
+            chars[i] = nch
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(out),
+                "n_chars_tokenized": pa.array(chars),
+            }
+        )

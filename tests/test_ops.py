@@ -104,6 +104,7 @@ def test_all_queries_have_oracle_or_are_documented():
         "audio_features", "approx_distinct_users", "heavy_hitter_words",
         "ewma_events_per_user", "image_phash_dedup",
         "cms_word_counts", "bpe_train", "compression_ratio",
+        "tokenize_bpe",
     }
 
 
@@ -2177,3 +2178,36 @@ def test_compression_ratio_parity_and_ordering(tmp_path):
             )
     assert got.loc[3, "ratio_micro"] == -1
     assert got.loc[1, "ratio_micro"] < got.loc[2, "ratio_micro"] // 2
+
+
+def test_tokenize_bpe_matches_reference():
+    """Per-doc token counts under the trained merges equal a literal
+    re-tokenization with the independent reference tokenizer."""
+    import pyarrow.parquet as pq
+    from engine.ops.textstats import tokenize_bpe
+
+    got = _as_df(tokenize_bpe(SF)).set_index("doc_id")
+    t = pq.read_table(os.path.join(SF, "documents.parquet"), columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    merges = [(a, b) for a, b, _ in _bpe_reference(list(texts.values()), 8)]
+
+    def apply(syms, ms):
+        for a, b in ms:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    for doc_id in list(texts)[:50]:
+        want = sum(
+            len(apply(list(w) + ["</w>"], merges))
+            for w in (texts[doc_id] or "").split(" ")
+            if w
+        )
+        assert got.loc[doc_id, "n_tokens"] == want
