@@ -339,6 +339,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_editdist": dedup.dedup_editdist,
         # iterative graph analytics
         "pagerank_entities": graph.pagerank_entities,
+        # corpus reporting
+        "source_overlap": dedup.source_overlap,
         # similarity search
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_ivf": similarity.knn_ivf,
@@ -1060,6 +1062,42 @@ def oracle_sql() -> dict[str, str]:
                OR substr(a.text, length(a.text), 1)
                   = substr(b.text, length(b.text), 1))
              AND levenshtein(a.text, b.text) <= 1
+        """,
+        "source_overlap": f"""
+            -- pairwise cross-source shingle overlap; gram STRINGS here
+            -- vs 64-bit gram hashes in the engine (dedup_jaccard
+            -- collision contract); zero-overlap pairs omitted (inner
+            -- join on both sides)
+            WITH worded AS (
+              SELECT source, regexp_extract_all(coalesce(text, ''), '\\S+')
+                       AS words
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT source, unnest(
+                CASE WHEN len(words) < {dedup.OVERLAP_K}
+                     THEN [array_to_string(words, ' ')]
+                     ELSE list_transform(range(len(words) - {dedup.OVERLAP_K - 1}),
+                            i -> array_to_string(
+                              list_slice(words, CAST(i + 1 AS INT),
+                                         CAST(i + {dedup.OVERLAP_K} AS INT)), ' '))
+                END) AS gram
+              FROM worded),
+            per_src AS (SELECT source, count(*) AS n FROM grams GROUP BY source),
+            shared AS (
+              SELECT a.source AS source_a, b.source AS source_b,
+                     count(*) AS n_shared
+              FROM grams a JOIN grams b
+                ON a.gram = b.gram AND a.source < b.source
+              GROUP BY 1, 2)
+            SELECT source_a, source_b,
+                   CAST(n_shared AS BIGINT) AS n_shared_grams,
+                   CAST(pa.n AS BIGINT) AS n_grams_a,
+                   CAST(pb.n AS BIGINT) AS n_grams_b,
+                   CAST(n_shared * 1000000
+                        // (pa.n + pb.n - n_shared) AS BIGINT) AS jaccard_micro
+            FROM shared
+            JOIN per_src pa ON pa.source = source_a
+            JOIN per_src pb ON pb.source = source_b
         """,
         "pagerank_entities": f"""
             -- unrolled {graph_mod.PR_ITERS}-iteration exact-integer

@@ -1890,3 +1890,153 @@ def dedup_editdist(sf_dir: str) -> ray.data.Dataset:
         )
 
     return _combine_pairs_bucketed(pairs, finalize, extra_reducers={"eq": "max"})
+
+
+# ---------------------------------------------------------------------------
+# cross-source n-gram overlap (contamination matrix)
+# ---------------------------------------------------------------------------
+
+OVERLAP_K = SHINGLE_K  # word 3-grams, same shingle family as dedup_jaccard
+
+
+def source_overlap(sf_dir: str) -> ray.data.Dataset:
+    """Pairwise cross-source shingle overlap -> (source_a, source_b,
+    n_shared_grams, n_grams_a, n_grams_b, jaccard_micro): the
+    contamination / redundancy matrix a corpus report leads with (how
+    much of source X is already in source Y decides dedup order and mix
+    weights). Pairs with zero shared grams are omitted (inner-join
+    semantics, same as the SQL oracle).
+
+    Scale shape: batch-local distinct (source, gram_hash) partials ->
+    ONE gram-hash bucketed shuffle (rows are a short source tag + one
+    int64; text never moves) -> per-bucket run dedup makes rows
+    globally distinct, per-gram-run pair expansion (runs are bounded by
+    the SOURCE COUNT after dedup — never quadratic in docs) and
+    per-source distinct-gram counts, both pre-aggregated in-bucket ->
+    one tiny groupby over a <= |sources|^2 key domain -> driver
+    assembly of the exact integer jaccard. Gram STRINGS on the oracle
+    side vs 64-bit gram hashes here (dedup_jaccard collision
+    contract)."""
+    from ray.data.aggregate import Sum
+
+    num_buckets = _pair_num_buckets()
+    ensure_serializable()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_pylist()
+        txt = pc.fill_null(batch.column("text"), "").to_pylist()
+        out_src: list = []
+        out_gh: list = []
+        for s, t in zip(src, txt):
+            gh = _gram_hashes(t, OVERLAP_K)
+            out_src.extend([s or ""] * len(gh))
+            out_gh.append(gh)
+        gh_all = (
+            np.concatenate(out_gh) if out_gh else np.empty(0, dtype=np.int64)
+        )
+        t = pa.table(
+            {
+                "source": pa.array(out_src, pa.string()),
+                "gram_hash": pa.array(gh_all),
+            }
+        )
+        dist = t.group_by(["source", "gram_hash"]).aggregate([])
+        gh = dist["gram_hash"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_gb": pa.array(_bucket_of(gh, num_buckets=num_buckets)),
+                "source": dist["source"],
+                "gram_hash": dist["gram_hash"],
+            }
+        )
+
+    def overlap_bucket(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [("gram_hash", "ascending"), ("source", "ascending")]
+        ).combine_chunks()
+        empty = pa.table(
+            {
+                "source_a": pa.array([], pa.string()),
+                "source_b": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        gh = t.column("gram_hash").to_numpy(zero_copy_only=False)
+        src = np.asarray(t.column("source").to_pylist(), dtype=object)
+        # global distinct: all copies of a (gram, source) share the bucket
+        keep = _run_starts(gh, src)
+        gh, src = gh[keep], src[keep]
+        # per-source distinct-gram partials ride as (source, '') rows
+        s_uniq, s_cnt = np.unique(src, return_counts=True)
+        ii, jj = _pairs_within_runs(_run_starts(gh))
+        parts = [
+            pa.table(
+                {
+                    "source_a": pa.array(s_uniq, pa.string()),
+                    "source_b": pa.array([""] * len(s_uniq), pa.string()),
+                    "n": pa.array(s_cnt.astype(np.int64)),
+                }
+            )
+        ]
+        if ii.size:
+            pair_t = pa.table(
+                {
+                    "source_a": pa.array(src[ii], pa.string()),
+                    "source_b": pa.array(src[jj], pa.string()),
+                    "n": pa.array(np.ones(ii.size, dtype=np.int64)),
+                }
+            )
+            gp = pair_t.group_by(["source_a", "source_b"]).aggregate([("n", "sum")])
+            parts.append(
+                pa.table(
+                    {
+                        "source_a": gp["source_a"],
+                        "source_b": gp["source_b"],
+                        "n": gp["n_sum"],  # select by NAME, never position
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    agg = (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_gb")
+        .map_groups(
+            lambda g: overlap_bucket(g.drop_columns(["_gb"])),
+            batch_format="pyarrow",
+        )
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        # bounded by |sources|^2 — per-block assembly needs the source
+        # totals, so this one runs after a repartition(1)
+        sa = np.asarray(batch.column("source_a").to_pylist(), dtype=object)
+        sb = np.asarray(batch.column("source_b").to_pylist(), dtype=object)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        totals = {s: int(v) for s, v in zip(sa[sb == ""], n[sb == ""])}
+        mask = sb != ""
+        sa, sb, n = sa[mask], sb[mask], n[mask]
+        na = np.fromiter((totals[s] for s in sa), dtype=np.int64, count=len(sa))
+        nb = np.fromiter((totals[s] for s in sb), dtype=np.int64, count=len(sb))
+        union = na + nb - n
+        return pa.table(
+            {
+                "source_a": pa.array(sa, pa.string()),
+                "source_b": pa.array(sb, pa.string()),
+                "n_shared_grams": pa.array(n),
+                "n_grams_a": pa.array(na),
+                "n_grams_b": pa.array(nb),
+                "jaccard_micro": pa.array(n * 1_000_000 // union),
+            }
+        )
+
+    return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -71,7 +71,7 @@ SQL_CHECKED = [
     "semdedup", "dedup_lines", "pack_sequences", "chunk_documents",
     "source_mix_weights", "inverted_index", "fim_examples",
     "contrastive_pairs", "mixture_sample", "dedup_editdist",
-    "pagerank_entities",
+    "pagerank_entities", "source_overlap",
 ]
 
 
@@ -2211,3 +2211,36 @@ def test_tokenize_bpe_matches_reference():
             if w
         )
         assert got.loc[doc_id, "n_tokens"] == want
+
+
+def test_source_overlap_crafted(tmp_path):
+    """Two sources sharing exactly one 3-gram overlap with jaccard
+    1/(na+nb-1); a third source with zero overlap appears in NO pair
+    row (inner-join semantics); short docs (<3 words) gram as the
+    whole text."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from engine.ops.dedup import source_overlap
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "alpha beta gamma delta",   # grams: abg, bgd(elta)
+                        "alpha beta gamma epsilon", # shares 'alpha beta gamma'
+                        "zz yy",                    # short doc, own gram
+                    ]
+                ),
+                "source": pa.array(["s1", "s2", "s3"]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = _as_df(source_overlap(str(tmp_path)))
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r.source_a, r.source_b) == ("s1", "s2")
+    assert r.n_shared_grams == 1 and r.n_grams_a == 2 and r.n_grams_b == 2
+    assert r.jaccard_micro == 1_000_000 // 3
