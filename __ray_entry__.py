@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlier_events": sketches.outlier_events,
         "train_test_split": sketches.train_test_split,
         "cms_word_counts": sketches.cms_word_counts,
+        "shuffle_export": sketches.shuffle_export,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -448,6 +449,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from engine.ops import dedup
     from engine.ops import graph as graph_mod
+    from engine.ops import sketches as sketches_mod
     from engine.ops import textstats as textstats_mod
 
     def _pr_iter_cte(cur: str, prev: str) -> str:
@@ -898,6 +900,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN (
               SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        """,
+        "shuffle_export": f"""
+            -- deterministic export shuffle: identical BIGINT knuth-hash
+            -- replay, rank within shard by (hash, doc_id)
+            WITH hashed AS (
+              SELECT doc_id,
+                     ((doc_id * 2654435761 + 12345) % 4294967296) AS h
+              FROM documents)
+            SELECT doc_id,
+                   CAST(h % {sketches_mod.SHUFFLE_SHARDS} AS BIGINT) AS shard,
+                   CAST(row_number() OVER (
+                     PARTITION BY h % {sketches_mod.SHUFFLE_SHARDS}
+                     ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+            FROM hashed
         """,
         "sample_events": """
             -- Knuth multiplicative hash, bit-identical to

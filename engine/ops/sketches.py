@@ -639,3 +639,58 @@ def cms_word_counts(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {"word": vocab[order], "est_count": est[order].astype(np.int64)}
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle for training-data export
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SHARDS = 16
+
+
+def shuffle_export(sf_dir: str, n_shards: int = SHUFFLE_SHARDS) -> ray.data.Dataset:
+    """Deterministic global example shuffle -> (doc_id, shard, pos):
+    the order-assignment step of a training-data export (SGD wants a
+    stable pseudo-random visit order; a seeded hash beats
+    random_shuffle because a resumed or re-run export reproduces the
+    SAME order bit for bit — the O4 seeded-determinism discipline).
+
+    shard = knuth_hash(doc_id) % n_shards; pos = the doc's rank within
+    its shard ordered by (hash, doc_id). Scale shape: stateless hash
+    map, ONE shuffle keyed by the n_shards-bounded shard id, one
+    vectorized argsort per shard — no global sort, no driver pass. A
+    shard is the resumable write unit (partition_cols analog); readers
+    stream shards in any order and get a stitched pseudo-random
+    permutation. SQL oracle: row_number() over the identical BIGINT
+    hash replay."""
+    ensure_serializable()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _sample_hash(ids)
+        return pa.table(
+            {
+                "shard": pa.array((h % n_shards).astype(np.int64)),
+                "h": pa.array(h),
+                "doc_id": pa.array(ids),
+            }
+        )
+
+    def order_shard(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("h", "ascending"), ("doc_id", "ascending")])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "shard": t["shard"],
+                "pos": pa.array(np.arange(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(order_shard, batch_format="pyarrow")
+    )

@@ -71,7 +71,7 @@ SQL_CHECKED = [
     "semdedup", "dedup_lines", "pack_sequences", "chunk_documents",
     "source_mix_weights", "inverted_index", "fim_examples",
     "contrastive_pairs", "mixture_sample", "dedup_editdist",
-    "pagerank_entities", "source_overlap",
+    "pagerank_entities", "source_overlap", "shuffle_export",
 ]
 
 
