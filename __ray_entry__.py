@@ -145,6 +145,12 @@ def _render_conversations(sf_dir: str):
     return render_conversations(_transcript_files(sf_dir), template="plain")
 
 
+def _sft_masks(sf_dir: str):
+    from engine.templates import sft_masks
+
+    return sft_masks(_transcript_files(sf_dir))
+
+
 def _render_deepseek(sf_dir: str):
     """Separator-style render (M2): system-template injection + sep/sep2
     alternation on message-index parity — SQL-expressible, oracle-checked."""
@@ -247,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_global_views": _turn_global_views,
         # conversation-template / history ops (SURVEY M1-M3)
         "render_conversations": _render_conversations,
+        "sft_masks": _sft_masks,
         "render_deepseek": _render_deepseek,
         "compact_history": _compact_history,
         "conv_stats": _conv_stats,
@@ -1583,6 +1590,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups
             FROM {transcripts}
             GROUP BY coalesce(text, '')
+        """,
+        "sft_masks": f"""
+            -- char offsets of each assistant turn's text inside the
+            -- 'plain' render: window sums over kept segments + one
+            -- separator per preceding kept turn
+            WITH kept AS (
+              SELECT conv_id, turn_idx, coalesce(role, '') AS role, text
+              FROM {transcripts}
+              WHERE text IS NOT NULL AND trim(text, {_PY_WS}) <> ''
+            ), measured AS (
+              SELECT conv_id, turn_idx, role,
+                     length(role) + 2 AS head_len,
+                     length(text) AS text_len,
+                     CAST(row_number() OVER w - 1 AS BIGINT) AS j,
+                     CAST(coalesce(sum(length(role) + 2 + length(text))
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS BIGINT) AS prev
+              FROM kept
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   CAST(prev + j + head_len AS BIGINT) AS span_start,
+                   CAST(prev + j + head_len + text_len AS BIGINT) AS span_end
+            FROM measured WHERE role = 'assistant'
         """,
         "link_stats": f"""
             -- href popularity: per-turn counts first (a turn is one

@@ -457,3 +457,82 @@ def compact_history(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset
     return _bucketed(ds, num_buckets).groupby("_bucket").map_groups(
         compact_bucket, batch_format="pyarrow"
     )
+
+
+def sft_masks(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
+    """Loss-mask spans for SFT training -> one row per ASSISTANT turn:
+    (conv_id, turn_idx, span_start, span_end), the char offsets of that
+    turn's text inside the conversation's 'plain' render. An SFT
+    trainer masks everything OUTSIDE these spans out of the loss; the
+    span arithmetic is the flagship's M12-M14 discipline (char offsets,
+    slice-back verifiable: rendered[start:end] == text) applied to
+    example construction instead of payload extraction.
+
+    Same physical shape as render_conversations: hash(conv_id) bucket
+    shuffle, one vectorized pass per bucket — kept-segment lengths via
+    utf8_length, a segmented EXCLUSIVE cumsum (+1 per preceding
+    separator) gives every kept turn its render offset, and assistant
+    rows project (offset + len(role) + 2, + len(text)). SQL oracle:
+    the same arithmetic as window sums over the kept turns."""
+    from ._rayutil import ensure_serializable
+
+    ensure_serializable()
+    ds = ray.data.read_parquet(
+        transcript_paths, columns=["conv_id", "turn_idx", "role", "text"]
+    )
+
+    def mask_bucket(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")]
+        ).combine_chunks()
+        empty = pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int64()),
+                "span_start": pa.array([], pa.int64()),
+                "span_end": pa.array([], pa.int64()),
+            }
+        )
+        n = t.num_rows
+        if n == 0:
+            return empty
+        conv = t.column("conv_id").combine_chunks()
+        role = pc.fill_null(t.column("role"), "").combine_chunks()
+        text = pc.fill_null(t.column("text"), "").combine_chunks()
+        kept = pc.not_equal(pc.utf8_trim_whitespace(text), "").to_numpy(
+            zero_copy_only=False
+        )
+        if not kept.any():
+            return empty
+        role_len = pc.utf8_length(role).to_numpy(zero_copy_only=False)
+        text_len = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        seg_len = (role_len + 2 + text_len)[kept]
+        k_conv = conv.filter(pa.array(kept))
+        m = len(seg_len)
+        starts, sizes = _run_bounds(k_conv, m)
+        cum = np.cumsum(seg_len)
+        g = np.empty(m, dtype=np.int64)
+        g[0] = 0
+        g[1:] = cum[:-1]
+        run_id = np.repeat(np.arange(len(starts)), sizes)
+        prev = g - g[starts][run_id]                      # kept-seg chars before
+        j = np.arange(m) - starts[run_id]                 # separators before
+        offset = prev + j
+        is_asst = (
+            pc.equal(role, "assistant").to_numpy(zero_copy_only=False)[kept]
+        )
+        span_start = (offset + role_len[kept] + 2)[is_asst]
+        span_end = span_start + text_len[kept][is_asst]
+        tidx = t.column("turn_idx").to_numpy(zero_copy_only=False)[kept][is_asst]
+        return pa.table(
+            {
+                "conv_id": k_conv.filter(pa.array(is_asst)),
+                "turn_idx": pa.array(tidx.astype(np.int64)),
+                "span_start": pa.array(span_start.astype(np.int64)),
+                "span_end": pa.array(span_end.astype(np.int64)),
+            }
+        )
+
+    return _bucketed(ds, num_buckets).groupby("_bucket").map_groups(
+        mask_bucket, batch_format="pyarrow"
+    )

@@ -180,7 +180,7 @@ def test_heavy_hitter_words_bounds(duck):
     ["render_conversations", "render_deepseek", "compact_history", "conv_stats",
      "turn_token_counts", "redact_transcripts", "dedup_turns",
      "chunk_conversations", "valid_role_alternation", "conv_stats_jsonl",
-     "sft_pairs", "link_stats"],
+     "sft_pairs", "link_stats", "sft_masks"],
 )
 def test_transcript_query_matches_oracle(name, duck):
     """These oracles read the transcript fixture by path at the driver's
@@ -2244,3 +2244,43 @@ def test_source_overlap_crafted(tmp_path):
     assert (r.source_a, r.source_b) == ("s1", "s2")
     assert r.n_shared_grams == 1 and r.n_grams_a == 2 and r.n_grams_b == 2
     assert r.jaccard_micro == 1_000_000 // 3
+
+
+def test_sft_masks_slice_back(tmp_path):
+    """M13-style hard invariant on a crafted conversation: slicing the
+    plain render at every reported span returns exactly that assistant
+    turn's text; blank/system/user turns produce no span and shift
+    offsets only when kept."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from engine.templates import render_conversations, sft_masks
+
+    rows = [
+        ("c1", 0, "system", "be good"),
+        ("c1", 1, "user", "hi there"),
+        ("c1", 2, "assistant", "hello! how can I help"),
+        ("c1", 3, "tool", "   "),              # blank -> dropped
+        ("c1", 4, "assistant", "second answer"),
+        ("c2", 0, "assistant", "solo"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows]),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array([r[2] for r in rows]),
+                "text": pa.array([r[3] for r in rows]),
+            }
+        ),
+        str(tmp_path / "t.parquet"),
+    )
+    paths = [str(tmp_path / "t.parquet")]
+    spans = _as_df(sft_masks(paths))
+    rendered = _as_df(render_conversations(paths)).set_index("conv_id")["rendered"]
+    texts = {(r[0], r[1]): r[3] for r in rows}
+    assert len(spans) == 3
+    for r in spans.itertuples():
+        assert (
+            rendered[r.conv_id][r.span_start : r.span_end]
+            == texts[(r.conv_id, r.turn_idx)]
+        )
