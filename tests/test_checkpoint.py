@@ -146,3 +146,44 @@ def test_manifest_lines_are_lineage_records(t1_files, out_dir):
         assert rec["extraction_ms"] > 0
         # per-stage attribution (SURVEY SS6): every pipeline stage timed
         assert {"read_s", "extract_s", "order_s", "write_s"} <= set(rec["stages"])
+
+
+def test_actor_crash_mid_stream_recovers(tmp_path):
+    """Simulated worker death: one actor-pool worker os._exit(1)s on its
+    first batch (machine-failure class, not an application exception).
+    Ray Data must restart the actor, retry the lost tasks, and produce
+    output identical to a crash-free run — the single-node stand-in for
+    the north rule's fixed-cluster fault tolerance, and evidence that
+    every stage being deterministic makes retries invisible."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    flag = str(tmp_path / "crash_once")
+
+    class CrashOnce:
+        def __init__(self, flag_path):
+            self._flag = flag_path
+
+        def __call__(self, batch):
+            try:
+                fd = os.open(self._flag, os.O_CREAT | os.O_EXCL)
+                os.close(fd)
+                os._exit(1)  # simulate sudden worker/machine death, once
+            except FileExistsError:
+                pass
+            return pa.table({"y": pc.multiply(batch["x"], 2)})
+
+    ds = ray.data.from_arrow(
+        pa.table({"x": pa.array(range(10_000), pa.int64())})
+    ).repartition(8)
+    out = ds.map_batches(
+        CrashOnce,
+        fn_constructor_args=(flag,),
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=1,
+    ).to_pandas()
+    assert os.path.exists(flag)  # the crash really happened
+    assert sorted(out["y"]) == [2 * x for x in range(10_000)]
