@@ -151,6 +151,12 @@ def _sft_masks(sf_dir: str):
     return sft_masks(_transcript_files(sf_dir))
 
 
+def _sft_token_spans(sf_dir: str):
+    from engine.templates import sft_token_spans
+
+    return sft_token_spans(_transcript_files(sf_dir))
+
+
 def _render_deepseek(sf_dir: str):
     """Separator-style render (M2): system-template injection + sep/sep2
     alternation on message-index parity — SQL-expressible, oracle-checked."""
@@ -254,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # conversation-template / history ops (SURVEY M1-M3)
         "render_conversations": _render_conversations,
         "sft_masks": _sft_masks,
+        "sft_token_spans": _sft_token_spans,
         "render_deepseek": _render_deepseek,
         "compact_history": _compact_history,
         "conv_stats": _conv_stats,
@@ -1615,6 +1622,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(prev + j + head_len AS BIGINT) AS span_start,
                    CAST(prev + j + head_len + text_len AS BIGINT) AS span_end
             FROM measured WHERE role = 'assistant'
+        """,
+        "sft_token_spans": f"""
+            -- sft_masks' char spans projected into whitespace-token
+            -- space: tok = count of \\S+ runs intersecting the render
+            -- prefix (definitional spec shared with the engine)
+            WITH kept AS (
+              SELECT conv_id, turn_idx, coalesce(role, '') AS role, text
+              FROM {transcripts}
+              WHERE text IS NOT NULL AND trim(text, {_PY_WS}) <> ''
+            ), rend AS (
+              SELECT conv_id,
+                     string_agg(role || ': ' || text, chr(10)
+                                ORDER BY turn_idx) AS rendered
+              FROM kept GROUP BY conv_id
+            ), measured AS (
+              SELECT conv_id, turn_idx, role,
+                     length(role) + 2 AS head_len,
+                     length(text) AS text_len,
+                     CAST(row_number() OVER w - 1 AS BIGINT) AS j,
+                     CAST(coalesce(sum(length(role) + 2 + length(text))
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS BIGINT) AS prev
+              FROM kept
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            SELECT m.conv_id, CAST(m.turn_idx AS BIGINT) AS turn_idx,
+                   CAST(length(regexp_extract_all(substr(r.rendered, 1,
+                     CAST(m.prev + m.j + m.head_len AS INT)), '\\S+'))
+                     AS BIGINT) AS tok_start,
+                   CAST(length(regexp_extract_all(substr(r.rendered, 1,
+                     CAST(m.prev + m.j + m.head_len + m.text_len AS INT)),
+                     '\\S+')) AS BIGINT) AS tok_end
+            FROM measured m JOIN rend r USING (conv_id)
+            WHERE m.role = 'assistant'
         """,
         "link_stats": f"""
             -- href popularity: per-turn counts first (a turn is one

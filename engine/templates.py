@@ -536,3 +536,126 @@ def sft_masks(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
     return _bucketed(ds, num_buckets).groupby("_bucket").map_groups(
         mask_bucket, batch_format="pyarrow"
     )
+
+
+# RE2's ASCII \s class — [\t\n\f\r ], note NO \v — pinned so the numpy
+# token counter and the DuckDB regexp_extract_all oracle agree.
+_RE2_SPACE_CODES = np.array([9, 10, 12, 13, 32], dtype=np.uint32)
+
+
+def sft_token_spans(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
+    """sft_masks' char spans projected into whitespace-TOKEN space ->
+    (conv_id, turn_idx, tok_start, tok_end): tok_start / tok_end are
+    the number of maximal nonspace runs intersecting
+    rendered[:span_start] / rendered[:span_end] — i.e. exactly
+    ``len(regexp_extract_all(substr(rendered, 1, p), '\\S+'))``, the
+    definitional spec shared with the oracle. This is the form a
+    trainer consumes (mask token ranges, not char ranges).
+
+    One conv-bucket shuffle; per bucket the plain render is assembled
+    with the same Arrow kernels render_conversations uses, the span
+    arithmetic is sft_masks', and token counting is one vectorized
+    pass: a token-start indicator over the bucket's FLAT rendered
+    codepoint buffer, cumsum, then one gather per span endpoint.
+    Space class pinned to RE2's ASCII \\s (no \\v) to match the
+    oracle's regex engine."""
+    from ._rayutil import ensure_serializable
+
+    ensure_serializable()
+    ds = ray.data.read_parquet(
+        transcript_paths, columns=["conv_id", "turn_idx", "role", "text"]
+    )
+
+    def token_bucket(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")]
+        ).combine_chunks()
+        empty = pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int64()),
+                "tok_start": pa.array([], pa.int64()),
+                "tok_end": pa.array([], pa.int64()),
+            }
+        )
+        n = t.num_rows
+        if n == 0:
+            return empty
+        conv = t.column("conv_id").combine_chunks()
+        role = pc.fill_null(t.column("role"), "").combine_chunks()
+        text = pc.fill_null(t.column("text"), "").combine_chunks()
+        kept = pc.not_equal(pc.utf8_trim_whitespace(text), "").to_numpy(
+            zero_copy_only=False
+        )
+        if not kept.any():
+            return empty
+        role_len = pc.utf8_length(role).to_numpy(zero_copy_only=False)
+        text_len = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        seg_len = (role_len + 2 + text_len)[kept]
+        k_conv = conv.filter(pa.array(kept))
+        m = len(seg_len)
+        starts, sizes = _run_bounds(k_conv, m)
+        cum = np.cumsum(seg_len)
+        g = np.empty(m, dtype=np.int64)
+        g[0] = 0
+        g[1:] = cum[:-1]
+        run_id = np.repeat(np.arange(len(starts)), sizes)
+        offset = (g - g[starts][run_id]) + (np.arange(m) - starts[run_id])
+        is_asst = pc.equal(role, "assistant").to_numpy(zero_copy_only=False)[kept]
+        span_start = (offset + role_len[kept] + 2)[is_asst]
+        span_end = span_start + text_len[kept][is_asst]
+        a_run = run_id[is_asst]
+        tidx = t.column("turn_idx").to_numpy(zero_copy_only=False)[kept][is_asst]
+
+        rendered = _render_bucket_kernels("plain", t)
+        # rendered has one row per conv in t INCLUDING all-blank convs
+        # (rendered ''); kept runs skip those — align by conv id, loud
+        # on any drift (M13 discipline)
+        r_conv = np.asarray(rendered.column("conv_id").to_pylist(), dtype=object)
+        k_uniq = np.asarray(k_conv.to_pylist(), dtype=object)[starts]
+        rpos = np.searchsorted(r_conv, k_uniq)
+        if (rpos >= len(r_conv)).any() or (r_conv[rpos] != k_uniq).any():
+            raise ValueError("sft_token_spans: render/span conv alignment drift")
+        texts = rendered.column("rendered").to_pylist()
+        codes = [
+            np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32) for s in texts
+        ]
+        lens = np.fromiter((c.size for c in codes), dtype=np.int64, count=len(codes))
+        off = np.concatenate(([0], np.cumsum(lens)))
+        flat = (
+            np.concatenate(codes) if codes else np.empty(0, dtype=np.uint32)
+        )
+        nonspace = ~np.isin(flat, _RE2_SPACE_CODES)
+        tok_start_flag = nonspace.copy()
+        tok_start_flag[1:] &= ~nonspace[:-1]
+        # conv-boundary fix: position 0 of each conv starts a token iff
+        # nonspace, regardless of the previous conv's last char
+        tok_start_flag[off[:-1][off[:-1] < flat.size]] = nonspace[
+            off[:-1][off[:-1] < flat.size]
+        ]
+        C = np.cumsum(tok_start_flag, dtype=np.int64)
+
+        def count_prefix(conv_rows: np.ndarray, p: np.ndarray) -> np.ndarray:
+            o = off[conv_rows]
+            idx = o + p
+            out = np.zeros(len(p), dtype=np.int64)
+            nz = (idx > 0) & (p > 0)
+            base = np.where(o > 0, C[np.maximum(o, 1) - 1], 0)
+            out[nz] = C[idx[nz] - 1] - base[nz]
+            return out
+
+        a_rows = rpos[a_run]
+        tok_s = count_prefix(a_rows, span_start)
+        tok_e = count_prefix(a_rows, span_end)
+        return pa.table(
+            {
+                "conv_id": k_conv.filter(pa.array(is_asst)),
+                "turn_idx": pa.array(tidx.astype(np.int64)),
+                "tok_start": pa.array(tok_s),
+                "tok_end": pa.array(tok_e),
+            }
+        )
+
+    return _bucketed(ds, num_buckets).groupby("_bucket").map_groups(
+        token_bucket, batch_format="pyarrow"
+    )

@@ -180,7 +180,7 @@ def test_heavy_hitter_words_bounds(duck):
     ["render_conversations", "render_deepseek", "compact_history", "conv_stats",
      "turn_token_counts", "redact_transcripts", "dedup_turns",
      "chunk_conversations", "valid_role_alternation", "conv_stats_jsonl",
-     "sft_pairs", "link_stats", "sft_masks"],
+     "sft_pairs", "link_stats", "sft_masks", "sft_token_spans"],
 )
 def test_transcript_query_matches_oracle(name, duck):
     """These oracles read the transcript fixture by path at the driver's
@@ -2284,3 +2284,46 @@ def test_sft_masks_slice_back(tmp_path):
             rendered[r.conv_id][r.span_start : r.span_end]
             == texts[(r.conv_id, r.turn_idx)]
         )
+
+
+def test_sft_token_spans_crafted_boundaries(tmp_path):
+    """Token projection edge cases pinned against a literal Python
+    regex replay of the definitional spec (count of \\S+ runs in the
+    render prefix): leading-space assistant text, multi-space interior
+    runs, and an all-blank conversation sharing the bucket."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from engine.templates import render_conversations, sft_token_spans
+
+    rows = [
+        ("c1", 0, "user", "what is  up"),
+        ("c1", 1, "assistant", "  leading spaces here"),
+        ("c1", 2, "user", "ok"),
+        ("c1", 3, "assistant", "fine   thanks"),
+        ("c2", 0, "tool", " \t "),      # all-blank conv -> rendered ''
+        ("c3", 0, "assistant", "x"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows]),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array([r[2] for r in rows]),
+                "text": pa.array([r[3] for r in rows]),
+            }
+        ),
+        str(tmp_path / "t.parquet"),
+    )
+    paths = [str(tmp_path / "t.parquet")]
+    got = _as_df(sft_token_spans(paths))
+    spans = _as_df(__import__("engine.templates", fromlist=["sft_masks"]).sft_masks(paths))
+    rendered = _as_df(render_conversations(paths)).set_index("conv_id")["rendered"]
+    assert len(got) == 3
+    merged = got.merge(spans, on=["conv_id", "turn_idx"])
+    for r in merged.itertuples():
+        pre_s = rendered[r.conv_id][: r.span_start]
+        pre_e = rendered[r.conv_id][: r.span_end]
+        assert r.tok_start == len(re.findall(r"\S+", pre_s)), r
+        assert r.tok_end == len(re.findall(r"\S+", pre_e)), r
