@@ -157,6 +157,12 @@ def _sft_token_spans(sf_dir: str):
     return sft_token_spans(_transcript_files(sf_dir))
 
 
+def _sft_pack(sf_dir: str):
+    from engine.templates import sft_pack
+
+    return sft_pack(_transcript_files(sf_dir))
+
+
 def _render_deepseek(sf_dir: str):
     """Separator-style render (M2): system-template injection + sep/sep2
     alternation on message-index parity — SQL-expressible, oracle-checked."""
@@ -261,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "render_conversations": _render_conversations,
         "sft_masks": _sft_masks,
         "sft_token_spans": _sft_token_spans,
+        "sft_pack": _sft_pack,
         "render_deepseek": _render_deepseek,
         "compact_history": _compact_history,
         "conv_stats": _conv_stats,
@@ -465,6 +472,7 @@ def oracle_sql() -> dict[str, str]:
     from engine.ops import graph as graph_mod
     from engine.ops import sketches as sketches_mod
     from engine.ops import textstats as textstats_mod
+    from engine import templates as templates_mod
 
     def _pr_iter_cte(cur: str, prev: str) -> str:
         # one PageRank iteration; sum(BIGINT) is HUGEINT in DuckDB, so
@@ -1657,6 +1665,73 @@ def oracle_sql() -> dict[str, str]:
                      '\\S+')) AS BIGINT) AS tok_end
             FROM measured m JOIN rend r USING (conv_id)
             WHERE m.role = 'assistant'
+        """,
+        "sft_pack": f"""
+            -- pack conv token streams (conv-int order) into fixed
+            -- windows; each assistant span splits per window it touches.
+            -- All-blank convs are absent from kept/rend but carry zero
+            -- tokens, so their absence cannot shift any offset.
+            WITH kept AS (
+              SELECT conv_id, turn_idx, coalesce(role, '') AS role, text
+              FROM {transcripts}
+              WHERE text IS NOT NULL AND trim(text, {_PY_WS}) <> ''
+            ), rend AS (
+              SELECT conv_id,
+                     string_agg(role || ': ' || text, chr(10)
+                                ORDER BY turn_idx) AS rendered
+              FROM kept GROUP BY conv_id
+            ), conv AS (
+              SELECT conv_id, CAST(substr(conv_id, 6) AS BIGINT) AS cid,
+                     CAST(length(regexp_extract_all(rendered, '\\S+'))
+                          AS BIGINT) AS n_tokens
+              FROM rend
+            ), offs AS (
+              SELECT conv_id,
+                     CAST(coalesce(sum(n_tokens) OVER (ORDER BY cid
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS conv_start
+              FROM conv
+            ), measured AS (
+              SELECT conv_id, turn_idx, role,
+                     length(role) + 2 AS head_len,
+                     length(text) AS text_len,
+                     CAST(row_number() OVER w - 1 AS BIGINT) AS j,
+                     CAST(coalesce(sum(length(role) + 2 + length(text))
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS BIGINT) AS prev
+              FROM kept
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ), spans AS (
+              SELECT m.conv_id, m.turn_idx,
+                     o.conv_start
+                       + CAST(length(regexp_extract_all(substr(r.rendered, 1,
+                           CAST(m.prev + m.j + m.head_len AS INT)), '\\S+'))
+                           AS BIGINT) AS abs_s,
+                     o.conv_start
+                       + CAST(length(regexp_extract_all(substr(r.rendered, 1,
+                           CAST(m.prev + m.j + m.head_len + m.text_len AS INT)),
+                           '\\S+')) AS BIGINT) AS abs_e
+              FROM measured m
+              JOIN rend r USING (conv_id)
+              JOIN offs o USING (conv_id)
+              WHERE m.role = 'assistant'
+            ), win AS (
+              SELECT conv_id, turn_idx, abs_s, abs_e,
+                     unnest(range(abs_s // {templates_mod.SFT_SEQ_LEN},
+                                  (abs_e - 1) // {templates_mod.SFT_SEQ_LEN}
+                                    + 1)) AS seq_id
+              FROM spans
+            )
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   CAST(seq_id AS BIGINT) AS seq_id,
+                   CAST(greatest(abs_s, seq_id * {templates_mod.SFT_SEQ_LEN})
+                        - seq_id * {templates_mod.SFT_SEQ_LEN} AS BIGINT)
+                     AS mask_start,
+                   CAST(least(abs_e, (seq_id + 1) * {templates_mod.SFT_SEQ_LEN})
+                        - seq_id * {templates_mod.SFT_SEQ_LEN} AS BIGINT)
+                     AS mask_end
+            FROM win
         """,
         "link_stats": f"""
             -- href popularity: per-turn counts first (a turn is one

@@ -659,3 +659,259 @@ def sft_token_spans(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset
     return _bucketed(ds, num_buckets).groupby("_bucket").map_groups(
         token_bucket, batch_format="pyarrow"
     )
+
+
+SFT_SEQ_LEN = 256     # packed training-sequence length (tokens)
+SFT_PACK_SPAN = 4096  # contiguous conv-int range per scan bucket
+
+
+def _conv_int(conv_ids: np.ndarray) -> np.ndarray:
+    """Parse the transcript fixture's 'conv-NNNNNNN' ids to int64 —
+    the documented INPUT CONTRACT for the ordered pack scan (the same
+    posture as kmeans' contiguous-seed contract: a different id scheme
+    must fail loudly here, never silently mis-order the stream)."""
+    out = np.empty(len(conv_ids), dtype=np.int64)
+    for i, c in enumerate(conv_ids):
+        if not c.startswith("conv-"):
+            raise ValueError(f"sft_pack conv-id contract: {c!r}")
+        out[i] = int(c[5:])
+    return out
+
+
+def sft_pack(
+    transcript_paths, seq_len: int = SFT_SEQ_LEN, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """Pack every conversation's plain-render token stream (conv-int
+    order, concatenated) into fixed ``seq_len`` windows and emit each
+    assistant turn's loss-mask interval PER WINDOW ->
+    (conv_id, turn_idx, seq_id, mask_start, mask_end). Spans straddling
+    a window boundary split into one row per window — the final
+    trainer-facing artifact composed from three engine primitives:
+    sft_token_spans' token arithmetic, pack_sequences' global ordered
+    prefix scan (contiguous conv-int buckets, driver cumsum of one tiny
+    row per bucket, ray.put broadcast), and the rank-join co-location
+    pattern for attaching conv start offsets to span rows.
+
+    Shuffle inventory (all int-only rows + short conv ids): one
+    conv-hash bucket pass computes per-conv token totals AND token
+    spans together (materialized — feeds both scan passes, the
+    pack_sequences precedent); the scan's two tiny passes; one
+    contiguous-range bucket join+expand. The corpus text itself is
+    touched exactly once."""
+    from ._rayutil import ensure_serializable
+    from .ops.textstats import _prefix_scan
+
+    ensure_serializable()
+    ds = ray.data.read_parquet(
+        transcript_paths, columns=["conv_id", "turn_idx", "role", "text"]
+    )
+
+    def prep_bucket(group: pa.Table) -> pa.Table:
+        """Per conv-hash bucket: kind=0 rows carry (cid, n_tokens) per
+        conv; kind=1 rows carry (cid, turn_idx, tok_start, tok_end) per
+        assistant span — same machinery as sft_token_spans."""
+        t = group.sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")]
+        ).combine_chunks()
+        empty = pa.table(
+            {
+                "kind": pa.array([], pa.int8()),
+                "conv_id": pa.array([], pa.string()),
+                "cid": pa.array([], pa.int64()),
+                "turn_idx": pa.array([], pa.int64()),
+                "tok_start": pa.array([], pa.int64()),
+                "tok_end": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        conv = t.column("conv_id").combine_chunks()
+        role = pc.fill_null(t.column("role"), "").combine_chunks()
+        text = pc.fill_null(t.column("text"), "").combine_chunks()
+        kept = pc.not_equal(pc.utf8_trim_whitespace(text), "").to_numpy(
+            zero_copy_only=False
+        )
+        rendered = _render_bucket_kernels("plain", t)
+        r_conv = np.asarray(rendered.column("conv_id").to_pylist(), dtype=object)
+        texts = rendered.column("rendered").to_pylist()
+        codes = [
+            np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32) for s in texts
+        ]
+        lens = np.fromiter((c.size for c in codes), dtype=np.int64, count=len(codes))
+        off = np.concatenate(([0], np.cumsum(lens)))
+        flat = np.concatenate(codes) if codes else np.empty(0, dtype=np.uint32)
+        nonspace = ~np.isin(flat, _RE2_SPACE_CODES)
+        tok_flag = nonspace.copy()
+        tok_flag[1:] &= ~nonspace[:-1]
+        conv_starts = off[:-1][off[:-1] < flat.size]
+        tok_flag[conv_starts] = nonspace[conv_starts]
+        C = np.cumsum(tok_flag, dtype=np.int64)
+
+        def count_prefix(rows: np.ndarray, p: np.ndarray) -> np.ndarray:
+            o = off[rows]
+            idx = o + p
+            out = np.zeros(len(p), dtype=np.int64)
+            nz = (idx > 0) & (p > 0)
+            base = np.where(o > 0, C[np.maximum(o, 1) - 1], 0)
+            out[nz] = C[idx[nz] - 1] - base[nz]
+            return out
+
+        # kind=0: per-conv totals (tok_end = total tokens of the render)
+        n_tok = count_prefix(np.arange(len(texts)), lens)
+        r_cid = _conv_int(r_conv)
+        totals = pa.table(
+            {
+                "kind": pa.array(np.zeros(len(texts), dtype=np.int8)),
+                "conv_id": pa.array(r_conv, pa.string()),
+                "cid": pa.array(r_cid),
+                "turn_idx": pa.array(np.full(len(texts), -1, dtype=np.int64)),
+                "tok_start": pa.array(np.zeros(len(texts), dtype=np.int64)),
+                "tok_end": pa.array(n_tok),
+            }
+        )
+        if not kept.any():
+            return totals
+        role_len = pc.utf8_length(role).to_numpy(zero_copy_only=False)
+        text_len = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        seg_len = (role_len + 2 + text_len)[kept]
+        k_conv = conv.filter(pa.array(kept))
+        m = len(seg_len)
+        starts, sizes = _run_bounds(k_conv, m)
+        cum = np.cumsum(seg_len)
+        g = np.empty(m, dtype=np.int64)
+        g[0] = 0
+        g[1:] = cum[:-1]
+        run_id = np.repeat(np.arange(len(starts)), sizes)
+        offset = (g - g[starts][run_id]) + (np.arange(m) - starts[run_id])
+        is_asst = pc.equal(role, "assistant").to_numpy(zero_copy_only=False)[kept]
+        if not is_asst.any():
+            return totals
+        span_start = (offset + role_len[kept] + 2)[is_asst]
+        span_end = span_start + text_len[kept][is_asst]
+        k_uniq = np.asarray(k_conv.to_pylist(), dtype=object)[starts]
+        rpos = np.searchsorted(r_conv, k_uniq)
+        if (rpos >= len(r_conv)).any() or (r_conv[rpos] != k_uniq).any():
+            raise ValueError("sft_pack: render/span conv alignment drift")
+        a_rows = rpos[run_id[is_asst]]
+        tidx = t.column("turn_idx").to_numpy(zero_copy_only=False)[kept][is_asst]
+        spans = pa.table(
+            {
+                "kind": pa.array(np.ones(a_rows.size, dtype=np.int8)),
+                "conv_id": pa.array(r_conv[a_rows], pa.string()),
+                "cid": pa.array(r_cid[a_rows]),
+                "turn_idx": pa.array(tidx.astype(np.int64)),
+                "tok_start": pa.array(count_prefix(a_rows, span_start)),
+                "tok_end": pa.array(count_prefix(a_rows, span_end)),
+            }
+        )
+        return pa.concat_tables([totals, spans])
+
+    prep = (
+        _bucketed(ds, num_buckets)
+        .groupby("_bucket")
+        .map_groups(prep_bucket, batch_format="pyarrow")
+        .materialize()  # feeds the scan passes AND the span join
+    )
+
+    def to_scan_rows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["kind"], 0))
+        cid = t["cid"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_sb": pa.array((cid // SFT_PACK_SPAN).astype(np.int64)),
+                "doc_id": pa.array(cid),
+                "n_tokens": t["tok_end"],
+            }
+        )
+
+    scan_in = prep.map_batches(
+        to_scan_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    scanned, _total = _prefix_scan(scan_in, "n_tokens")
+
+    def scanned_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_sb": batch["_sb"],
+                "conv_id": pa.array([""] * batch.num_rows, pa.string()),
+                "cid": batch["doc_id"],
+                "turn_idx": pa.array(np.full(batch.num_rows, -1, np.int64)),
+                "tok_start": batch["start"],     # conv's global token offset
+                "tok_end": pa.array(np.full(batch.num_rows, -1, np.int64)),
+                "kind": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def span_rows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["kind"], 1))
+        cid = t["cid"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_sb": pa.array((cid // SFT_PACK_SPAN).astype(np.int64)),
+                "conv_id": t["conv_id"],
+                "cid": t["cid"],
+                "turn_idx": t["turn_idx"],
+                "tok_start": t["tok_start"],
+                "tok_end": t["tok_end"],
+                "kind": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    both = scanned.map_batches(
+        scanned_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        prep.map_batches(span_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def expand_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        cid = t["cid"].to_numpy(zero_copy_only=False)
+        is_off = kind == 0
+        o_cid = cid[is_off]
+        o_start = t["tok_start"].to_numpy(zero_copy_only=False)[is_off]
+        order = np.argsort(o_cid)
+        o_cid, o_start = o_cid[order], o_start[order]
+        s_cid = cid[~is_off]
+        empty = pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int64()),
+                "seq_id": pa.array([], pa.int64()),
+                "mask_start": pa.array([], pa.int64()),
+                "mask_end": pa.array([], pa.int64()),
+            }
+        )
+        if s_cid.size == 0:
+            return empty
+        pos = np.clip(np.searchsorted(o_cid, s_cid), 0, max(o_cid.size - 1, 0))
+        if o_cid.size == 0 or (o_cid[pos] != s_cid).any():
+            raise ValueError("sft_pack: span's conv offset missing in bucket")
+        base = o_start[pos]
+        abs_s = base + t["tok_start"].to_numpy(zero_copy_only=False)[~is_off]
+        abs_e = base + t["tok_end"].to_numpy(zero_copy_only=False)[~is_off]
+        w_lo = abs_s // seq_len
+        w_hi = (abs_e - 1) // seq_len
+        counts = (w_hi - w_lo + 1).astype(np.int64)
+        total = int(counts.sum())
+        src = np.repeat(np.arange(s_cid.size), counts)
+        block = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        w = w_lo[src] + (np.arange(total) - block[src])
+        lo = w * seq_len
+        mask_start = np.maximum(abs_s[src], lo) - lo
+        mask_end = np.minimum(abs_e[src], lo + seq_len) - lo
+        conv_sp = t["conv_id"].filter(pa.array(~is_off))
+        tidx_sp = t["turn_idx"].to_numpy(zero_copy_only=False)[~is_off]
+        return pa.table(
+            {
+                "conv_id": conv_sp.take(pa.array(src)),
+                "turn_idx": pa.array(tidx_sp[src]),
+                "seq_id": pa.array(w.astype(np.int64)),
+                "mask_start": pa.array(mask_start.astype(np.int64)),
+                "mask_end": pa.array(mask_end.astype(np.int64)),
+            }
+        )
+
+    return both.groupby("_sb").map_groups(
+        lambda g: expand_bucket(g.drop_columns(["_sb"])), batch_format="pyarrow"
+    )

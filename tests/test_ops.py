@@ -180,7 +180,7 @@ def test_heavy_hitter_words_bounds(duck):
     ["render_conversations", "render_deepseek", "compact_history", "conv_stats",
      "turn_token_counts", "redact_transcripts", "dedup_turns",
      "chunk_conversations", "valid_role_alternation", "conv_stats_jsonl",
-     "sft_pairs", "link_stats", "sft_masks", "sft_token_spans"],
+     "sft_pairs", "link_stats", "sft_masks", "sft_token_spans", "sft_pack"],
 )
 def test_transcript_query_matches_oracle(name, duck):
     """These oracles read the transcript fixture by path at the driver's
@@ -2327,3 +2327,60 @@ def test_sft_token_spans_crafted_boundaries(tmp_path):
         pre_e = rendered[r.conv_id][: r.span_end]
         assert r.tok_start == len(re.findall(r"\S+", pre_s)), r
         assert r.tok_end == len(re.findall(r"\S+", pre_e)), r
+
+
+def test_sft_pack_crafted_straddle(tmp_path):
+    """seq_len=4 forces a long assistant span to straddle windows: the
+    per-window mask intervals must tile the span exactly (total masked
+    tokens == the turn's token count, pieces contiguous across window
+    boundaries), and a conv whose id violates the 'conv-N' contract
+    raises loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+    from engine.templates import sft_pack
+
+    rows = [
+        ("conv-0000000", 0, "user", "a b c"),                  # 4 tokens rendered
+        ("conv-0000000", 1, "assistant", "t1 t2 t3 t4 t5 t6"), # 7 tokens w/ head
+        ("conv-0000001", 0, "assistant", "z"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows]),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array([r[2] for r in rows]),
+                "text": pa.array([r[3] for r in rows]),
+            }
+        ),
+        str(tmp_path / "t.parquet"),
+    )
+    paths = [str(tmp_path / "t.parquet")]
+    got = _as_df(sft_pack(paths, seq_len=4)).sort_values(
+        ["conv_id", "turn_idx", "seq_id"]
+    )
+    # turn (conv-0, 1): text tokens t1..t6 = 6 masked tokens
+    piece = got[(got.conv_id == "conv-0000000") & (got.turn_idx == 1)]
+    assert len(piece) >= 2                      # straddles at seq_len=4
+    assert (piece.mask_end - piece.mask_start).sum() == 6
+    # pieces tile contiguously: every non-final piece ends at seq_len
+    ends = piece.mask_end.tolist()
+    starts = piece.mask_start.tolist()
+    assert all(e == 4 for e in ends[:-1]) and all(s == 0 for s in starts[1:])
+    # conv-1's span lands after conv-0's full stream (global offsets)
+    assert (got[got.conv_id == "conv-0000001"].seq_id >= piece.seq_id.max()).all()
+
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": pa.array(["weird-id"]),
+                "turn_idx": pa.array([0], pa.int32()),
+                "role": pa.array(["assistant"]),
+                "text": pa.array(["x"]),
+            }
+        ),
+        str(tmp_path / "bad.parquet"),
+    )
+    with _pytest.raises(Exception, match="conv-id contract"):
+        _as_df(sft_pack([str(tmp_path / "bad.parquet")], seq_len=4))
