@@ -163,6 +163,12 @@ def _sft_pack(sf_dir: str):
     return sft_pack(_transcript_files(sf_dir))
 
 
+def _dedup_convs(sf_dir: str):
+    from engine.templates import dedup_convs
+
+    return dedup_convs(_transcript_files(sf_dir))
+
+
 def _render_deepseek(sf_dir: str):
     """Separator-style render (M2): system-template injection + sep/sep2
     alternation on message-index parity — SQL-expressible, oracle-checked."""
@@ -268,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sft_masks": _sft_masks,
         "sft_token_spans": _sft_token_spans,
         "sft_pack": _sft_pack,
+        "dedup_convs": _dedup_convs,
         "render_deepseek": _render_deepseek,
         "compact_history": _compact_history,
         "conv_stats": _conv_stats,
@@ -1665,6 +1672,27 @@ def oracle_sql() -> dict[str, str]:
                      '\\S+')) AS BIGINT) AS tok_end
             FROM measured m JOIN rend r USING (conv_id)
             WHERE m.role = 'assistant'
+        """,
+        "dedup_convs": f"""
+            -- grouped by the rendered STRING on the oracle side; the
+            -- engine groups by a 128-bit render hash (dedup_exact
+            -- collision contract). Conversations whose every turn is
+            -- blank render '' and legitimately collapse together.
+            WITH kept AS (
+              SELECT conv_id, turn_idx, coalesce(role, '') AS role, text
+              FROM {transcripts}
+              WHERE text IS NOT NULL AND trim(text, {_PY_WS}) <> ''
+            ), convs AS (
+              SELECT conv_id FROM {transcripts} GROUP BY conv_id
+            ), rend AS (
+              SELECT c.conv_id,
+                     coalesce(string_agg(k.role || ': ' || k.text, chr(10)
+                                ORDER BY k.turn_idx), '') AS rendered
+              FROM convs c LEFT JOIN kept k USING (conv_id)
+              GROUP BY c.conv_id
+            )
+            SELECT min(conv_id) AS conv_id, count(*) AS n_dups
+            FROM rend GROUP BY rendered
         """,
         "sft_pack": f"""
             -- pack conv token streams (conv-int order) into fixed

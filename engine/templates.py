@@ -915,3 +915,36 @@ def sft_pack(
     return both.groupby("_sb").map_groups(
         lambda g: expand_bucket(g.drop_columns(["_sb"])), batch_format="pyarrow"
     )
+
+
+def dedup_convs(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
+    """Conversation-level exact dedup: one representative per distinct
+    PLAIN RENDER (the whole-conversation content key — the dedup an SFT
+    pipeline runs before sft_pack so repeated conversations don't bias
+    the mix) -> (conv_id = min id, n_dups). Same physical shape as
+    dedup_exact: render (the one text pass), 128-bit content hash per
+    conv, native Min/Count aggregates on int keys — rendered text never
+    shuffles."""
+    from ray.data.aggregate import Count, Min
+
+    from .ops.dedup import text_hash128
+
+    rendered = render_conversations(transcript_paths, num_buckets=num_buckets)
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h1, h2 = text_hash128(batch["rendered"], "engine-convdkey")
+        return pa.table(
+            {
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
+                "conv_id": batch["conv_id"],
+            }
+        )
+
+    hashed = rendered.map_batches(
+        add_hash, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = hashed.groupby(["h1", "h2"]).aggregate(
+        Min("conv_id", alias_name="conv_id"), Count(alias_name="n_dups")
+    )
+    return agg.select_columns(["conv_id", "n_dups"])

@@ -180,7 +180,8 @@ def test_heavy_hitter_words_bounds(duck):
     ["render_conversations", "render_deepseek", "compact_history", "conv_stats",
      "turn_token_counts", "redact_transcripts", "dedup_turns",
      "chunk_conversations", "valid_role_alternation", "conv_stats_jsonl",
-     "sft_pairs", "link_stats", "sft_masks", "sft_token_spans", "sft_pack"],
+     "sft_pairs", "link_stats", "sft_masks", "sft_token_spans", "sft_pack",
+     "dedup_convs"],
 )
 def test_transcript_query_matches_oracle(name, duck):
     """These oracles read the transcript fixture by path at the driver's
@@ -2384,3 +2385,37 @@ def test_sft_pack_crafted_straddle(tmp_path):
     )
     with _pytest.raises(Exception, match="conv-id contract"):
         _as_df(sft_pack([str(tmp_path / "bad.parquet")], seq_len=4))
+
+
+def test_dedup_convs_crafted_collapse(tmp_path):
+    """Two conversations with identical renders collapse to the min id;
+    a conv differing only in a blank extra turn ALSO collapses (blank
+    turns don't render); two all-blank convs collapse to ''."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from engine.templates import dedup_convs
+
+    rows = [
+        ("c-a", 0, "user", "hi"), ("c-a", 1, "assistant", "yo"),
+        ("c-b", 0, "user", "hi"), ("c-b", 1, "assistant", "yo"),
+        ("c-c", 0, "user", "hi"), ("c-c", 1, "assistant", "yo"),
+        ("c-c", 2, "tool", "  "),                  # blank -> same render
+        ("c-d", 0, "user", "different"),
+        ("c-e", 0, "tool", " "), ("c-f", 0, "tool", "\t"),  # both render ''
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows]),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array([r[2] for r in rows]),
+                "text": pa.array([r[3] for r in rows]),
+            }
+        ),
+        str(tmp_path / "t.parquet"),
+    )
+    got = _as_df(dedup_convs([str(tmp_path / "t.parquet")])).set_index("conv_id")
+    assert got.loc["c-a", "n_dups"] == 3     # a == b == c
+    assert got.loc["c-d", "n_dups"] == 1
+    assert got.loc["c-e", "n_dups"] == 2     # both blank convs
+    assert set(got.index) == {"c-a", "c-d", "c-e"}
