@@ -372,6 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": dedup.source_overlap,
         # similarity search
         "knn_bruteforce": similarity.knn_bruteforce,
+        "quantize_embeddings": similarity.quantize_embeddings,
         "knn_ivf": similarity.knn_ivf,
         "embedding_centroids": similarity.embedding_centroids,
         "unnest_embeddings": similarity.unnest_embeddings,
@@ -1672,6 +1673,24 @@ def oracle_sql() -> dict[str, str]:
                      '\\S+')) AS BIGINT) AS tok_end
             FROM measured m JOIN rend r USING (conv_id)
             WHERE m.role = 'assistant'
+        """,
+        "quantize_embeddings": """
+            -- identical double-precision expression + half-away rounding
+            -- as the engine; parallel unnests zip per DuckDB semantics
+            WITH base AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS scale
+              FROM embeddings
+            )
+            SELECT vec_id,
+                   CAST(unnest(range(len(embedding))) AS BIGINT) AS dim_idx,
+                   CAST(CASE WHEN scale = 0 THEN 0
+                        ELSE round(CAST(unnest(embedding) AS DOUBLE)
+                                   / scale * 127) END AS BIGINT) AS q,
+                   CAST(CASE WHEN scale = 0 THEN 0
+                        ELSE round(scale * 1000000) END AS BIGINT) AS scale_micro
+            FROM base
         """,
         "dedup_convs": f"""
             -- grouped by the rendered STRING on the oracle side; the

@@ -772,3 +772,52 @@ def semdedup(
     return assigned.groupby("cluster").map_groups(
         dedup_cluster, batch_format="pyarrow"
     )
+
+
+def quantize_embeddings(sf_dir: str) -> ray.data.Dataset:
+    """Symmetric per-vector int8 quantization of the embedding column ->
+    one row per (vec_id, dim_idx): q = round(x / scale * 127) with
+    scale = max(|x|) — the storage/ANN compression step (4x smaller
+    vectors, dequantize as q * scale / 127). Exactly oracle-checkable
+    because both sides run the IDENTICAL double-precision expression on
+    identically promoted float32 inputs and the identical
+    half-away-from-zero rounding rule (numpy: trunc(v + copysign(.5, v));
+    DuckDB: round()). Zero vectors quantize to all-zero with
+    scale_micro = 0 (guarded on both sides). Stateless vectorized map,
+    no shuffle; output is unnested (vec_id, dim_idx, q, scale_micro)
+    int rows so the value-hash compare never sorts list columns."""
+    ensure_serializable()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+    def quant(batch: pa.Table) -> pa.Table:
+        x = emb_matrix(batch["embedding"])
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n, dim = x.shape if x.size else (0, 0)
+        if n == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "dim_idx": pa.array([], pa.int64()),
+                    "q": pa.array([], pa.int64()),
+                    "scale_micro": pa.array([], pa.int64()),
+                }
+            )
+        scale = np.abs(x).max(axis=1)
+        safe = np.where(scale == 0, 1.0, scale)
+        v = (x / safe[:, None]) * 127.0           # same op ORDER as the SQL
+        q = np.trunc(v + np.copysign(0.5, v)).astype(np.int64)
+        q[scale == 0] = 0
+        sm = np.trunc(scale * 1_000_000 + 0.5).astype(np.int64)
+        sm[scale == 0] = 0
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, dim)),
+                "dim_idx": pa.array(np.tile(np.arange(dim, dtype=np.int64), n)),
+                "q": pa.array(q.ravel()),
+                "scale_micro": pa.array(np.repeat(sm, dim)),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)

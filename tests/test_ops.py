@@ -72,6 +72,7 @@ SQL_CHECKED = [
     "source_mix_weights", "inverted_index", "fim_examples",
     "contrastive_pairs", "mixture_sample", "dedup_editdist",
     "pagerank_entities", "source_overlap", "shuffle_export",
+    "quantize_embeddings",
 ]
 
 
@@ -2419,3 +2420,31 @@ def test_dedup_convs_crafted_collapse(tmp_path):
     assert got.loc["c-d", "n_dups"] == 1
     assert got.loc["c-e", "n_dups"] == 2     # both blank convs
     assert set(got.index) == {"c-a", "c-d", "c-e"}
+
+
+def test_quantize_embeddings_recall():
+    """Dequantized int8 vectors (q * scale / 127) preserve cosine
+    neighborhoods: top-10 brute-force recall vs exact float vectors
+    >= 0.9 averaged over 20 probe queries on the real corpus."""
+    import pyarrow.parquet as pq
+    from engine.ops.similarity import quantize_embeddings
+
+    got = _as_df(quantize_embeddings(SF))
+    t = pq.read_table(os.path.join(SF, "embeddings.parquet"))
+    ids = np.asarray(t["vec_id"].to_pylist())
+    x = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    piv = got.pivot_table(index="vec_id", columns="dim_idx", values="q").loc[ids]
+    scale = got.groupby("vec_id")["scale_micro"].first().loc[ids].to_numpy() / 1e6
+    deq = piv.to_numpy() * scale[:, None] / 127.0
+
+    def topk(m, qv, k=10):
+        num = m @ qv
+        den = np.linalg.norm(m, axis=1) * np.linalg.norm(qv) + 1e-12
+        return set(np.argsort(-(num / den), kind="stable")[:k])
+
+    recalls = []
+    for qi in range(20):
+        exact = topk(x, x[qi])
+        approx = topk(deq, deq[qi])
+        recalls.append(len(exact & approx) / 10)
+    assert np.mean(recalls) >= 0.9, np.mean(recalls)
