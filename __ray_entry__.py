@@ -248,6 +248,36 @@ def _conv_stats_jsonl(sf_dir: str):
     return conv_stats(read_transcripts_jsonl(paths))
 
 
+def _conv_stats_csv(sf_dir: str):
+    """conv_stats over the CSV SOURCE (engine.io): the parquet fixture
+    converts to CSV shards once (cached per tier), then the identical
+    operator runs on the third ingestion format — bit-equal output vs
+    the parquet-sourced oracle IS the source-parity proof (embedded
+    newlines in payload turns make this a real round-trip test)."""
+    import ray.data
+
+    from engine import synth
+    from engine.io import read_transcripts_csv, write_transcripts_csv
+    from engine.ops.convstats import conv_stats
+
+    tier = synth.tier_for_sf_dir(sf_dir)
+    out = f"/tmp/ray_transcripts_csv/{tier}"
+    marker = os.path.join(out, "_COMPLETE")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        write_transcripts_csv(
+            ray.data.read_parquet(_transcript_files(sf_dir)), out
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    paths = sorted(
+        os.path.join(out, p) for p in os.listdir(out) if p.endswith(".csv")
+    )
+    return conv_stats(read_transcripts_csv(paths))
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale; driver smoke-checks rows>=0."""
     return _extract_transcripts("/root/testdata/sf0.001")
@@ -286,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "valid_role_alternation": _valid_role_alternation,
         "sft_pairs": _sft_pairs,
         "conv_stats_jsonl": _conv_stats_jsonl,
+        "conv_stats_csv": _conv_stats_csv,
         # relational operators (SURVEY SS2.6-2.7, SS2.10)
         "pricing_summary": relational.pricing_summary,
         "stage_totals": relational.stage_totals,
@@ -765,6 +796,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "conv_stats_jsonl": f"""
             -- identical to conv_stats: the Ray side reads the JSONL
+            -- conversion of the same fixture, so bit-equality against
+            -- the parquet-sourced oracle proves source parity
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_tool_turns,
+                   CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS n_chars,
+                   min(epoch_us(ts)) AS first_ts_us,
+                   max(epoch_us(ts)) AS last_ts_us
+            FROM {transcripts}
+            GROUP BY conv_id
+        """,
+        "conv_stats_csv": f"""
+            -- identical to conv_stats: the Ray side reads the CSV
             -- conversion of the same fixture, so bit-equality against
             -- the parquet-sourced oracle proves source parity
             SELECT conv_id,

@@ -87,3 +87,39 @@ def write_transcripts_jsonl(ds: ray.data.Dataset, out_dir: str) -> None:
     ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True).write_json(
         out_dir
     )
+
+
+def read_transcripts_csv(paths) -> ray.data.Dataset:
+    """CSV shard(s) -> Dataset with the canonical transcript schema —
+    the engine's THIRD ingestion format. ``newlines_in_values`` is on:
+    turn text embeds newlines (payloads!), which the Arrow CSV writer
+    quotes and the reader must be told to expect; without it a quoted
+    multi-line turn shears into garbage rows."""
+    import pyarrow.csv as pacsv
+
+    ensure_serializable()
+    return ray.data.read_csv(
+        paths,
+        parse_options=pacsv.ParseOptions(newlines_in_values=True),
+    ).map_batches(_normalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_transcripts_csv(ds: ray.data.Dataset, out_dir: str) -> None:
+    """Dataset with the transcript schema -> CSV shards under
+    ``out_dir`` (ts as int64 epoch micros, same rationale as JSONL)."""
+
+    def encode(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "role": batch["role"],
+                "text": batch["text"],
+                "tool": batch["tool"],
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+            }
+        )
+
+    ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True).write_csv(
+        out_dir
+    )

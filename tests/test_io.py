@@ -64,3 +64,40 @@ def test_operator_parity_across_sources(jsonl_dir):
         conv_stats(files).to_pandas().sort_values("conv_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.fixture(scope="module")
+def csv_dir(tmp_path_factory):
+    import ray.data
+
+    from engine import synth
+    from engine.io import write_transcripts_csv
+
+    d = synth.fixture_dir("t1")
+    files = sorted(
+        os.path.join(d, p) for p in os.listdir(d) if p.endswith(".parquet")
+    )
+    out = tmp_path_factory.mktemp("csv")
+    write_transcripts_csv(ray.data.read_parquet(files), str(out))
+    return files, str(out)
+
+
+def test_csv_roundtrip_full_schema(csv_dir):
+    """Third ingestion format: CSV round-trip must be bit-equal to the
+    parquet source — including payload turns with embedded newlines and
+    commas, which exercise quoted-field parsing (newlines_in_values)."""
+    import ray.data
+
+    from engine.io import TRANSCRIPT_SCHEMA, read_transcripts_csv
+
+    files, out = csv_dir
+    paths = sorted(
+        os.path.join(out, p) for p in os.listdir(out) if p.endswith(".csv")
+    )
+    got_ds = read_transcripts_csv(paths)
+    assert got_ds.schema().base_schema == TRANSCRIPT_SCHEMA
+    got = _canon(got_ds.to_pandas())
+    want = _canon(ray.data.read_parquet(files).to_pandas())
+    # multi-line payloads must survive: at least one text has a newline
+    assert want["text"].str.contains("\n").any()
+    pd.testing.assert_frame_equal(got, want)

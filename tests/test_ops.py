@@ -182,7 +182,7 @@ def test_heavy_hitter_words_bounds(duck):
      "turn_token_counts", "redact_transcripts", "dedup_turns",
      "chunk_conversations", "valid_role_alternation", "conv_stats_jsonl",
      "sft_pairs", "link_stats", "sft_masks", "sft_token_spans", "sft_pack",
-     "dedup_convs"],
+     "dedup_convs", "conv_stats_csv"],
 )
 def test_transcript_query_matches_oracle(name, duck):
     """These oracles read the transcript fixture by path at the driver's
