@@ -1162,7 +1162,7 @@ def oracle_sql() -> dict[str, str]:
             WITH worded AS (
               SELECT source, regexp_extract_all(coalesce(text, ''), '\\S+')
                        AS words
-              FROM documents),
+              FROM documents WHERE source IS NOT NULL),
             grams AS (
               SELECT DISTINCT source, unnest(
                 CASE WHEN len(words) < {dedup.OVERLAP_K}

@@ -98,9 +98,24 @@ def read_transcripts_csv(paths) -> ray.data.Dataset:
     import pyarrow.csv as pacsv
 
     ensure_serializable()
+    # Pin string column types: CSV inference would silently coerce
+    # numeric-looking text/tool values ('007' -> 7, '1.50' -> 1.5) and
+    # break the bit-equal source-parity contract. Types apply only to
+    # columns present in the file, so ts-vs-ts_us variants both work.
+    convert = pacsv.ConvertOptions(
+        column_types={
+            "conv_id": pa.string(),
+            "role": pa.string(),
+            "text": pa.string(),
+            "tool": pa.string(),
+            "turn_idx": pa.int32(),
+            "ts_us": pa.int64(),
+        }
+    )
     return ray.data.read_csv(
         paths,
         parse_options=pacsv.ParseOptions(newlines_in_values=True),
+        convert_options=convert,
     ).map_batches(_normalize, batch_format="pyarrow", zero_copy_batch=True)
 
 

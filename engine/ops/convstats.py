@@ -524,7 +524,9 @@ def link_stats(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
     turns, (href, conv) sub-runs = distinct convs — every occurrence of
     an href shares its bucket, so in-bucket runs are global)."""
     ensure_serializable()
-    ds = _transcript_ds(transcript_paths, ["conv_id", "turn_idx", "text"])
+    # turn_idx never leaves this op: a turn is one input row, so the
+    # per-turn identity is the row itself — don't decode the column
+    ds = _transcript_ds(transcript_paths, ["conv_id", "text"])
     tagged = ds.map_batches(
         _LinkExtract,
         fn_constructor_args=(num_buckets,),

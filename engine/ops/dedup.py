@@ -1926,13 +1926,16 @@ def source_overlap(sf_dir: str) -> ray.data.Dataset:
     )
 
     def explode(batch: pa.Table) -> pa.Table:
+        # NULL-source docs are DROPPED, matching SQL join semantics in
+        # the oracle (NULL never equals/compares); '' is a real source
+        batch = batch.filter(pc.is_valid(batch.column("source")))
         src = batch.column("source").to_pylist()
         txt = pc.fill_null(batch.column("text"), "").to_pylist()
         out_src: list = []
         out_gh: list = []
         for s, t in zip(src, txt):
             gh = _gram_hashes(t, OVERLAP_K)
-            out_src.extend([s or ""] * len(gh))
+            out_src.extend([s] * len(gh))
             out_gh.append(gh)
         gh_all = (
             np.concatenate(out_gh) if out_gh else np.empty(0, dtype=np.int64)
@@ -2037,6 +2040,9 @@ def source_overlap(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
+    # batch_size=None: finalize needs the WHOLE single block in one call
+    # (a pair row must see its source-total sentinel rows); the default
+    # 1024-row slicing would split them past ~45 distinct sources
     return agg.repartition(1).map_batches(
-        finalize, batch_format="pyarrow", zero_copy_batch=True
+        finalize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )

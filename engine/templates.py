@@ -459,6 +459,105 @@ def compact_history(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset
     )
 
 
+# RE2's ASCII \s class — [\t\n\f\r ], note NO \v — pinned so the numpy
+# token counter and the DuckDB regexp_extract_all oracle agree.
+_RE2_SPACE_CODES = np.array([9, 10, 12, 13, 32], dtype=np.uint32)
+
+
+def _assistant_spans(t: pa.Table):
+    """Shared span arithmetic for the SFT family (sft_masks /
+    sft_token_spans / sft_pack) over one SORTED bucket table: the kept
+    predicate, the segmented exclusive offset cumsum (+1 separator per
+    preceding kept turn) and the assistant char-span projection live in
+    exactly ONE place so the render rule can never drift between the
+    three ops. Returns None when the bucket has no kept assistant
+    turns, else a dict of parallel arrays (all assistant-filtered
+    except k_conv/starts, which describe the kept rows)."""
+    conv = t.column("conv_id").combine_chunks()
+    role = pc.fill_null(t.column("role"), "").combine_chunks()
+    text = pc.fill_null(t.column("text"), "").combine_chunks()
+    kept = pc.not_equal(pc.utf8_trim_whitespace(text), "").to_numpy(
+        zero_copy_only=False
+    )
+    if not kept.any():
+        return None
+    role_len = pc.utf8_length(role).to_numpy(zero_copy_only=False)
+    text_len = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+    seg_len = (role_len + 2 + text_len)[kept]
+    k_conv = conv.filter(pa.array(kept))
+    m = len(seg_len)
+    starts, sizes = _run_bounds(k_conv, m)
+    cum = np.cumsum(seg_len)
+    g = np.empty(m, dtype=np.int64)
+    g[0] = 0
+    g[1:] = cum[:-1]
+    run_id = np.repeat(np.arange(len(starts)), sizes)
+    offset = (g - g[starts][run_id]) + (np.arange(m) - starts[run_id])
+    is_asst = pc.equal(role, "assistant").to_numpy(zero_copy_only=False)[kept]
+    if not is_asst.any():
+        return None
+    span_start = (offset + role_len[kept] + 2)[is_asst]
+    span_end = span_start + text_len[kept][is_asst]
+    return {
+        "k_conv": k_conv,
+        "starts": starts,
+        "a_run": run_id[is_asst],
+        "a_conv": k_conv.filter(pa.array(is_asst)),
+        "span_start": span_start.astype(np.int64),
+        "span_end": span_end.astype(np.int64),
+        "tidx": t.column("turn_idx")
+        .to_numpy(zero_copy_only=False)[kept][is_asst]
+        .astype(np.int64),
+    }
+
+
+def _token_prefix_counter(texts: list):
+    """Rendered strings -> (count_prefix(rows, p), per-string totals):
+    vectorized \\S+-run counting over the FLAT utf-32 codepoint buffer
+    (token-start indicator + cumsum; one gather per queried prefix).
+    count_prefix(rows, p) = number of nonspace runs intersecting
+    texts[rows][:p] — the definitional spec shared with the DuckDB
+    ``regexp_extract_all(substr(...), '\\S+')`` oracles."""
+    codes = [np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32) for s in texts]
+    lens = np.fromiter((c.size for c in codes), dtype=np.int64, count=len(codes))
+    off = np.concatenate(([0], np.cumsum(lens)))
+    flat = np.concatenate(codes) if codes else np.empty(0, dtype=np.uint32)
+    nonspace = ~np.isin(flat, _RE2_SPACE_CODES)
+    tok_flag = nonspace.copy()
+    if flat.size:
+        tok_flag[1:] &= ~nonspace[:-1]
+        # conv boundary: position 0 of each string starts a token iff
+        # nonspace, regardless of the previous string's last char
+        cs = off[:-1][off[:-1] < flat.size]
+        tok_flag[cs] = nonspace[cs]
+    C = np.cumsum(tok_flag, dtype=np.int64)
+
+    def count_prefix(rows: np.ndarray, p: np.ndarray) -> np.ndarray:
+        o = off[rows]
+        idx = o + p
+        out = np.zeros(len(p), dtype=np.int64)
+        nz = (idx > 0) & (p > 0)
+        base = np.where(o > 0, C[np.maximum(o, 1) - 1], 0)
+        out[nz] = C[idx[nz] - 1] - base[nz]
+        return out
+
+    totals = count_prefix(np.arange(len(texts), dtype=np.int64), lens)
+    return count_prefix, totals
+
+
+def _render_aligned(t: pa.Table, k_uniq: np.ndarray, who: str):
+    """Plain-render the bucket and align kept-run conv ids onto the
+    render rows (which include all-blank convs, rendered ''); loud
+    ValueError on drift (M13 discipline). Returns (rendered table,
+    r_conv object array, rpos: kept-run index -> render row)."""
+    rendered = _render_bucket_kernels("plain", t)
+    r_conv = np.asarray(rendered.column("conv_id").to_pylist(), dtype=object)
+    rpos = np.searchsorted(r_conv, k_uniq)
+    if (rpos >= len(r_conv)).any() or (r_conv[rpos] != k_uniq).any():
+        raise ValueError(f"{who}: render/span conv alignment drift")
+    return rendered, r_conv, rpos
+
+
 def sft_masks(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
     """Loss-mask spans for SFT training -> one row per ASSISTANT turn:
     (conv_id, turn_idx, span_start, span_end), the char offsets of that
@@ -493,54 +592,23 @@ def sft_masks(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
                 "span_end": pa.array([], pa.int64()),
             }
         )
-        n = t.num_rows
-        if n == 0:
+        if t.num_rows == 0:
             return empty
-        conv = t.column("conv_id").combine_chunks()
-        role = pc.fill_null(t.column("role"), "").combine_chunks()
-        text = pc.fill_null(t.column("text"), "").combine_chunks()
-        kept = pc.not_equal(pc.utf8_trim_whitespace(text), "").to_numpy(
-            zero_copy_only=False
-        )
-        if not kept.any():
+        s = _assistant_spans(t)
+        if s is None:
             return empty
-        role_len = pc.utf8_length(role).to_numpy(zero_copy_only=False)
-        text_len = pc.utf8_length(text).to_numpy(zero_copy_only=False)
-        seg_len = (role_len + 2 + text_len)[kept]
-        k_conv = conv.filter(pa.array(kept))
-        m = len(seg_len)
-        starts, sizes = _run_bounds(k_conv, m)
-        cum = np.cumsum(seg_len)
-        g = np.empty(m, dtype=np.int64)
-        g[0] = 0
-        g[1:] = cum[:-1]
-        run_id = np.repeat(np.arange(len(starts)), sizes)
-        prev = g - g[starts][run_id]                      # kept-seg chars before
-        j = np.arange(m) - starts[run_id]                 # separators before
-        offset = prev + j
-        is_asst = (
-            pc.equal(role, "assistant").to_numpy(zero_copy_only=False)[kept]
-        )
-        span_start = (offset + role_len[kept] + 2)[is_asst]
-        span_end = span_start + text_len[kept][is_asst]
-        tidx = t.column("turn_idx").to_numpy(zero_copy_only=False)[kept][is_asst]
         return pa.table(
             {
-                "conv_id": k_conv.filter(pa.array(is_asst)),
-                "turn_idx": pa.array(tidx.astype(np.int64)),
-                "span_start": pa.array(span_start.astype(np.int64)),
-                "span_end": pa.array(span_end.astype(np.int64)),
+                "conv_id": s["a_conv"],
+                "turn_idx": pa.array(s["tidx"]),
+                "span_start": pa.array(s["span_start"]),
+                "span_end": pa.array(s["span_end"]),
             }
         )
 
     return _bucketed(ds, num_buckets).groupby("_bucket").map_groups(
         mask_bucket, batch_format="pyarrow"
     )
-
-
-# RE2's ASCII \s class — [\t\n\f\r ], note NO \v — pinned so the numpy
-# token counter and the DuckDB regexp_extract_all oracle agree.
-_RE2_SPACE_CODES = np.array([9, 10, 12, 13, 32], dtype=np.uint32)
 
 
 def sft_token_spans(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
@@ -578,81 +646,23 @@ def sft_token_spans(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset
                 "tok_end": pa.array([], pa.int64()),
             }
         )
-        n = t.num_rows
-        if n == 0:
+        if t.num_rows == 0:
             return empty
-        conv = t.column("conv_id").combine_chunks()
-        role = pc.fill_null(t.column("role"), "").combine_chunks()
-        text = pc.fill_null(t.column("text"), "").combine_chunks()
-        kept = pc.not_equal(pc.utf8_trim_whitespace(text), "").to_numpy(
-            zero_copy_only=False
-        )
-        if not kept.any():
+        s = _assistant_spans(t)
+        if s is None:
             return empty
-        role_len = pc.utf8_length(role).to_numpy(zero_copy_only=False)
-        text_len = pc.utf8_length(text).to_numpy(zero_copy_only=False)
-        seg_len = (role_len + 2 + text_len)[kept]
-        k_conv = conv.filter(pa.array(kept))
-        m = len(seg_len)
-        starts, sizes = _run_bounds(k_conv, m)
-        cum = np.cumsum(seg_len)
-        g = np.empty(m, dtype=np.int64)
-        g[0] = 0
-        g[1:] = cum[:-1]
-        run_id = np.repeat(np.arange(len(starts)), sizes)
-        offset = (g - g[starts][run_id]) + (np.arange(m) - starts[run_id])
-        is_asst = pc.equal(role, "assistant").to_numpy(zero_copy_only=False)[kept]
-        span_start = (offset + role_len[kept] + 2)[is_asst]
-        span_end = span_start + text_len[kept][is_asst]
-        a_run = run_id[is_asst]
-        tidx = t.column("turn_idx").to_numpy(zero_copy_only=False)[kept][is_asst]
-
-        rendered = _render_bucket_kernels("plain", t)
-        # rendered has one row per conv in t INCLUDING all-blank convs
-        # (rendered ''); kept runs skip those — align by conv id, loud
-        # on any drift (M13 discipline)
-        r_conv = np.asarray(rendered.column("conv_id").to_pylist(), dtype=object)
-        k_uniq = np.asarray(k_conv.to_pylist(), dtype=object)[starts]
-        rpos = np.searchsorted(r_conv, k_uniq)
-        if (rpos >= len(r_conv)).any() or (r_conv[rpos] != k_uniq).any():
-            raise ValueError("sft_token_spans: render/span conv alignment drift")
-        texts = rendered.column("rendered").to_pylist()
-        codes = [
-            np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32) for s in texts
-        ]
-        lens = np.fromiter((c.size for c in codes), dtype=np.int64, count=len(codes))
-        off = np.concatenate(([0], np.cumsum(lens)))
-        flat = (
-            np.concatenate(codes) if codes else np.empty(0, dtype=np.uint32)
+        k_uniq = np.asarray(s["k_conv"].to_pylist(), dtype=object)[s["starts"]]
+        rendered, _r_conv, rpos = _render_aligned(t, k_uniq, "sft_token_spans")
+        count_prefix, _totals = _token_prefix_counter(
+            rendered.column("rendered").to_pylist()
         )
-        nonspace = ~np.isin(flat, _RE2_SPACE_CODES)
-        tok_start_flag = nonspace.copy()
-        tok_start_flag[1:] &= ~nonspace[:-1]
-        # conv-boundary fix: position 0 of each conv starts a token iff
-        # nonspace, regardless of the previous conv's last char
-        tok_start_flag[off[:-1][off[:-1] < flat.size]] = nonspace[
-            off[:-1][off[:-1] < flat.size]
-        ]
-        C = np.cumsum(tok_start_flag, dtype=np.int64)
-
-        def count_prefix(conv_rows: np.ndarray, p: np.ndarray) -> np.ndarray:
-            o = off[conv_rows]
-            idx = o + p
-            out = np.zeros(len(p), dtype=np.int64)
-            nz = (idx > 0) & (p > 0)
-            base = np.where(o > 0, C[np.maximum(o, 1) - 1], 0)
-            out[nz] = C[idx[nz] - 1] - base[nz]
-            return out
-
-        a_rows = rpos[a_run]
-        tok_s = count_prefix(a_rows, span_start)
-        tok_e = count_prefix(a_rows, span_end)
+        a_rows = rpos[s["a_run"]]
         return pa.table(
             {
-                "conv_id": k_conv.filter(pa.array(is_asst)),
-                "turn_idx": pa.array(tidx.astype(np.int64)),
-                "tok_start": pa.array(tok_s),
-                "tok_end": pa.array(tok_e),
+                "conv_id": s["a_conv"],
+                "turn_idx": pa.array(s["tidx"]),
+                "tok_start": pa.array(count_prefix(a_rows, s["span_start"])),
+                "tok_end": pa.array(count_prefix(a_rows, s["span_end"])),
             }
         )
 
@@ -725,83 +735,38 @@ def sft_pack(
         )
         if t.num_rows == 0:
             return empty
-        conv = t.column("conv_id").combine_chunks()
-        role = pc.fill_null(t.column("role"), "").combine_chunks()
-        text = pc.fill_null(t.column("text"), "").combine_chunks()
-        kept = pc.not_equal(pc.utf8_trim_whitespace(text), "").to_numpy(
-            zero_copy_only=False
-        )
         rendered = _render_bucket_kernels("plain", t)
         r_conv = np.asarray(rendered.column("conv_id").to_pylist(), dtype=object)
-        texts = rendered.column("rendered").to_pylist()
-        codes = [
-            np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32) for s in texts
-        ]
-        lens = np.fromiter((c.size for c in codes), dtype=np.int64, count=len(codes))
-        off = np.concatenate(([0], np.cumsum(lens)))
-        flat = np.concatenate(codes) if codes else np.empty(0, dtype=np.uint32)
-        nonspace = ~np.isin(flat, _RE2_SPACE_CODES)
-        tok_flag = nonspace.copy()
-        tok_flag[1:] &= ~nonspace[:-1]
-        conv_starts = off[:-1][off[:-1] < flat.size]
-        tok_flag[conv_starts] = nonspace[conv_starts]
-        C = np.cumsum(tok_flag, dtype=np.int64)
-
-        def count_prefix(rows: np.ndarray, p: np.ndarray) -> np.ndarray:
-            o = off[rows]
-            idx = o + p
-            out = np.zeros(len(p), dtype=np.int64)
-            nz = (idx > 0) & (p > 0)
-            base = np.where(o > 0, C[np.maximum(o, 1) - 1], 0)
-            out[nz] = C[idx[nz] - 1] - base[nz]
-            return out
-
-        # kind=0: per-conv totals (tok_end = total tokens of the render)
-        n_tok = count_prefix(np.arange(len(texts)), lens)
+        count_prefix, n_tok = _token_prefix_counter(
+            rendered.column("rendered").to_pylist()
+        )
         r_cid = _conv_int(r_conv)
         totals = pa.table(
             {
-                "kind": pa.array(np.zeros(len(texts), dtype=np.int8)),
+                "kind": pa.array(np.zeros(len(r_conv), dtype=np.int8)),
                 "conv_id": pa.array(r_conv, pa.string()),
                 "cid": pa.array(r_cid),
-                "turn_idx": pa.array(np.full(len(texts), -1, dtype=np.int64)),
-                "tok_start": pa.array(np.zeros(len(texts), dtype=np.int64)),
+                "turn_idx": pa.array(np.full(len(r_conv), -1, dtype=np.int64)),
+                "tok_start": pa.array(np.zeros(len(r_conv), dtype=np.int64)),
                 "tok_end": pa.array(n_tok),
             }
         )
-        if not kept.any():
+        s = _assistant_spans(t)
+        if s is None:
             return totals
-        role_len = pc.utf8_length(role).to_numpy(zero_copy_only=False)
-        text_len = pc.utf8_length(text).to_numpy(zero_copy_only=False)
-        seg_len = (role_len + 2 + text_len)[kept]
-        k_conv = conv.filter(pa.array(kept))
-        m = len(seg_len)
-        starts, sizes = _run_bounds(k_conv, m)
-        cum = np.cumsum(seg_len)
-        g = np.empty(m, dtype=np.int64)
-        g[0] = 0
-        g[1:] = cum[:-1]
-        run_id = np.repeat(np.arange(len(starts)), sizes)
-        offset = (g - g[starts][run_id]) + (np.arange(m) - starts[run_id])
-        is_asst = pc.equal(role, "assistant").to_numpy(zero_copy_only=False)[kept]
-        if not is_asst.any():
-            return totals
-        span_start = (offset + role_len[kept] + 2)[is_asst]
-        span_end = span_start + text_len[kept][is_asst]
-        k_uniq = np.asarray(k_conv.to_pylist(), dtype=object)[starts]
+        k_uniq = np.asarray(s["k_conv"].to_pylist(), dtype=object)[s["starts"]]
         rpos = np.searchsorted(r_conv, k_uniq)
         if (rpos >= len(r_conv)).any() or (r_conv[rpos] != k_uniq).any():
             raise ValueError("sft_pack: render/span conv alignment drift")
-        a_rows = rpos[run_id[is_asst]]
-        tidx = t.column("turn_idx").to_numpy(zero_copy_only=False)[kept][is_asst]
+        a_rows = rpos[s["a_run"]]
         spans = pa.table(
             {
                 "kind": pa.array(np.ones(a_rows.size, dtype=np.int8)),
                 "conv_id": pa.array(r_conv[a_rows], pa.string()),
                 "cid": pa.array(r_cid[a_rows]),
-                "turn_idx": pa.array(tidx.astype(np.int64)),
-                "tok_start": pa.array(count_prefix(a_rows, span_start)),
-                "tok_end": pa.array(count_prefix(a_rows, span_end)),
+                "turn_idx": pa.array(s["tidx"]),
+                "tok_start": pa.array(count_prefix(a_rows, s["span_start"])),
+                "tok_end": pa.array(count_prefix(a_rows, s["span_end"])),
             }
         )
         return pa.concat_tables([totals, spans])

@@ -2143,9 +2143,11 @@ def test_bpe_train_crafted_tiebreak(tmp_path):
     want = _bpe_reference(texts, 4)
     got_list = [(r.left, r.right, int(r.pair_count)) for r in got.itertuples()]
     assert got_list == want
-    # rank-0 tie (count 3: ('a','a') from two 'aa' + 'ab'? -> verify the
-    # reference actually produced a lexicographic tiebreak somewhere
-    assert len(got_list) >= 1
+    # the rank-0 tie is real and must break lexicographically: (a,a)
+    # and (a,</w>) both count 3 across {aa x3, ab, b}; '<' < 'a', so
+    # ('a', '</w>') wins — pinned literally, independent of the
+    # reference implementation sharing the engine's rule
+    assert got_list[0] == ("a", "</w>", 3)
 
 
 def test_compression_ratio_parity_and_ordering(tmp_path):
@@ -2448,3 +2450,67 @@ def test_quantize_embeddings_recall():
         approx = topk(deq, deq[qi])
         recalls.append(len(exact & approx) / 10)
     assert np.mean(recalls) >= 0.9, np.mean(recalls)
+
+
+def test_source_overlap_null_and_many_sources(tmp_path):
+    """Regressions from review: (a) NULL-source docs are dropped on both
+    sides (SQL NULL-comparison semantics) while '' stays a real source;
+    (b) >45 distinct sources push the bounded aggregate past the default
+    1024-row batch slice — finalize must see the whole block or a pair
+    row misses its totals sentinel."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+    from engine.ops.dedup import source_overlap
+
+    n_src = 50
+    texts = [f"shared gram here plus s{i} extra words" for i in range(n_src)]
+    sources = [f"s{i:02d}" for i in range(n_src)]
+    # one NULL-source doc and one ''-source doc, both sharing the gram
+    texts += ["shared gram here tail a", "shared gram here tail b"]
+    sources += [None, ""]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "source": pa.array(sources, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = canon(_as_df(source_overlap(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{tmp_path}/documents.parquet'")
+    want = canon(con.sql(entrymod.oracle_sql()["source_overlap"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # all 51 non-null sources share 'shared gram here' -> C(51,2) pairs
+    assert len(got) == 51 * 50 // 2
+    assert "" in set(got.source_a)          # '' is a real source
+    assert got.source_a.notna().all() and got.source_b.notna().all()
+
+
+def test_csv_numeric_looking_text_stays_string(tmp_path):
+    """CSV inference must not coerce numeric-looking text/tool values —
+    pinned column types keep '007' and '1.50' as strings."""
+    import pyarrow as pa
+    import ray.data
+    from engine.io import read_transcripts_csv, write_transcripts_csv
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c1", "c1"]),
+            "turn_idx": pa.array([0, 1], pa.int32()),
+            "role": pa.array(["user", "assistant"]),
+            "text": pa.array(["007", "1.50"]),
+            "tool": pa.array(["", "42"]),
+            "ts": pa.array([1, 2], pa.timestamp("us")),
+        }
+    )
+    out = tmp_path / "csv"
+    write_transcripts_csv(ray.data.from_arrow(t), str(out))
+    paths = [str(out / p) for p in sorted(os.listdir(out)) if p.endswith(".csv")]
+    got = read_transcripts_csv(paths).to_pandas().sort_values("turn_idx")
+    assert list(got["text"]) == ["007", "1.50"]
+    assert list(got["tool"]) == ["", "42"]
