@@ -397,6 +397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": dedup.dedup_incremental,
         "dedup_lines": dedup.dedup_lines,
         "dedup_editdist": dedup.dedup_editdist,
+        "dedup_best": dedup.dedup_best,
         # iterative graph analytics
         "pagerank_entities": graph.pagerank_entities,
         # corpus reporting
@@ -1243,6 +1244,38 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS BIGINT) AS keep
             FROM grams g JOIN lo USING (gram)
             GROUP BY g.doc_id
+        """,
+        "dedup_best": f"""
+            -- keep the LONGEST member per near-dup cluster (ties: min
+            -- doc_id); clusters replayed by the same recursive closure
+            -- as dedup_clusters, token counts by whitespace \\S+ runs
+            WITH RECURSIVE corpus AS ({dup_corpus_sql}),
+            pairs AS ({jaccard_sql}),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+            reach AS (
+              SELECT doc_id AS node, doc_id AS label FROM corpus
+              UNION
+              SELECT e.v AS node, r.label
+              FROM reach r JOIN edges e ON e.u = r.node),
+            clusters AS (
+              SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+              FROM reach GROUP BY node),
+            toks AS (
+              SELECT doc_id,
+                     CAST(length(regexp_extract_all(coalesce(text, ''),
+                          '\\S+')) AS BIGINT) AS n_tokens
+              FROM corpus),
+            ranked AS (
+              SELECT c.cluster_id, c.doc_id, t.n_tokens,
+                     CAST(count(*) OVER (PARTITION BY c.cluster_id)
+                          AS BIGINT) AS n_members,
+                     row_number() OVER (PARTITION BY c.cluster_id
+                       ORDER BY t.n_tokens DESC, c.doc_id) AS rn
+              FROM clusters c JOIN toks t USING (doc_id))
+            SELECT cluster_id, doc_id AS keep_doc_id, n_tokens, n_members
+            FROM ranked WHERE rn = 1
         """,
         "dedup_clusters": f"""
             -- transitive closure over the near-dup pair graph: cluster_id

@@ -2046,3 +2046,130 @@ def source_overlap(sf_dir: str) -> ray.data.Dataset:
     return agg.repartition(1).map_batches(
         finalize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def dedup_best(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> ray.data.Dataset:
+    """Keep the BEST member per near-dup cluster -> (cluster_id,
+    keep_doc_id, n_tokens, n_members): real curation keeps the longest/
+    highest-quality duplicate, not the lowest id — dedup_exact's
+    keep-first rule upgraded with a quality argmax (here: whitespace
+    token count; the injected near-copies are one word shorter, so the
+    winner is the ORIGINAL, which keep-first would also pick only by
+    id-assignment luck).
+
+    Composition, zero per-key Python: dedup_clusters' (doc_id,
+    cluster_id) unions with per-doc token counts co-bucketed on
+    hash(doc_id) (each side carries every doc exactly once — one
+    searchsorted per bucket attaches counts, loud on a missing doc),
+    then one hash(cluster) bucket pass sorts (cluster, n_tokens desc,
+    doc_id) and takes run heads — max-quality-then-min-id in a single
+    vectorized argmax."""
+    num_buckets = _pair_num_buckets()
+    clusters = dedup_clusters(sf_dir, threshold)
+    corpus = dup_corpus(sf_dir)
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = pc.cast(
+            pc.count_substring_regex(pc.fill_null(batch["text"], ""), r"\S+"),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "_db": pa.array(_bucket_of(ids, num_buckets=num_buckets)),
+                "doc_id": pa.array(ids),
+                "n_tokens": n,
+                "cluster_id": pa.array(np.full(ids.size, -1, dtype=np.int64)),
+            }
+        )
+
+    def clu_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_db": pa.array(_bucket_of(ids, num_buckets=num_buckets)),
+                "doc_id": pa.array(ids),
+                "n_tokens": pa.array(np.full(ids.size, -1, dtype=np.int64)),
+                "cluster_id": batch["cluster_id"],
+            }
+        )
+
+    both = corpus.map_batches(
+        tok_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        clusters.map_batches(clu_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def attach_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        cl = t["cluster_id"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ntk = t["n_tokens"].to_numpy(zero_copy_only=False)
+        is_tok = cl < 0
+        t_ids, t_n = ids[is_tok], ntk[is_tok]
+        c_ids, c_cl = ids[~is_tok], cl[~is_tok]
+        if c_ids.size == 0:
+            return pa.table(
+                {
+                    "_cb": pa.array([], pa.int32()),
+                    "cluster_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                }
+            )
+        order = np.argsort(t_ids)
+        t_ids, t_n = t_ids[order], t_n[order]
+        pos = np.clip(np.searchsorted(t_ids, c_ids), 0, max(t_ids.size - 1, 0))
+        if t_ids.size == 0 or (t_ids[pos] != c_ids).any():
+            raise ValueError("dedup_best: cluster doc missing its token row")
+        return pa.table(
+            {
+                "_cb": pa.array(_bucket_of(c_cl, num_buckets=num_buckets)),
+                "cluster_id": pa.array(c_cl),
+                "doc_id": pa.array(c_ids),
+                "n_tokens": pa.array(t_n[pos]),
+            }
+        )
+
+    attached = both.groupby("_db").map_groups(
+        lambda g: attach_bucket(g.drop_columns(["_db"])), batch_format="pyarrow"
+    )
+
+    def argmax_bucket(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [
+                ("cluster_id", "ascending"),
+                ("n_tokens", "descending"),
+                ("doc_id", "ascending"),
+            ]
+        ).combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cluster_id": pa.array([], pa.int64()),
+                    "keep_doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "n_members": pa.array([], pa.int64()),
+                }
+            )
+        cl = t["cluster_id"].to_numpy(zero_copy_only=False)
+        new_run = _run_starts(cl)
+        run_id = np.cumsum(new_run) - 1
+        members = np.bincount(run_id).astype(np.int64)
+        heads = np.flatnonzero(new_run)
+        return pa.table(
+            {
+                "cluster_id": pa.array(cl[heads]),
+                "keep_doc_id": pa.array(
+                    t["doc_id"].to_numpy(zero_copy_only=False)[heads]
+                ),
+                "n_tokens": pa.array(
+                    t["n_tokens"].to_numpy(zero_copy_only=False)[heads]
+                ),
+                "n_members": pa.array(members),
+            }
+        )
+
+    return attached.groupby("_cb").map_groups(
+        lambda g: argmax_bucket(g.drop_columns(["_cb"])), batch_format="pyarrow"
+    )

@@ -72,7 +72,7 @@ SQL_CHECKED = [
     "source_mix_weights", "inverted_index", "fim_examples",
     "contrastive_pairs", "mixture_sample", "dedup_editdist",
     "pagerank_entities", "source_overlap", "shuffle_export",
-    "quantize_embeddings",
+    "quantize_embeddings", "dedup_best",
 ]
 
 
@@ -2514,3 +2514,18 @@ def test_csv_numeric_looking_text_stays_string(tmp_path):
     got = read_transcripts_csv(paths).to_pandas().sort_values("turn_idx")
     assert list(got["text"]) == ["007", "1.50"]
     assert list(got["tool"]) == ["", "42"]
+
+
+def test_dedup_best_keeps_longest():
+    """Every injected near-copy (one word shorter than its source) must
+    LOSE to the original: keep_doc_id is never a +NEAR_DUP_OFFSET id,
+    and exact-copy ties break to the min id (never +EXACT_DUP_OFFSET)."""
+    from engine.ops.dedup import EXACT_DUP_OFFSET, NEAR_DUP_OFFSET, dedup_best
+
+    got = _as_df(dedup_best(SF))
+    keep = got["keep_doc_id"].to_numpy()
+    assert (keep < NEAR_DUP_OFFSET).all()   # shorter near-copies never win
+    assert (keep < EXACT_DUP_OFFSET).all()  # ties break to the original id
+    assert (got["n_members"] >= 1).all()
+    # clusters containing a near-copy have >= 3 members (orig + exact + near)
+    assert (got["n_members"] > 1).any()
