@@ -405,6 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_bruteforce": similarity.knn_bruteforce,
         "quantize_embeddings": similarity.quantize_embeddings,
+        "cluster_topics": similarity.cluster_topics,
         "knn_ivf": similarity.knn_ivf,
         "embedding_centroids": similarity.embedding_centroids,
         "unnest_embeddings": similarity.unnest_embeddings,
@@ -609,6 +610,7 @@ def oracle_sql() -> dict[str, str]:
     from engine.ops.sketches import _INC, _MOD, _MULT
 
     _KMEANS_SQL = kmeans_sql(KMEANS_K, KMEANS_ITERS)
+    from engine.ops.similarity import CLUSTER_TOPN as similarity_topn
     # bottom-k-by-hash per k-means cluster on top of the unrolled-Lloyd
     # CTE — same Knuth hash as sample_events, same (hash, vec_id) order
     # as sketches._bottom_k_per_group
@@ -1751,6 +1753,24 @@ def oracle_sql() -> dict[str, str]:
                      '\\S+')) AS BIGINT) AS tok_end
             FROM measured m JOIN rend r USING (conv_id)
             WHERE m.role = 'assistant'
+        """,
+        "cluster_topics": f"""
+            -- top words per exact-int kmeans cluster: unrolled-Lloyd
+            -- labels joined to documents by the vec_id == doc_id
+            -- alignment contract
+            WITH assign AS ({_KMEANS_SQL}),
+            w AS (
+              SELECT a.cluster,
+                     unnest(string_split(coalesce(d.text, ''), ' ')) AS word
+              FROM assign a JOIN documents d ON d.doc_id = a.vec_id),
+            counts AS (
+              SELECT CAST(cluster AS BIGINT) AS cluster, word,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM w WHERE word <> '' GROUP BY 1, 2)
+            SELECT cluster, word, n, CAST(rn AS BIGINT) AS rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+                    ORDER BY n DESC, word) AS rn FROM counts)
+            WHERE rn <= {similarity_topn}
         """,
         "quantize_embeddings": """
             -- identical double-precision expression + half-away rounding

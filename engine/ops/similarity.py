@@ -821,3 +821,142 @@ def quantize_embeddings(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
+
+
+CLUSTER_TOPN = 5
+
+
+def cluster_topics(sf_dir: str, topn: int = CLUSTER_TOPN) -> ray.data.Dataset:
+    """Topic discovery over the k-means clustering -> (cluster, word,
+    n, rank): the top-``topn`` single-space words per semantic cluster
+    (count desc, word asc) — the label a mix-curation report puts next
+    to each cluster before deciding weights. Input contract: embeddings
+    vec_id == documents doc_id (the fixtures' alignment; a cluster row
+    without its document text raises loudly).
+
+    Shape: exact-int kmeans labels (bit-stable at any parallelism) and
+    document text co-bucket on hash(id) — text moves ONCE; the same
+    bucket pass splits words and pre-aggregates (cluster, word) counts
+    batch-locally, so the global Sum groupby is vocabulary-x-k bounded;
+    the final rank pass runs on one repartitioned block (batch_size=
+    None — the whole bounded table in one call)."""
+    from ray.data.aggregate import Sum
+
+    ensure_serializable()
+    labels = kmeans_embeddings(sf_dir)
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    from ..pipeline import default_num_buckets
+    from .dedup import _bucket_of  # driver-time: closures capture it
+
+    num_buckets = default_num_buckets()
+
+    def lab_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_db": pa.array(_bucket_of(ids, num_buckets=num_buckets)),
+                "id": pa.array(ids),
+                "cluster": pc.cast(batch["cluster"], pa.int64()),
+                "text": pa.array([""] * ids.size, pa.string()),
+            }
+        )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_db": pa.array(_bucket_of(ids, num_buckets=num_buckets)),
+                "id": pa.array(ids),
+                "cluster": pa.array(np.full(ids.size, -1, dtype=np.int64)),
+                "text": pc.fill_null(batch["text"], ""),
+            }
+        )
+
+    both = labels.map_batches(
+        lab_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(docs.map_batches(doc_rows, batch_format="pyarrow", zero_copy_batch=True))
+
+    def count_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        is_lab = cl >= 0
+        d_ids = ids[~is_lab]
+        l_ids, l_cl = ids[is_lab], cl[is_lab]
+        empty = pa.table(
+            {
+                "cluster": pa.array([], pa.int64()),
+                "word": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if l_ids.size == 0:
+            return empty
+        order = np.argsort(d_ids)
+        d_sorted = d_ids[order]
+        pos = np.clip(np.searchsorted(d_sorted, l_ids), 0, max(d_sorted.size - 1, 0))
+        if d_sorted.size == 0 or (d_sorted[pos] != l_ids).any():
+            raise ValueError("cluster_topics: labeled id missing its document")
+        texts = t["text"].filter(pa.array(~is_lab)).take(pa.array(order[pos]))
+        words = pc.split_pattern(texts, " ")
+        n_words = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words)
+        wt = pa.table(
+            {
+                "cluster": pa.array(np.repeat(l_cl, n_words)),
+                "word": flat,
+            }
+        ).filter(pc.not_equal(flat, ""))
+        agg = wt.group_by(["cluster", "word"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "cluster": agg["cluster"],
+                "word": agg["word"],
+                "n": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+
+    counts = (
+        both.groupby("_db")
+        .map_groups(
+            lambda g: count_bucket(g.drop_columns(["_db"])), batch_format="pyarrow"
+        )
+        .groupby(["cluster", "word"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def rank_block(batch: pa.Table) -> pa.Table:
+        t = batch.sort_by(
+            [("cluster", "ascending"), ("n", "descending"), ("word", "ascending")]
+        ).combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cluster": pa.array([], pa.int64()),
+                    "word": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        new_run = np.zeros(len(cl), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = cl[1:] != cl[:-1]
+        starts = np.flatnonzero(new_run)
+        sizes = np.diff(np.append(starts, len(cl)))
+        rank = (np.arange(len(cl)) - np.repeat(starts, sizes) + 1).astype(np.int64)
+        keep = rank <= topn
+        return pa.table(
+            {
+                "cluster": pa.array(cl[keep]),
+                "word": t["word"].filter(pa.array(keep)),
+                "n": t["n"].filter(pa.array(keep)),
+                "rank": pa.array(rank[keep]),
+            }
+        )
+
+    return counts.repartition(1).map_batches(
+        rank_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

@@ -72,7 +72,7 @@ SQL_CHECKED = [
     "source_mix_weights", "inverted_index", "fim_examples",
     "contrastive_pairs", "mixture_sample", "dedup_editdist",
     "pagerank_entities", "source_overlap", "shuffle_export",
-    "quantize_embeddings", "dedup_best",
+    "quantize_embeddings", "dedup_best", "cluster_topics",
 ]
 
 
