@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": relational.distinct_event_types,
         "distinct_users_per_type": relational.distinct_users_per_type,
         "orders_by_segment": relational.orders_by_segment,
+        "merge_upsert": relational.merge_upsert,
         "enrich_events_with_segment": relational.enrich_events_with_segment,
         "windowed_events": relational.windowed_events,
         "sessionized_events": relational.sessionized_events,
@@ -511,6 +512,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from engine.ops import dedup
     from engine.ops import graph as graph_mod
+    from engine.ops import relational
     from engine.ops import sketches as sketches_mod
     from engine.ops import textstats as textstats_mod
     from engine import templates as templates_mod
@@ -1771,6 +1773,28 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY cluster
                     ORDER BY n DESC, word) AS rn FROM counts)
             WHERE rn <= {similarity_topn}
+        """,
+        "merge_upsert": f"""
+            -- lakehouse MERGE replay: newest snapshot wins per key;
+            -- the synthetic delta (updates + new rows) is SQL-identical
+            WITH base AS (
+              SELECT doc_id, coalesce(text, '') AS text FROM documents
+            ), delta AS (
+              SELECT doc_id, upper(text) AS text
+              FROM base WHERE doc_id % 4 = 0
+              UNION ALL
+              SELECT doc_id + {relational.UPSERT_NEW_OFFSET}, upper(text)
+              FROM base WHERE doc_id % 10 = 0
+            ), tagged AS (
+              SELECT doc_id, 1 AS snapshot, length(text) AS n_chars FROM base
+              UNION ALL
+              SELECT doc_id, 2, length(text) FROM delta
+            )
+            SELECT doc_id, CAST(snapshot AS BIGINT) AS snapshot,
+                   CAST(n_chars AS BIGINT) AS n_chars
+            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY snapshot DESC) AS rn FROM tagged)
+            WHERE rn = 1
         """,
         "quantize_embeddings": """
             -- identical double-precision expression + half-away rounding

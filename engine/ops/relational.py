@@ -3677,3 +3677,98 @@ def hourly_active_users(
         lambda g: count_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
     )
     return per_bucket.groupby("hour").aggregate(Sum("n_users", alias_name="n_users"))
+
+
+# ---------------------------------------------------------------------------
+# snapshot merge / upsert (lakehouse MERGE shape)
+# ---------------------------------------------------------------------------
+
+UPSERT_NEW_OFFSET = 500_000
+
+
+def merge_upsert(sf_dir: str) -> ray.data.Dataset:
+    """Lakehouse MERGE: a second snapshot of the documents table
+    (deterministic synthetic delta — every doc_id % 4 == 0 row updated
+    to upper-case text, plus brand-new rows at id+UPSERT_NEW_OFFSET for
+    doc_id % 10 == 0) upserts into the base snapshot; the winner per
+    key is the newest snapshot -> (doc_id, snapshot, n_chars).
+
+    The canonical incremental-ingest shape: union the tagged snapshots
+    (the delta is usually tiny next to the base — neither side ever
+    joins, sorts globally, or materializes), ONE hash(doc_id) bucket
+    pass picks max(snapshot) per key vectorized from run heads. The
+    delta synthesis is SQL-expressible, so the merge has a full
+    row_number-per-key oracle."""
+    from ..pipeline import default_num_buckets
+    from .dedup import _bucket_of, _run_starts
+
+    num_buckets = default_num_buckets()
+    ensure_serializable()
+    base = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def tag_base(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        text = pc.fill_null(batch["text"], "")
+        return pa.table(
+            {
+                "_db": pa.array(_bucket_of(ids, num_buckets=num_buckets)),
+                "doc_id": pa.array(ids),
+                "snapshot": pa.array(np.ones(ids.size, dtype=np.int64)),
+                "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            }
+        )
+
+    def tag_delta(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        text = pc.fill_null(batch["text"], "")
+        n = pc.cast(pc.utf8_length(pc.utf8_upper(text)), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        upd = ids % 4 == 0
+        new = ids % 10 == 0
+        out_ids = np.concatenate([ids[upd], ids[new] + UPSERT_NEW_OFFSET])
+        out_n = np.concatenate([n[upd], n[new]])
+        return pa.table(
+            {
+                "_db": pa.array(_bucket_of(out_ids, num_buckets=num_buckets)),
+                "doc_id": pa.array(out_ids),
+                "snapshot": pa.array(np.full(out_ids.size, 2, dtype=np.int64)),
+                "n_chars": pa.array(out_n),
+            }
+        )
+
+    both = base.map_batches(
+        tag_base, batch_format="pyarrow", zero_copy_batch=True
+    ).union(base.map_batches(tag_delta, batch_format="pyarrow", zero_copy_batch=True))
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [("doc_id", "ascending"), ("snapshot", "descending")]
+        ).combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "snapshot": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                }
+            )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        heads = np.flatnonzero(_run_starts(ids))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[heads]),
+                "snapshot": pa.array(
+                    t["snapshot"].to_numpy(zero_copy_only=False)[heads]
+                ),
+                "n_chars": pa.array(
+                    t["n_chars"].to_numpy(zero_copy_only=False)[heads]
+                ),
+            }
+        )
+
+    return both.groupby("_db").map_groups(
+        lambda g: merge_bucket(g.drop_columns(["_db"])), batch_format="pyarrow"
+    )
