@@ -405,6 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": dedup.source_overlap,
         # similarity search
         "knn_bruteforce": similarity.knn_bruteforce,
+        "knn_filtered": similarity.knn_filtered,
         "quantize_embeddings": similarity.quantize_embeddings,
         "cluster_topics": similarity.cluster_topics,
         "knn_ivf": similarity.knn_ivf,
@@ -513,6 +514,7 @@ def oracle_sql() -> dict[str, str]:
     from engine.ops import dedup
     from engine.ops import graph as graph_mod
     from engine.ops import relational
+    from engine.ops import similarity
     from engine.ops import sketches as sketches_mod
     from engine.ops import textstats as textstats_mod
     from engine import templates as templates_mod
@@ -1321,6 +1323,23 @@ def oracle_sql() -> dict[str, str]:
                        CAST(e.embedding AS DOUBLE[])) AS raw_score
               FROM embeddings q, embeddings e
               WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+            SELECT query_id, neighbor_id, round(raw_score, 6) AS score
+            FROM scored
+            QUALIFY row_number() OVER (
+              PARTITION BY query_id ORDER BY raw_score DESC, neighbor_id) <= 10
+        """,
+        "knn_filtered": f"""
+            -- pre-filtered exact search: candidates restricted to the
+            -- allowed label set BEFORE scoring (same semantics as the
+            -- engine's scan-pushed predicate)
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(
+                       CAST(q.embedding AS DOUBLE[]),
+                       CAST(e.embedding AS DOUBLE[])) AS raw_score
+              FROM embeddings q, embeddings e
+              WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+                AND e.label IN {similarity.FILTER_LABELS!r})
             SELECT query_id, neighbor_id, round(raw_score, 6) AS score
             FROM scored
             QUALIFY row_number() OVER (

@@ -148,6 +148,52 @@ def knn_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10) -> ray.data.Dat
     )
 
 
+FILTER_LABELS = (0, 1, 2)
+
+
+def knn_filtered(
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 10,
+    labels: tuple[int, ...] = FILTER_LABELS,
+) -> ray.data.Dataset:
+    """Metadata-filtered vector search: exact cosine top-k restricted to
+    vectors whose ``label`` is in an allowed set — the "WHERE clause on a
+    vector index" every retrieval stack needs (tenant / language / source
+    filters on ANN results).
+
+    Scale shape: the label predicate is pushed INTO the parquet scan as a
+    pyarrow dataset filter, so row groups whose ``label`` statistics
+    exclude the allowed set never leave storage and filtered rows never
+    enter the object store — pre-filtering, not post-filtering, which
+    means the top-k is exact even under highly selective predicates
+    (post-filtering k results after an unfiltered search can return
+    < k survivors). Downstream is the standard broadcast-queries /
+    per-batch partial top-k / tiny per-query reduce pipeline shared with
+    ``knn_bruteforce``."""
+    import pyarrow.dataset as pads
+
+    ensure_serializable()
+    qids, qmat, _ = _load_queries(sf_dir, n_queries)
+    query_ref = ray.put({"qids": qids, "qmat": qmat})
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=pads.field("label").isin(list(labels)),
+    )
+    partial = ds.map_batches(
+        _ScoreBatch,
+        fn_constructor_args=(query_ref, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        num_cpus=1,
+    )
+    return partial.groupby("query_id").map_groups(
+        _topk_reduce(k), batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF-bucketed approximate variant (the 100TB scale path)
 # ---------------------------------------------------------------------------

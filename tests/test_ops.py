@@ -73,7 +73,7 @@ SQL_CHECKED = [
     "contrastive_pairs", "mixture_sample", "dedup_editdist",
     "pagerank_entities", "source_overlap", "shuffle_export",
     "quantize_embeddings", "dedup_best", "cluster_topics",
-    "merge_upsert",
+    "merge_upsert", "knn_filtered",
 ]
 
 
