@@ -379,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_events": sketches.stratified_sample_events,
         "approx_distinct_users": sketches.approx_distinct_users,
         "quantile_events_value": sketches.quantile_events_value,
+        "quantile_sketch": sketches.quantile_sketch,
         "quantile_events_by_type": sketches.quantile_events_by_type,
         "heavy_hitter_words": sketches.heavy_hitter_words,
         "outlier_events": sketches.outlier_events,
@@ -1022,6 +1023,30 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 900, quantile_disc(vm, 0.9) FROM v
             UNION ALL SELECT 950, quantile_disc(vm, 0.95) FROM v
             UNION ALL SELECT 990, quantile_disc(vm, 0.99) FROM v
+        """,
+        "quantile_sketch": f"""
+            -- DDSketch replay: identical log-gamma bucket map, integer
+            -- rank rule (q*total+999)//1000, midpoint estimate 2g^i/(g+1)
+            WITH b AS (
+              SELECT CASE WHEN value <= 0 THEN {sketches_mod.DD_ZERO_BUCKET}
+                          ELSE CAST(ceil(ln(value) / ln({sketches_mod.DD_GAMMA!r}))
+                                    AS BIGINT) END AS bucket
+              FROM events),
+            c AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+            cum AS (SELECT bucket,
+                           CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cum
+                    FROM c),
+            t AS (SELECT count(*) AS total FROM events),
+            m AS (SELECT q.q AS q_permille, min(cum.bucket) AS bucket
+                  FROM (VALUES (500), (900), (950), (990)) AS q(q), t, cum
+                  WHERE cum.cum >= (q.q * t.total + 999) // 1000
+                  GROUP BY q.q)
+            SELECT CAST(q_permille AS BIGINT) AS q_permille,
+                   round(CASE WHEN bucket = {sketches_mod.DD_ZERO_BUCKET} THEN 0.0
+                              ELSE 2 * power({sketches_mod.DD_GAMMA!r}, bucket)
+                                   / ({sketches_mod.DD_GAMMA!r} + 1) END, 6)
+                     AS est_value
+            FROM m
         """,
         "quantile_events_by_type": """
             WITH v AS (

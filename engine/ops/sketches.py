@@ -336,6 +336,64 @@ def quantile_events_by_type(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# ---------------------------------------------------------------------------
+# DDSketch approximate quantiles (relative-error guarantee, unbounded domain)
+# ---------------------------------------------------------------------------
+
+DD_ALPHA = 0.01  # 1% relative-error guarantee
+DD_GAMMA = (1.0 + DD_ALPHA) / (1.0 - DD_ALPHA)
+DD_ZERO_BUCKET = -(1 << 31)  # sentinel bucket for v <= 0 (estimate 0.0)
+
+
+def _dd_partial(batch: pa.Table) -> pa.Table:
+    v = batch["value"].to_numpy(zero_copy_only=False)
+    idx = np.full(v.size, DD_ZERO_BUCKET, dtype=np.int64)
+    pos = v > 0
+    idx[pos] = np.ceil(np.log(v[pos]) / math.log(DD_GAMMA)).astype(np.int64)
+    b, n = np.unique(idx, return_counts=True)
+    return pa.table({"bucket": pa.array(b), "n": pa.array(n.astype(np.int64))})
+
+
+def quantile_sketch(sf_dir: str, qs=QUANTILES_PERMILLE) -> pd.DataFrame:
+    """Approximate p50/p90/p95/p99 of events.value via a DDSketch
+    (Masson, Rim & Lee, VLDB 2019 — the public relative-error quantile
+    sketch): values map to log-gamma buckets ``i = ceil(log_g(v))`` with
+    ``g = (1+a)/(1-a)``, so the bucket midpoint estimate ``2*g^i/(g+1)``
+    is within relative error ``a`` of the true order statistic,
+    regardless of the value range.
+
+    This is the UNBOUNDED-domain companion to the exact
+    ``quantile_events_value`` (whose histogram identity needs a
+    bounded-resolution domain): bucket counts are mergeable partials —
+    per-batch ``np.unique`` emits at most O(log(range)/log(g)) int rows,
+    one tiny ``groupby(bucket).sum`` merges them, and the driver reads
+    only the few-hundred-row sketch. No raw value ever shuffles; sketch
+    size is independent of row count, so the same plan holds at 100 TB.
+    v <= 0 folds into a reserved sentinel bucket (estimate 0.0) so the
+    map is total. Rank rule is integer-exact on both sides:
+    ``r = (q*total + 999) // 1000``, first bucket with cum >= r."""
+    ensure_serializable()
+    ds = _read_events(sf_dir, ["value"])
+    sk = (
+        ds.map_batches(_dd_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    tab = sk.sort("bucket").to_pandas()  # tiny: one row per occupied bucket
+    buckets = tab["bucket"].to_numpy()
+    cum = tab["n"].to_numpy().cumsum()
+    total = int(cum[-1]) if len(cum) else 0
+    rows = []
+    for q in qs:
+        r = (q * total + 999) // 1000
+        i = int(buckets[int(np.searchsorted(cum, r))])
+        est = 0.0 if i == DD_ZERO_BUCKET else 2.0 * DD_GAMMA**i / (DD_GAMMA + 1.0)
+        # half-away-from-zero to 6 decimals, matching DuckDB round()
+        est = float(np.trunc(est * 1e6 + np.copysign(0.5, est)) / 1e6)
+        rows.append({"q_permille": q, "est_value": est})
+    return pd.DataFrame(rows)
+
+
 MG_CAPACITY = 64  # Misra-Gries summary size per partial
 
 

@@ -73,7 +73,7 @@ SQL_CHECKED = [
     "contrastive_pairs", "mixture_sample", "dedup_editdist",
     "pagerank_entities", "source_overlap", "shuffle_export",
     "quantize_embeddings", "dedup_best", "cluster_topics",
-    "merge_upsert", "knn_filtered",
+    "merge_upsert", "knn_filtered", "quantile_sketch",
 ]
 
 
@@ -594,6 +594,25 @@ def test_hll_estimate_error_bound():
     n = 200_000
     est = int(hll_estimate(ray.data.range(n), "id")["estimate"].iloc[0])
     assert abs(est - n) / n < 0.05
+
+
+def test_quantile_sketch_relative_error():
+    """DDSketch guarantee: each estimate is within alpha relative error
+    of the true order statistic at the sketch's own rank rule
+    r = (q*total + 999) // 1000 (1-based)."""
+    import pyarrow.parquet as pq
+
+    from engine.ops.sketches import DD_ALPHA, quantile_sketch
+
+    got = quantile_sketch(SF).set_index("q_permille")["est_value"]
+    v = np.sort(
+        pq.read_table(f"{SF}/events.parquet", columns=["value"])["value"]
+        .to_numpy(zero_copy_only=False)
+    )
+    total = v.size
+    for q, est in got.items():
+        exact = float(v[(q * total + 999) // 1000 - 1])
+        assert abs(est - exact) / exact <= DD_ALPHA * 1.001, (q, est, exact)
 
 
 def test_interval_join_boundary_semantics(tmp_path):
