@@ -278,6 +278,17 @@ def _conv_stats_csv(sf_dir: str):
     return conv_stats(read_transcripts_csv(paths))
 
 
+def _partitioned_sink(sf_dir: str):
+    """Hive-partitioned sink round-trip: write documents with
+    write_parquet(partition_cols=['source']), re-read the hive tree
+    (partition column reconstructed from directory names), roll up per
+    source FROM THE READ-BACK — oracle equality proves the sink+source
+    pair, not just the groupby."""
+    from engine.io import partitioned_sink
+
+    return partitioned_sink(sf_dir)
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale; driver smoke-checks rows>=0."""
     return _extract_transcripts("/root/testdata/sf0.001")
@@ -317,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sft_pairs": _sft_pairs,
         "conv_stats_jsonl": _conv_stats_jsonl,
         "conv_stats_csv": _conv_stats_csv,
+        "partitioned_sink": _partitioned_sink,
         # relational operators (SURVEY SS2.6-2.7, SS2.10)
         "pricing_summary": relational.pricing_summary,
         "stage_totals": relational.stage_totals,
@@ -829,6 +841,14 @@ def oracle_sql() -> dict[str, str]:
                    max(epoch_us(ts)) AS last_ts_us
             FROM {transcripts}
             GROUP BY conv_id
+        """,
+        "partitioned_sink": """
+            -- the Ray side writes documents hive-partitioned by source
+            -- and rolls up from the READ-BACK; equality vs the direct
+            -- table proves the partitioned sink/source round-trip
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY source
         """,
         "turn_token_counts": f"""
             SELECT conv_id, turn_idx,

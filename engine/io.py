@@ -138,3 +138,36 @@ def write_transcripts_csv(ds: ray.data.Dataset, out_dir: str) -> None:
     ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True).write_csv(
         out_dir
     )
+
+
+def partitioned_sink(sf_dir: str) -> "ray.data.Dataset":
+    """Hive-partitioned parquet sink + partition-discovering read-back:
+    ``write_parquet(out, partition_cols=["source"])`` lays documents out
+    as ``out/source=<v>/*.parquet`` (the resumable/prunable layout the
+    output contract requires — a reader filtering one source opens ONE
+    directory and a failed run re-writes only its partition), then the
+    roll-up re-reads the hive tree, letting Ray reconstruct the
+    partition column from directory names. Returns per-source
+    (n_docs, sum_chars) computed FROM THE READ-BACK, so the oracle
+    equality proves the sink/source round-trip, not just the groupby.
+
+    Scale: the write is one streaming pass (each task splits its blocks
+    by partition value); no shuffle is needed for the layout. The
+    read-back prunes columns to the two the roll-up needs."""
+    import os
+    import shutil
+
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    ensure_serializable()
+    out = f"/tmp/ray_part_sink/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out, ignore_errors=True)
+    ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    ).write_parquet(out, partition_cols=["source"])
+    back = ray.data.read_parquet(out, columns=["source", "n_chars"])
+    return back.groupby("source").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    )

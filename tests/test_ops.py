@@ -73,7 +73,7 @@ SQL_CHECKED = [
     "contrastive_pairs", "mixture_sample", "dedup_editdist",
     "pagerank_entities", "source_overlap", "shuffle_export",
     "quantize_embeddings", "dedup_best", "cluster_topics",
-    "merge_upsert", "knn_filtered", "quantile_sketch",
+    "merge_upsert", "knn_filtered", "quantile_sketch", "partitioned_sink",
 ]
 
 
@@ -594,6 +594,28 @@ def test_hll_estimate_error_bound():
     n = 200_000
     est = int(hll_estimate(ray.data.range(n), "id")["estimate"].iloc[0])
     assert abs(est - n) / n < 0.05
+
+
+def test_partitioned_sink_layout_and_pruning(duck):
+    """The sink lays out out/source=<v>/*.parquet; reading ONE partition
+    directory yields exactly that source's rows (partition pruning is a
+    directory open, not a scan+filter)."""
+    import os
+
+    import ray.data
+
+    from engine.io import partitioned_sink
+
+    partitioned_sink(SF).materialize()
+    out = f"/tmp/ray_part_sink/{os.path.basename(os.path.normpath(SF))}"
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("source="))
+    assert len(dirs) == 20 and dirs[0] == "source=src0"
+    one = ray.data.read_parquet(os.path.join(out, "source=src3")).to_pandas()
+    want = int(duck.sql(
+        "SELECT count(*) FROM documents WHERE source = 'src3'").fetchone()[0])
+    assert len(one) == want
+    # the partition column itself lives in the directory name, not the files
+    assert "source" not in one.columns or (one["source"] == "src3").all()
 
 
 def test_quantile_sketch_relative_error():
