@@ -440,6 +440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": textstats.compression_ratio,
         "tokenize_bpe": textstats.tokenize_bpe,
         "word_counts": textstats.word_counts,
+        "pareto_docs": textstats.pareto_docs,
         "bigram_counts": textstats.bigram_counts,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "filter_quality_docs": textstats.filter_quality_docs,
@@ -1389,6 +1390,23 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY row_number() OVER (
               PARTITION BY query_id ORDER BY raw_score DESC, neighbor_id) <= 10
+        """,
+        "pareto_docs": f"""
+            -- skyline by anti self-join: a doc survives iff nothing
+            -- (weakly) beats it on both axes with one strict edge
+            WITH f AS (
+              SELECT doc_id,
+                     CAST(length(regexp_extract_all(text, '{TOKEN_PATTERN}'))
+                          AS BIGINT) AS n_tokens,
+                     CAST(length(regexp_extract_all(text,
+                          '{PUNCT_PATTERN.replace("'", "''")}'))
+                          AS BIGINT) AS n_punct
+              FROM documents)
+            SELECT d.doc_id, d.n_tokens, d.n_punct FROM f d
+            WHERE NOT EXISTS (
+              SELECT 1 FROM f o
+              WHERE o.n_tokens >= d.n_tokens AND o.n_punct <= d.n_punct
+                AND (o.n_tokens > d.n_tokens OR o.n_punct < d.n_punct))
         """,
         "quality_score": f"""
             SELECT doc_id, n_chars, n_tokens, n_punct,

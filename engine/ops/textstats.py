@@ -202,6 +202,82 @@ def bpe_token_counts(sf_dir: str) -> ray.data.Dataset:
 WORD_COUNT_K = 100
 
 
+def _skyline_kernel(
+    tokens: np.ndarray, punct: np.ndarray, ids: np.ndarray
+) -> np.ndarray:
+    """Indices of the 2-d Pareto frontier (maximize tokens, minimize
+    punct). A point survives iff no other point has tokens >= AND
+    punct <= with at least one strict; equal (tokens, punct) pairs do
+    not dominate each other, so duplicates of a frontier point all
+    survive. One lexsort: within a token group survivors carry the
+    group-min punct; across groups punct must beat the exclusive
+    running min of all STRICTLY-higher-token groups."""
+    if tokens.size == 0:
+        return np.empty(0, dtype=np.int64)
+    order = np.lexsort((ids, punct, -tokens))
+    t, p = tokens[order], punct[order]
+    starts = np.empty(t.size, dtype=bool)
+    starts[0] = True
+    starts[1:] = t[1:] != t[:-1]
+    gidx = np.cumsum(starts) - 1
+    gmin = p[np.flatnonzero(starts)]  # punct sorted asc within group
+    prefix = np.concatenate(
+        ([np.iinfo(np.int64).max], np.minimum.accumulate(gmin)[:-1])
+    )
+    keep = (p == gmin[gidx]) & (p < prefix[gidx])
+    return order[keep]
+
+
+def pareto_docs(sf_dir: str) -> ray.data.Dataset:
+    """Pareto frontier (skyline) of documents over (n_tokens max,
+    n_punct min) — the multi-objective curation cut "no document is
+    both shorter AND noisier than a kept one" that picks exemplars
+    without collapsing two quality axes into one weighted score.
+
+    Scale shape — skyline is ALGEBRAIC (skyline(A ∪ B) =
+    skyline(skyline(A) ∪ skyline(B))), so each batch prunes its own
+    dominated points locally with one vectorized lexsort kernel and
+    only per-batch frontiers (bounded by the batch's distinct token
+    counts, typically a handful of rows) reach the single-block final
+    merge that reruns the identical kernel. The corpus never shuffles;
+    the reduce input is partial frontiers only."""
+    ensure_serializable()
+
+    def features(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(text, TOKEN_PATTERN), pa.int64()
+                ),
+                "n_punct": pc.cast(
+                    pc.count_substring_regex(text, PUNCT_PATTERN), pa.int64()
+                ),
+            }
+        )
+
+    def local_skyline(batch: pa.Table) -> pa.Table:
+        keep = _skyline_kernel(
+            batch["n_tokens"].to_numpy(zero_copy_only=False),
+            batch["n_punct"].to_numpy(zero_copy_only=False),
+            batch["doc_id"].to_numpy(zero_copy_only=False),
+        )
+        return batch.take(pa.array(keep))
+
+    partial = (
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(features, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(local_skyline, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    # batch_size=None: the merged partial frontiers must reach the final
+    # kernel as ONE batch, not 1024-row slices of it
+    return partial.repartition(1).map_batches(
+        local_skyline, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
 def word_counts(sf_dir: str, k: int = WORD_COUNT_K) -> ray.data.Dataset:
     """Corpus-wide top-k word frequencies over documents.text — the
     vocabulary/heavy-hitter roll-up every training-data pipeline runs.

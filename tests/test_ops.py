@@ -74,6 +74,7 @@ SQL_CHECKED = [
     "pagerank_entities", "source_overlap", "shuffle_export",
     "quantize_embeddings", "dedup_best", "cluster_topics",
     "merge_upsert", "knn_filtered", "quantile_sketch", "partitioned_sink",
+    "pareto_docs",
 ]
 
 
@@ -616,6 +617,29 @@ def test_partitioned_sink_layout_and_pruning(duck):
     assert len(one) == want
     # the partition column itself lives in the directory name, not the files
     assert "source" not in one.columns or (one["source"] == "src3").all()
+
+
+def test_skyline_kernel_dominance_edges():
+    """Crafted frontier: equal (t, p) duplicates all survive; weak
+    domination with one strict edge kills on either axis; the kernel is
+    algebraic (skyline(A|B) == skyline(skyline(A)|skyline(B)))."""
+    from engine.ops.textstats import _skyline_kernel
+
+    t = np.array([10, 10, 10, 9, 9, 8, 8, 5], dtype=np.int64)
+    p = np.array([3, 3, 4, 3, 2, 2, 1, 0], dtype=np.int64)
+    ids = np.arange(t.size, dtype=np.int64)
+    keep = set(ids[_skyline_kernel(t, p, ids)].tolist())
+    # (10,3) twins survive; (10,4) loses in-group; (9,3) loses to (10,3);
+    # (9,2) survives; (8,2) loses to (9,2); (8,1) and (5,0) survive
+    assert keep == {0, 1, 4, 6, 7}
+    half = t.size // 2
+    merged = set()
+    for sl in (slice(None, half), slice(half, None)):
+        sub = _skyline_kernel(t[sl], p[sl], ids[sl])
+        merged.update(ids[sl][sub].tolist())
+    m = np.array(sorted(merged), dtype=np.int64)
+    again = set(m[_skyline_kernel(t[m], p[m], m)].tolist())
+    assert again == keep
 
 
 def test_quantile_sketch_relative_error():
