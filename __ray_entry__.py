@@ -392,6 +392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": sketches.approx_distinct_users,
         "quantile_events_value": sketches.quantile_events_value,
         "quantile_sketch": sketches.quantile_sketch,
+        "weighted_sample_docs": sketches.weighted_sample_docs,
         "quantile_events_by_type": sketches.quantile_events_by_type,
         "heavy_hitter_words": sketches.heavy_hitter_words,
         "outlier_events": sketches.outlier_events,
@@ -1044,6 +1045,18 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 900, quantile_disc(vm, 0.9) FROM v
             UNION ALL SELECT 950, quantile_disc(vm, 0.95) FROM v
             UNION ALL SELECT 990, quantile_disc(vm, 0.99) FROM v
+        """,
+        "weighted_sample_docs": f"""
+            -- Efraimidis-Spirakis replay: identical hash-derived uniform
+            -- and ln(u)/w key; the top-k draw is fully deterministic
+            WITH keyed AS (
+              SELECT doc_id, n_chars,
+                     ln(((doc_id * {sketches_mod._MULT} + {sketches_mod._INC})
+                          % {sketches_mod._MOD} + 0.5) / {float(sketches_mod._MOD)!r})
+                       / greatest(n_chars, 1) AS key
+              FROM documents)
+            SELECT doc_id, n_chars FROM keyed
+            ORDER BY key DESC, doc_id LIMIT {sketches_mod.WEIGHTED_SAMPLE_K}
         """,
         "quantile_sketch": f"""
             -- DDSketch replay: identical log-gamma bucket map, integer

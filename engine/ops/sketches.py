@@ -337,6 +337,66 @@ def quantile_events_by_type(sf_dir: str) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis-Spirakis, deterministic)
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_K = 32
+
+
+def weighted_sample_docs(sf_dir: str, k: int = WEIGHTED_SAMPLE_K) -> ray.data.Dataset:
+    """Weighted sample WITHOUT replacement of k documents, inclusion
+    odds proportional to length — Efraimidis-Spirakis (IPL 2006, the
+    public weighted-reservoir algorithm): each row draws
+    ``key = ln(u) / w`` and the global top-k keys win. The uniform u is
+    HASH-derived (same multiplicative Knuth family as ``sample_events``,
+    u = (h + 0.5) / 2^32), so the sample is deterministic in doc_id:
+    re-runs and resumed partitions pick the identical k docs, and the
+    whole draw replays exactly in SQL.
+
+    Scale shape: keys are embarrassingly parallel; each batch keeps only
+    its local top-k (lexsort partial), so the single-block final merge
+    sees at most k rows per batch — the corpus never shuffles. Same
+    top-k-of-partials shape as knn's reduce; weights clamp to >= 1 so
+    zero-length docs stay drawable."""
+    ensure_serializable()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.maximum(
+            batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64), 1.0
+        )
+        h = (ids.astype(np.uint64) * _MULT + _INC) % _MOD
+        u = (h.astype(np.float64) + 0.5) / float(_MOD)
+        key = np.log(u) / w  # negative; larger (closer to 0) wins
+        order = np.lexsort((ids, -key))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order]),
+                "n_chars": pa.array(
+                    batch["n_chars"].to_numpy(zero_copy_only=False)[order]
+                ),
+                "_key": pa.array(key[order]),
+            }
+        )
+
+    def final_topk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        key = batch["_key"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -key))[:k]
+        return batch.take(pa.array(order)).drop_columns(["_key"])
+
+    partial = ds.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partial.repartition(1).map_batches(
+        final_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+# ---------------------------------------------------------------------------
 # DDSketch approximate quantiles (relative-error guarantee, unbounded domain)
 # ---------------------------------------------------------------------------
 

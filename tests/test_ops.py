@@ -74,7 +74,7 @@ SQL_CHECKED = [
     "pagerank_entities", "source_overlap", "shuffle_export",
     "quantize_embeddings", "dedup_best", "cluster_topics",
     "merge_upsert", "knn_filtered", "quantile_sketch", "partitioned_sink",
-    "pareto_docs",
+    "pareto_docs", "weighted_sample_docs",
 ]
 
 
@@ -617,6 +617,18 @@ def test_partitioned_sink_layout_and_pruning(duck):
     assert len(one) == want
     # the partition column itself lives in the directory name, not the files
     assert "source" not in one.columns or (one["source"] == "src3").all()
+
+
+def test_weighted_sample_is_length_biased_and_deterministic(duck):
+    """E-S sampling favors heavy rows: the sample's mean n_chars must
+    exceed the corpus mean; a re-run returns the identical doc set."""
+    from engine.ops.sketches import weighted_sample_docs
+
+    a = _as_df(weighted_sample_docs(SF))
+    b = _as_df(weighted_sample_docs(SF))
+    assert sorted(a.doc_id) == sorted(b.doc_id)
+    corpus_mean = duck.sql("SELECT avg(n_chars) FROM documents").fetchone()[0]
+    assert a.n_chars.mean() > corpus_mean
 
 
 def test_skyline_kernel_dominance_edges():
