@@ -401,6 +401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_export": sketches.shuffle_export,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
+        "dup_cluster_sizes": dedup.dup_cluster_sizes,
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_jaccard": dedup.dedup_jaccard,
@@ -441,6 +442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": textstats.compression_ratio,
         "tokenize_bpe": textstats.tokenize_bpe,
         "word_counts": textstats.word_counts,
+        "trending_terms": textstats.trending_terms,
         "pareto_docs": textstats.pareto_docs,
         "bigram_counts": textstats.bigram_counts,
         "tfidf_top_terms": textstats.tfidf_top_terms,
@@ -1149,6 +1151,11 @@ def oracle_sql() -> dict[str, str]:
             WITH corpus AS ({dup_corpus_sql})
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM corpus GROUP BY text
+        """,
+        "dup_cluster_sizes": f"""
+            WITH corpus AS ({dup_corpus_sql}),
+            clusters AS (SELECT count(*) AS n_docs FROM corpus GROUP BY text)
+            SELECT n_docs, count(*) AS n_clusters FROM clusters GROUP BY n_docs
         """,
         "dedup_incremental": f"""
             -- incoming shard (the dup_corpus variants) anti-joined on
@@ -2622,5 +2629,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT unnest(string_split(text, ' ')) AS word FROM documents)
             WHERE word <> ''
             GROUP BY word ORDER BY n DESC, word LIMIT 100
+        """,
+        "trending_terms": """
+            WITH words AS (
+              SELECT source,
+                     unnest(string_split(coalesce(text, ''), ' ')) AS word
+              FROM documents),
+            counts AS (
+              SELECT source, word, count(*) AS n FROM words
+              WHERE word <> '' GROUP BY source, word)
+            SELECT source, word, n FROM counts
+            QUALIFY row_number() OVER (
+              PARTITION BY source ORDER BY n DESC, word) <= 10
         """,
     }

@@ -145,6 +145,46 @@ def dedup_exact(sf_dir: str) -> ray.data.Dataset:
     return agg.select_columns(["doc_id", "n_dups"])
 
 
+def dup_cluster_sizes(sf_dir: str) -> ray.data.Dataset:
+    """Histogram of exact-duplicate cluster sizes: (n_docs, n_clusters) —
+    the standard dedup diagnostic ("how much of the corpus sits in
+    2-copy clusters vs 1000-copy boilerplate?").
+
+    Two-level bounded aggregation: level 1 is dedup_exact's shuffle
+    (128-bit content hash as int64 triples, native Count per distinct
+    text — no text ever moves); level 2 re-aggregates those counts with
+    per-batch count-of-counts partials, so the second shuffle is bounded
+    by the number of DISTINCT cluster sizes (tiny), not cluster count."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = dup_corpus(sf_dir)
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h1, h2 = text_hash128(batch["text"], "engine-dedupkey")
+        return pa.table({"h1": pa.array(h1), "h2": pa.array(h2)})
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    sizes = hashed.groupby(["h1", "h2"]).aggregate(Count(alias_name="n_docs"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"n_docs": batch["n_docs"]})
+            .group_by(["n_docs"])
+            .aggregate([([], "count_all")])
+        )
+        # select by name — pyarrow puts key columns first, aggregates after
+        return pa.table(
+            {"n_docs": g["n_docs"], "n_clusters": g["count_all"]}
+        )
+
+    partials = sizes.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("n_docs").aggregate(
+        Sum("n_clusters", alias_name="n_clusters")
+    )
+
+
 # ---------------------------------------------------------------------------
 # shared bucket-pair machinery
 # ---------------------------------------------------------------------------

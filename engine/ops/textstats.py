@@ -308,6 +308,53 @@ def word_counts(sf_dir: str, k: int = WORD_COUNT_K) -> ray.data.Dataset:
     return agg.sort(["n", "word"], descending=[True, False]).limit(k)
 
 
+TREND_K = 10
+
+
+def trending_terms(sf_dir: str, k: int = TREND_K) -> ray.data.Dataset:
+    """Per-source top-k terms over documents.text — the grouped
+    heavy-hitter roll-up behind "trending terms by domain/day" reports
+    (word_counts is the global cousin; this one keeps a group key).
+
+    Scale shape: per-batch (source, word) count partials bound the
+    shuffle by sources x vocabulary (never the token stream); the global
+    sum is one bounded groupby; the per-source top-k finalize is ONE
+    vectorized map_groups call per source (a handful of groups), each
+    sorting only its own vocabulary slice — no global sort of counts.
+    Tie-break (count desc, word asc) pins the k-boundary
+    deterministically on both engines."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words_list = pc.split_pattern(pc.fill_null(batch["text"], ""), " ")
+        flat = pc.list_flatten(words_list)
+        src = batch["source"].take(pc.list_parent_indices(words_list))
+        t = pa.table({"source": src, "word": flat})
+        t = t.filter(pc.not_equal(t["word"], ""))
+        grouped = t.group_by(["source", "word"]).aggregate([([], "count_all")])
+        # select by name — pyarrow puts key columns first, aggregates after
+        return pa.table(
+            {
+                "source": grouped["source"],
+                "word": grouped["word"],
+                "n": grouped["count_all"],
+            }
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        return group.sort_by(
+            [("n", "descending"), ("word", "ascending")]
+        ).slice(0, k)
+
+    partials = _read_documents(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts = partials.groupby(["source", "word"]).aggregate(
+        _Sum("n", alias_name="n")
+    )
+    return counts.groupby("source").map_groups(topk, batch_format="pyarrow")
+
+
 def normalize_documents(sf_dir: str) -> ray.data.Dataset:
     """Corpus-wide normalize_text (M5 analog) using the pipeline's
     vectorized Arrow fast path."""

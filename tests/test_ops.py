@@ -34,7 +34,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 SQL_CHECKED = [
     "pricing_summary", "stage_totals", "top_stages", "distinct_event_types",
     "orders_by_segment", "windowed_events", "sessionized_events",
-    "top_event_per_user", "asof_join_events_orders", "dedup_exact", "dedup_jaccard", "dedup_spans", "dedup_clusters",
+    "top_event_per_user", "asof_join_events_orders", "dedup_exact", "dup_cluster_sizes", "dedup_jaccard", "dedup_spans", "dedup_clusters",
     "dedup_embedding",
     "knn_bruteforce",
     "quality_score", "lang_id", "lang_id_accuracy", "bpe_token_counts",
@@ -42,7 +42,7 @@ SQL_CHECKED = [
     "grouped_topn_events", "sliding_window_events",
     "interval_join_events_orders", "anti_join_customers",
     "sample_events", "stratified_sample_events", "quantile_events_value",
-    "word_counts",
+    "word_counts", "trending_terms",
     "quantile_events_by_type", "embedding_centroids", "q3_shipping_priority",
     "running_total_events", "event_gaps", "enrich_events_with_segment",
     "distinct_users_per_type",
