@@ -23,4 +23,5 @@ Layout (SURVEY.md SS7.1):
 """
 
 __version__ = "0.1.0"
-SCHEMA_VERSION = 1
+
+from .schema import SCHEMA_VERSION  # single source of truth (schema.py)

@@ -175,7 +175,10 @@ class ExtractTurns:
                 "conv_id": batch.column("conv_id"),
                 "turn_idx": batch.column("turn_idx"),
                 "role": role,
-                "extracted_text": extracted_text,
+                # 64-bit offsets: a >2GB ordering bucket (10^6-turn
+                # conversation) overflows int32 string offsets inside the
+                # sort exchange's block concat (see schema.EXTRACTED)
+                "extracted_text": pc.cast(extracted_text, pa.large_string()),
                 "spans": spans_arr,
                 "blocks": blocks_arr,
                 "n_blocks": pa.array(n_blocks),
@@ -318,7 +321,8 @@ def _add_bucket(num_buckets: int, salt_block: Optional[int]):
     return add_bucket
 
 
-def _order_bucket_fn(conv_sizes_ref=None, sizes_mode: str = "dense"):
+def _order_bucket_fn(conv_sizes_ref=None, sizes_mode: str = "dense",
+                     salt_block: Optional[int] = None):
     """Per-bucket ordering: sort by (conv_id, turn_idx), enforce the
     duplicate-turn invariant, compute conv_n_turns — all vectorized
     (no per-conversation Python calls).
@@ -334,7 +338,13 @@ def _order_bucket_fn(conv_sizes_ref=None, sizes_mode: str = "dense"):
 
     ``conv_sizes_ref`` (salted mode) is a broadcast {conv_id: n_turns}
     for conversations split across buckets by salting; everyone else's
-    size comes from the local run."""
+    size comes from the local run. In salted mode the gap check applies
+    WITHIN a salt block only: a conversation with more salt blocks than
+    shuffle buckets necessarily lands two (non-adjacent) blocks in the
+    same bucket — e.g. a 10^6-turn conversation at salt_block=4096 has
+    245 blocks vs 64 buckets — which is legal fragmentation, not a
+    density violation (each block's turn range is still contiguous and
+    fully present; conv_n_turns comes from the broadcast)."""
 
     salted = conv_sizes_ref is not None
 
@@ -368,6 +378,14 @@ def _order_bucket_fn(conv_sizes_ref=None, sizes_mode: str = "dense"):
                 # aborts with the conversation named rather than silently
                 # emitting a wrong size.
                 gap = (~new_conv[1:]) & (steps > 1)
+                if salted and salt_block:
+                    # two salt blocks of one conversation sharing a bucket
+                    # is legal fragmentation; only an in-block gap is a
+                    # density violation
+                    same_block = (
+                        turn[1:] // salt_block == turn[:-1] // salt_block
+                    )
+                    gap &= same_block
                 if gap.any():
                     bad = ids[1 + int(np.flatnonzero(gap)[0])]
                     raise ValueError(
@@ -443,7 +461,8 @@ def order_stage(
             zero_copy_batch=True,
         )
     return bucketed.groupby("_bucket").map_groups(
-        _order_bucket_fn(conv_sizes_ref, sizes_mode), batch_format="pyarrow"
+        _order_bucket_fn(conv_sizes_ref, sizes_mode, salt_block),
+        batch_format="pyarrow",
     )
 
 

@@ -11,7 +11,9 @@ from __future__ import annotations
 import pyarrow as pa
 
 # v2: + blocks column (per-block kind and layout coordinates)
-SCHEMA_VERSION = 2
+# v3: extracted_text string -> large_string (64-bit offsets; on-disk Arrow
+#     schema metadata changes, so old part=N dirs must not mix with new)
+SCHEMA_VERSION = 3
 
 TRANSCRIPTS = pa.schema(
     [
@@ -46,7 +48,14 @@ EXTRACTED = pa.schema(
         ("conv_id", pa.string()),
         ("turn_idx", pa.int32()),
         ("role", pa.string()),
-        ("extracted_text", pa.string()),
+        # large_string (64-bit offsets): an ordering bucket holding a
+        # 10^6-turn conversation's extracted text exceeds the 2 GB int32
+        # offset limit, and the sort exchange's reduce step concatenates
+        # a bucket into one block — 32-bit offsets overflow there
+        # (ArrowInvalid) before any user code runs. +4 B/row buys
+        # arbitrarily large per-bucket text. Parquet round-trips it as
+        # ordinary string.
+        ("extracted_text", pa.large_string()),
         ("spans", SPAN_TYPE),
         ("blocks", BLOCK_TYPE),
         ("n_blocks", pa.int32()),

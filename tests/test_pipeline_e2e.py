@@ -97,6 +97,55 @@ def test_salted_equals_unsalted(t1_files, pipeline_out):
         assert list(got) == list(want)
 
 
+def test_salted_conv_with_more_blocks_than_buckets(tmp_path):
+    """A conversation with MORE salt blocks than shuffle buckets (the
+    10^6-turn case salting exists for) necessarily lands two of its
+    blocks in the same bucket. That fragmentation is legal — the gap
+    check applies within a salt block only — and the output must equal
+    the unsalted plan's. Regression: this aborted with 'gap in
+    turn_idx' before the in-block restriction."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n_giant, n_small = 300, 12
+    conv = np.concatenate(
+        [np.full(n_giant, "conv-giant")]
+        + [np.full(6, f"conv-{i:03d}") for i in range(n_small)]
+    )
+    turn = np.concatenate(
+        [np.arange(n_giant)] + [np.arange(6)] * n_small
+    ).astype(np.int32)
+    text = np.array([f"turn text {i}" for i in range(len(conv))], dtype=object)
+    t = pa.table(
+        {
+            "conv_id": pa.array(conv, pa.string()),
+            "turn_idx": pa.array(turn, pa.int32()),
+            "role": pa.array(np.where(turn % 2 == 0, "user", "assistant")),
+            "text": pa.array(text, pa.string()),
+        }
+    )
+    path = str(tmp_path / "giant.parquet")
+    pq.write_table(t, path)
+
+    # salt_block=4 -> 75 blocks for conv-giant vs 8 buckets: guaranteed
+    # same-bucket fragmentation
+    salted = _sorted(
+        extraction_plan(
+            [path], batch_size=64, salt_block=4, num_buckets=8
+        ).to_pandas()
+    )
+    plain = _sorted(
+        extraction_plan([path], batch_size=64, num_buckets=8).to_pandas()
+    )
+    cols = ["conv_id", "turn_idx", "extracted_text", "conv_n_turns"]
+    pd.testing.assert_frame_equal(salted[cols], plain[cols])
+    assert (
+        salted.loc[salted["conv_id"] == "conv-giant", "conv_n_turns"]
+        == n_giant
+    ).all()
+
+
 def test_null_text_tolerated_null_keys_abort(tmp_path):
     """Null text extracts as empty (M15 fallback posture); a null ordering
     key aborts loudly rather than silently mis-bucketing."""
