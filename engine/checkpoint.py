@@ -179,6 +179,7 @@ def run_partitioned(
     salt_block: Optional[int] = None,
     batch_size: int = 2048,
     concurrency=None,
+    keep_going: bool = False,
 ) -> List[Dict]:
     """Run extraction per input partition with resume-on-restart.
 
@@ -186,6 +187,15 @@ def run_partitioned(
     Partitions whose manifest entry matches (id, fingerprint, complete)
     are skipped at plan time; a fingerprint mismatch (input or extractor
     config changed) forces reprocessing of that partition only.
+
+    ``keep_going=True`` is the 100 TB operational posture: a partition
+    that raises (corrupt shard, invariant abort) gets a
+    ``status="failed"`` lineage record with the error string and the
+    run continues — one bad shard out of thousands must not kill an
+    hour-long job. Failed partitions leave no ``part=N`` dir (the temp
+    dir is removed), so a plain rerun retries exactly the failed set.
+    With ``keep_going=False`` (default) the first failure propagates
+    after its failure record is appended.
     """
     os.makedirs(out_dir, exist_ok=True)
     cfg = config_hash(config_extra)
@@ -228,21 +238,41 @@ def run_partitioned(
         if os.path.isdir(final):
             shutil.rmtree(final)
 
-        rows_in = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
         start = time.perf_counter()
-        # local_count: a partition holds an input shard, not whole
-        # conversations (rows are shard-distributed), so conv_n_turns is
-        # the locally-present row count and the dense-turn_idx contract is
-        # not enforced shard-locally (duplicates still abort); a consumer
-        # merging partitions recomputes global sizes.
-        ds = extraction_plan(
-            files,
-            batch_size=batch_size,
-            concurrency=concurrency,
-            salt_block=salt_block,
-            sizes_mode="local_count",
-        )
-        ds.write_parquet(tmp)
+        try:
+            rows_in = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+            # local_count: a partition holds an input shard, not whole
+            # conversations (rows are shard-distributed), so conv_n_turns is
+            # the locally-present row count and the dense-turn_idx contract is
+            # not enforced shard-locally (duplicates still abort); a consumer
+            # merging partitions recomputes global sizes.
+            ds = extraction_plan(
+                files,
+                batch_size=batch_size,
+                concurrency=concurrency,
+                salt_block=salt_block,
+                sizes_mode="local_count",
+            )
+            ds.write_parquet(tmp)
+        except Exception as exc:  # noqa: BLE001 — recorded, then re-raised
+            # unless keep_going
+            shutil.rmtree(tmp, ignore_errors=True)  # rerun retries this pid
+            rec = {
+                "partition_id": pid,
+                "input_fingerprint": fp,
+                "rows_in": -1,
+                "rows_out": 0,
+                "extraction_ms": round(
+                    (time.perf_counter() - start) * 1000.0, 3
+                ),
+                "status": "failed",
+                "error": f"{type(exc).__name__}: {exc}"[:500],
+            }
+            _append_manifest(out_dir, rec)
+            records.append(rec)
+            if not keep_going:
+                raise
+            continue
         elapsed_ms = (time.perf_counter() - start) * 1000.0
         rows_out = _count_parquet_rows(tmp)
         os.rename(tmp, final)  # atomic finalize

@@ -39,6 +39,9 @@ def main() -> int:
     ap.add_argument("--batch-size", type=int, default=2048)
     ap.add_argument("--concurrency", type=int, default=None,
                     help="extraction actor-pool size (default: cluster CPUs - 1)")
+    ap.add_argument("--keep-going", action="store_true",
+                    help="record failed partitions in the manifest and "
+                         "continue (rerun retries only the failed set)")
     args = ap.parse_args()
 
     if os.path.isdir(args.input):
@@ -73,13 +76,16 @@ def main() -> int:
         salt_block=args.salt_block,
         batch_size=args.batch_size,
         concurrency=concurrency,
+        keep_going=args.keep_going,
     )
     done = sum(1 for r in records if r["status"] == "complete")
+    failed = sum(1 for r in records if r["status"] == "failed")
     rows = sum(r["rows_out"] for r in records)
     print(json.dumps({"partitions": len(records), "complete": done,
-                      "rows_out": rows, "output": args.output}))
+                      "failed": failed, "rows_out": rows,
+                      "output": args.output}))
     ray.shutdown()
-    return 0
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":

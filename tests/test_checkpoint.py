@@ -187,3 +187,55 @@ def test_actor_crash_mid_stream_recovers(tmp_path):
     ).to_pandas()
     assert os.path.exists(flag)  # the crash really happened
     assert sorted(out["y"]) == [2 * x for x in range(10_000)]
+
+
+def test_keep_going_records_failure_and_rerun_retries(t1_files, out_dir, tmp_path):
+    """100 TB posture: one corrupt shard must not kill the job. With
+    keep_going=True the bad partition gets a status=failed lineage
+    record (error string included), the good partition completes, and a
+    rerun with the shard repaired retries ONLY the failed partition."""
+    # copy inputs so one can be corrupted
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    files = []
+    for f in t1_files:
+        dst = str(in_dir / os.path.basename(f))
+        shutil.copy(f, dst)
+        files.append(dst)
+    files = sorted(files)
+    bad = files[1]  # round-robin: files[1] -> partition 1
+    good_bytes = open(bad, "rb").read()
+    with open(bad, "wb") as fh:
+        fh.write(b"not a parquet file at all")
+
+    recs = run_partitioned(
+        files, out_dir, num_partitions=2, batch_size=256, keep_going=True
+    )
+    by_pid = {r["partition_id"]: r for r in recs}
+    assert by_pid[0]["status"] == "complete"
+    assert by_pid[1]["status"] == "failed" and by_pid[1]["error"]
+    assert os.path.isdir(os.path.join(out_dir, "part=0"))
+    assert not os.path.isdir(os.path.join(out_dir, "part=1"))
+    assert not os.path.isdir(os.path.join(out_dir, ".tmp-part=1"))
+    # manifest's last word per pid reflects the failure
+    assert read_manifest(out_dir)[1]["status"] == "failed"
+
+    # repair the shard; rerun retries only partition 1
+    with open(bad, "wb") as fh:
+        fh.write(good_bytes)
+    m0 = os.path.getmtime(os.path.join(out_dir, "part=0"))
+    recs2 = run_partitioned(
+        files, out_dir, num_partitions=2, batch_size=256, keep_going=True
+    )
+    assert all(r["status"] == "complete" for r in recs2)
+    assert os.path.getmtime(os.path.join(out_dir, "part=0")) == m0
+    assert read_manifest(out_dir)[1]["status"] == "complete"
+
+    # default posture still fails loudly (after recording)
+    with open(bad, "wb") as fh:
+        fh.write(b"corrupt again")
+    out2 = str(tmp_path / "out2")
+    with pytest.raises(Exception):
+        run_partitioned(files, out2, num_partitions=2, batch_size=256)
+    failed = [r for r in read_manifest(out2).values() if r["status"] == "failed"]
+    assert failed and failed[0]["error"]
