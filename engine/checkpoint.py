@@ -170,6 +170,45 @@ def _count_parquet_rows(directory: str) -> int:
     return total
 
 
+def finalize_partitioned(
+    out_dir: str,
+    final_dir: str,
+    *,
+    salt_block: Optional[int] = None,
+    num_buckets: Optional[int] = None,
+):
+    """Global ordering fixup over a partitioned run's output.
+
+    ``run_partitioned`` computes ``conv_n_turns`` shard-locally (a
+    partition holds an input shard, not whole conversations), so its
+    output differs from the single-plan flagship for conversations that
+    span partitions. This pass streams the completed ``part=N`` dirs
+    back through the ordering exchange (the one shuffle, int-keyed as
+    ever) with globally-dense sizes — the result is bit-equal to running
+    ``extraction_plan`` over the whole input at once, at the cost of one
+    extra shuffle over the EXTRACTED rows (no re-extraction). Returns
+    the written Dataset.
+    """
+    import glob as _glob
+
+    import ray.data
+
+    from .pipeline import order_stage
+
+    files = sorted(_glob.glob(os.path.join(out_dir, "part=*", "*.parquet")))
+    if not files:
+        raise ValueError(f"no part=N parquet outputs under {out_dir!r}")
+    ds = ray.data.read_parquet(files)
+    drop = [c for c in ("conv_n_turns", "part") if c in ds.schema().names]
+    if drop:
+        ds = ds.drop_columns(drop)
+    ordered = order_stage(
+        ds, salt_block=salt_block, num_buckets=num_buckets, sizes_mode="dense"
+    )
+    ordered.write_parquet(final_dir)
+    return ordered
+
+
 def run_partitioned(
     in_files: Sequence[str],
     out_dir: str,

@@ -239,3 +239,69 @@ def test_keep_going_records_failure_and_rerun_retries(t1_files, out_dir, tmp_pat
         run_partitioned(files, out2, num_partitions=2, batch_size=256)
     failed = [r for r in read_manifest(out2).values() if r["status"] == "failed"]
     assert failed and failed[0]["error"]
+
+
+def test_finalize_partitioned_equals_flagship(tmp_path):
+    """A conversation whose rows span input files in DIFFERENT partitions
+    gets a shard-local conv_n_turns from run_partitioned (documented);
+    finalize_partitioned re-runs the ordering exchange globally and the
+    result is bit-equal to the single-plan flagship output."""
+    import numpy as np
+    import pyarrow as pa
+
+    from engine.checkpoint import finalize_partitioned
+    from engine.pipeline import extraction_plan
+
+    # conv-span has turns 0-9 in file a, 10-19 in file b (diff partitions)
+    def mk(path, conv_rows):
+        conv, turn = [], []
+        for cid, turns in conv_rows:
+            conv += [cid] * len(turns)
+            turn += list(turns)
+        t = pa.table(
+            {
+                "conv_id": pa.array(conv, pa.string()),
+                "turn_idx": pa.array(turn, pa.int32()),
+                "role": pa.array(
+                    ["user" if i % 2 == 0 else "assistant" for i in turn]
+                ),
+                "text": pa.array([f"text {c}/{i}" for c, i in zip(conv, turn)]),
+            }
+        )
+        pq.write_table(t, path)
+
+    fa = str(tmp_path / "a.parquet")
+    fb = str(tmp_path / "b.parquet")
+    mk(fa, [("conv-span", range(0, 10)), ("conv-a", range(4))])
+    mk(fb, [("conv-span", range(10, 20)), ("conv-b", range(6))])
+
+    out = str(tmp_path / "parts")
+    recs = run_partitioned([fa, fb], out, num_partitions=2, batch_size=64)
+    assert all(r["status"] == "complete" for r in recs)
+    # shard-local sizes: the spanning conversation reads 10 in each part
+    local = _read_all(out)
+    span_sizes = set(
+        local.loc[local["conv_id"] == "conv-span", "conv_n_turns"]
+    )
+    assert span_sizes == {10}
+
+    final = str(tmp_path / "final")
+    finalize_partitioned(out, final)
+    got = (
+        pq.read_table(final)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        extraction_plan([fa, fb], batch_size=64)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want
+    )
+    assert (
+        got.loc[got["conv_id"] == "conv-span", "conv_n_turns"] == 20
+    ).all()
