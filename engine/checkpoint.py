@@ -195,6 +195,25 @@ def finalize_partitioned(
 
     from .pipeline import order_stage
 
+    # Refuse a partial run: finalizing while partitions are failed or
+    # missing would silently emit an incomplete corpus (and compute wrong
+    # global sizes for the conversations the missing shards held).
+    cfg_path = os.path.join(out_dir, CONFIG_NAME)
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            expected = set(range(json.load(f)["num_partitions"]))
+        manifest = read_manifest(out_dir)
+        bad = sorted(
+            pid for pid in expected
+            if manifest.get(pid, {}).get("status") != "complete"
+            or not os.path.isdir(os.path.join(out_dir, f"part={pid}"))
+        )
+        if bad:
+            raise ValueError(
+                f"cannot finalize {out_dir!r}: partitions {bad} are not "
+                f"complete — rerun run_partitioned first"
+            )
+
     files = sorted(_glob.glob(os.path.join(out_dir, "part=*", "*.parquet")))
     if not files:
         raise ValueError(f"no part=N parquet outputs under {out_dir!r}")

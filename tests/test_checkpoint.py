@@ -305,3 +305,32 @@ def test_finalize_partitioned_equals_flagship(tmp_path):
     assert (
         got.loc[got["conv_id"] == "conv-span", "conv_n_turns"] == 20
     ).all()
+
+
+def test_finalize_refuses_partial_run(t1_files, out_dir, tmp_path):
+    """finalize over a run with a failed partition must refuse loudly —
+    silently finalizing would emit an incomplete corpus."""
+    from engine.checkpoint import finalize_partitioned
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    files = []
+    for f in t1_files:
+        dst = str(in_dir / os.path.basename(f))
+        shutil.copy(f, dst)
+        files.append(dst)
+    files = sorted(files)
+    keep = open(files[1], "rb").read()
+    with open(files[1], "wb") as fh:
+        fh.write(b"corrupt")
+    run_partitioned(files, out_dir, num_partitions=2, batch_size=256,
+                    keep_going=True)
+    with pytest.raises(ValueError, match="not +complete|are not"):
+        finalize_partitioned(out_dir, str(tmp_path / "final"))
+    # repaired rerun -> finalize succeeds
+    with open(files[1], "wb") as fh:
+        fh.write(keep)
+    run_partitioned(files, out_dir, num_partitions=2, batch_size=256,
+                    keep_going=True)
+    finalize_partitioned(out_dir, str(tmp_path / "final"))
+    assert os.path.isdir(str(tmp_path / "final"))
