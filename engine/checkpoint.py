@@ -199,20 +199,33 @@ def finalize_partitioned(
     # missing would silently emit an incomplete corpus (and compute wrong
     # global sizes for the conversations the missing shards held).
     cfg_path = os.path.join(out_dir, CONFIG_NAME)
-    if os.path.exists(cfg_path):
-        with open(cfg_path) as f:
-            expected = set(range(json.load(f)["num_partitions"]))
-        manifest = read_manifest(out_dir)
-        bad = sorted(
-            pid for pid in expected
-            if manifest.get(pid, {}).get("status") != "complete"
-            or not os.path.isdir(os.path.join(out_dir, f"part={pid}"))
+    if not os.path.exists(cfg_path):
+        raise ValueError(
+            f"cannot finalize {out_dir!r}: {CONFIG_NAME} is missing — "
+            f"not a run_partitioned output dir (or a pre-config legacy "
+            f"run); completeness cannot be verified, refusing to emit a "
+            f"possibly-partial final corpus"
         )
-        if bad:
-            raise ValueError(
-                f"cannot finalize {out_dir!r}: partitions {bad} are not "
-                f"complete — rerun run_partitioned first"
-            )
+    with open(cfg_path) as f:
+        cfg_doc = json.load(f)
+    if "num_partitions" not in cfg_doc:
+        raise ValueError(
+            f"cannot finalize {out_dir!r}: {CONFIG_NAME} lacks "
+            f"'num_partitions' — refusing to guess the expected "
+            f"partition set"
+        )
+    expected = set(range(cfg_doc["num_partitions"]))
+    manifest = read_manifest(out_dir)
+    bad = sorted(
+        pid for pid in expected
+        if manifest.get(pid, {}).get("status") != "complete"
+        or not os.path.isdir(os.path.join(out_dir, f"part={pid}"))
+    )
+    if bad:
+        raise ValueError(
+            f"cannot finalize {out_dir!r}: partitions {bad} are not "
+            f"complete — rerun run_partitioned first"
+        )
 
     files = sorted(_glob.glob(os.path.join(out_dir, "part=*", "*.parquet")))
     if not files:
@@ -224,7 +237,19 @@ def finalize_partitioned(
     ordered = order_stage(
         ds, salt_block=salt_block, num_buckets=num_buckets, sizes_mode="dense"
     )
-    ordered.write_parquet(final_dir)
+    # Temp-write + atomic rename, matching the part=N finalize discipline:
+    # a crash mid-write must not leave a final_dir that readers cannot
+    # distinguish from a complete corpus.
+    parent = os.path.dirname(os.path.abspath(final_dir)) or "."
+    tmp_final = os.path.join(
+        parent, f".tmp-final-{os.path.basename(os.path.abspath(final_dir))}"
+    )
+    if os.path.isdir(tmp_final):
+        shutil.rmtree(tmp_final)
+    if os.path.isdir(final_dir):
+        shutil.rmtree(final_dir)
+    ordered.write_parquet(tmp_final)
+    os.rename(tmp_final, final_dir)
     return ordered
 
 
@@ -297,6 +322,8 @@ def run_partitioned(
             shutil.rmtree(final)
 
         start = time.perf_counter()
+        rows_in = -1  # -1 = failed before the input count; a later failure
+        # (extraction/write) keeps the computed count for triage
         try:
             rows_in = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
             # local_count: a partition holds an input shard, not whole
@@ -318,7 +345,7 @@ def run_partitioned(
             rec = {
                 "partition_id": pid,
                 "input_fingerprint": fp,
-                "rows_in": -1,
+                "rows_in": rows_in,
                 "rows_out": 0,
                 "extraction_ms": round(
                     (time.perf_counter() - start) * 1000.0, 3

@@ -379,13 +379,21 @@ def _order_bucket_fn(conv_sizes_ref=None, sizes_mode: str = "dense",
                 # emitting a wrong size.
                 gap = (~new_conv[1:]) & (steps > 1)
                 if salted and salt_block:
-                    # two salt blocks of one conversation sharing a bucket
-                    # is legal fragmentation; only an in-block gap is a
-                    # density violation
-                    same_block = (
-                        turn[1:] // salt_block == turn[:-1] // salt_block
-                    )
-                    gap &= same_block
+                    # Two salt blocks of one conversation sharing a bucket is
+                    # legal fragmentation — but ONLY when the pair is
+                    # block-aligned (earlier turn ends its block, later turn
+                    # starts its block): dense input puts a whole salt block
+                    # in one bucket, so any present block is contiguous and
+                    # complete. A cross-block pair that is NOT aligned (e.g.
+                    # 4094 -> 4096 at salt_block=4096, 4095 missing) is a
+                    # genuine density violation and must still abort — a
+                    # blanket cross-block exemption would let it pass and
+                    # emit an overstated conv_n_turns from the skew-tail
+                    # broadcast.
+                    legal_cross = (
+                        (turn[:-1] + 1) % salt_block == 0
+                    ) & (turn[1:] % salt_block == 0)
+                    gap &= ~legal_cross
                 if gap.any():
                     bad = ids[1 + int(np.flatnonzero(gap)[0])]
                     raise ValueError(

@@ -307,6 +307,41 @@ def test_finalize_partitioned_equals_flagship(tmp_path):
     ).all()
 
 
+def test_finalize_refuses_without_config(t1_files, out_dir, tmp_path):
+    """finalize must fail loudly when _config.json is absent (foreign or
+    legacy out_dir): completeness cannot be verified, so an incomplete
+    corpus could otherwise be finalized silently."""
+    from engine.checkpoint import CONFIG_NAME, finalize_partitioned
+
+    run_partitioned(t1_files, out_dir, num_partitions=2, batch_size=256)
+    os.remove(os.path.join(out_dir, CONFIG_NAME))
+    with pytest.raises(ValueError, match="_config.json is missing"):
+        finalize_partitioned(out_dir, str(tmp_path / "final"))
+
+
+def test_failure_record_keeps_computed_rows_in(out_dir, tmp_path):
+    """A failure AFTER the input row count (here: a null ordering key
+    aborting extraction) must record the real rows_in, not -1 — triage
+    telemetry the lineage consumer needs."""
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c1", None, "c1"]),
+            "turn_idx": pa.array([0, 1, 2], pa.int32()),
+            "role": pa.array(["user"] * 3),
+            "text": pa.array(["a", "b", "c"]),
+        }
+    )
+    p = str(tmp_path / "nullkey.parquet")
+    pq.write_table(t, p)
+    recs = run_partitioned(
+        [p], out_dir, num_partitions=1, batch_size=64, keep_going=True
+    )
+    assert recs[0]["status"] == "failed"
+    assert recs[0]["rows_in"] == 3
+
+
 def test_finalize_refuses_partial_run(t1_files, out_dir, tmp_path):
     """finalize over a run with a failed partition must refuse loudly —
     silently finalizing would emit an incomplete corpus."""

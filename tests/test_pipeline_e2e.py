@@ -146,6 +146,36 @@ def test_salted_conv_with_more_blocks_than_buckets(tmp_path):
     ).all()
 
 
+def test_salted_boundary_gap_still_aborts(tmp_path):
+    """A genuine missing turn AT a salt-block boundary must still abort in
+    salted mode: only block-ALIGNED cross-block pairs (earlier turn ends
+    its block, later turn starts its block) are legal fragmentation.
+    Regression: a blanket cross-block exemption silently accepted e.g.
+    turns 3 -> 5 at salt_block=4 (turn 4 missing)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for name, turns in (
+        ("missing_block_start", [0, 1, 2, 3, 5, 6, 7]),  # 4 absent: 3->5
+        ("missing_block_end", [0, 1, 2, 4, 5, 6, 7]),    # 3 absent: 2->4
+    ):
+        t = pa.table(
+            {
+                "conv_id": pa.array(["c1"] * len(turns)),
+                "turn_idx": pa.array(turns, pa.int32()),
+                "role": pa.array(["user"] * len(turns)),
+                "text": pa.array([f"t{i}" for i in turns]),
+            }
+        )
+        p = str(tmp_path / f"{name}.parquet")
+        pq.write_table(t, p)
+        # num_buckets=1 forces the straddling pair adjacent in one bucket
+        with pytest.raises(Exception, match="dense and 0-based"):
+            extraction_plan(
+                [p], batch_size=64, salt_block=4, num_buckets=1
+            ).materialize()
+
+
 def test_null_text_tolerated_null_keys_abort(tmp_path):
     """Null text extracts as empty (M15 fallback posture); a null ordering
     key aborts loudly rather than silently mis-bucketing."""
