@@ -101,21 +101,39 @@ def _checkpointed_lineage(sf_dir: str):
     runner (temp-write + atomic rename + manifest) and return the lineage
     records as a Dataset — the north rule's resumability surface made
     driver-visible. Running twice is a no-op resume (covered in
-    tests/test_checkpoint.py)."""
+    tests/test_checkpoint.py).
+
+    Projected to the DETERMINISTIC lineage surface (partition id, input
+    fingerprint, rows in/out, status) so the golden-parquet oracle can
+    hash-compare it; wall-clock fields (extraction_ms, per-stage seconds)
+    stay on the library surface and are asserted in pytest."""
     import shutil
 
     import ray.data
 
     from engine import synth
     from engine.checkpoint import run_partitioned
+    from engine.oracle import LINEAGE_NUM_PARTITIONS
 
     tier = synth.tier_for_sf_dir(sf_dir)
     out = f"/tmp/lineage_out_{tier}"
     shutil.rmtree(out, ignore_errors=True)
     records = run_partitioned(
-        _transcript_files(sf_dir), out, num_partitions=4, batch_size=1024
+        _transcript_files(sf_dir), out,
+        num_partitions=LINEAGE_NUM_PARTITIONS, batch_size=1024,
     )
-    return ray.data.from_items(records)
+    return ray.data.from_items(
+        [
+            {
+                "partition_id": r["partition_id"],
+                "input_fingerprint": r["input_fingerprint"],
+                "rows_in": r["rows_in"],
+                "rows_out": r["rows_out"],
+                "status": r["status"],
+            }
+            for r in records
+        ]
+    )
 
 
 def _turn_global_views(sf_dir: str):
@@ -486,6 +504,18 @@ def _transcripts_sql_source() -> str:
     return f"read_parquet('{d}/*.parquet')"
 
 
+def _oracle_expected_dir() -> str:
+    """Golden expected-output dir for the flagship extraction family at
+    the driver's correctness tier (same tier-override env var as
+    _transcripts_sql_source). Materialized on demand, cached per tier
+    with a code+input fingerprint key (engine/oracle.py)."""
+    from engine.oracle import oracle_expected_dir
+
+    return oracle_expected_dir(
+        os.environ.get("ENGINE_ORACLE_TRANSCRIPT_TIER", "t2")
+    )
+
+
 _PY_WS = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
 
 
@@ -709,7 +739,39 @@ def oracle_sql() -> dict[str, str]:
     """
 
     transcripts = _transcripts_sql_source()
+    golden = _oracle_expected_dir()
     return {
+        # Flagship family: replay of the materialized golden parquet
+        # (single-process Python-oracle capture, engine/oracle.py
+        # oracle_expected_dir — the reference's own fixture posture,
+        # /root/reference/baselines/README.md:15-168). Salted output is
+        # contractually identical to unsalted, so both replay the same
+        # golden table.
+        "extract_transcripts": f"""
+            SELECT conv_id, turn_idx, role, extracted_text, spans_json,
+                   blocks_json, n_blocks, schema_version, conv_n_turns
+            FROM read_parquet('{golden}/extracted.parquet')
+        """,
+        "extract_transcripts_salted": f"""
+            SELECT conv_id, turn_idx, role, extracted_text, spans_json,
+                   blocks_json, n_blocks, schema_version, conv_n_turns
+            FROM read_parquet('{golden}/extracted.parquet')
+        """,
+        "extract_turn_stats": f"""
+            SELECT role, CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(n_blocks) AS BIGINT) AS total_blocks
+            FROM read_parquet('{golden}/extracted.parquet')
+            GROUP BY role
+        """,
+        "turn_global_views": f"""
+            SELECT conv_id, turn_idx, global_view, global_fp
+            FROM read_parquet('{golden}/global_views.parquet')
+        """,
+        "checkpointed_lineage": f"""
+            SELECT partition_id, input_fingerprint, rows_in, rows_out,
+                   status
+            FROM read_parquet('{golden}/lineage.parquet')
+        """,
         "render_conversations": f"""
             SELECT conv_id,
                    coalesce(string_agg(
