@@ -725,9 +725,16 @@ def oracle_sql() -> dict[str, str]:
                 END)) AS gram
               FROM worded),
             counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            -- same hot-gram df cap as the engine (dedup.JACCARD_DF_CAP):
+            -- grams above the cap never enter pair counting on EITHER
+            -- side; denominators stay exact per-doc gram counts
+            kept AS (
+              SELECT doc_id, gram FROM grams
+              WHERE gram IN (SELECT gram FROM grams GROUP BY gram
+                             HAVING count(*) <= {dedup.JACCARD_DF_CAP})),
             pairs AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-              FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
             SELECT doc_a, doc_b, jaccard FROM (
               SELECT doc_a, doc_b,

@@ -651,20 +651,39 @@ class GramIndexStage:
         )
 
 
-def _gram_bucket_pairs(group: pa.Table) -> pa.Table:
+# A gram with document frequency above this cap is dropped before pair
+# expansion — the hot-gram quadratic guard (mirrors MINHASH_DF_CAP): one
+# stopword-like 3-gram shared by d documents expands d*(d-1)/2 pairs in a
+# single run, so an uncapped run is O(corpus^2) at 100 TB. Dropping it
+# loses only the pairs whose ENTIRE overlap is such stopword grams
+# (capped Jaccard c' counts every non-hot shared gram; denominators
+# na/nb stay exact). The DuckDB oracle applies the SAME cap, so the
+# equality gate holds at any scale; at test scale no gram's df reaches
+# the cap and capped == exact.
+JACCARD_DF_CAP = 4096
+
+
+def _gram_bucket_pairs(group: pa.Table, df_cap: int = JACCARD_DF_CAP) -> pa.Table:
     """All (doc_a < doc_b) pairs sharing a gram, for every gram in this
-    shuffle bucket at once (vectorized multi-run expansion). Hot grams
-    make a run quadratic — at 100TB scale cap df (drop grams with
-    document frequency above a bound, losing only pairs whose entire
-    overlap is stopword-like grams) or salt by a secondary gram; at test
-    scale runs are small."""
+    shuffle bucket at once (vectorized multi-run expansion). Runs larger
+    than ``df_cap`` are dropped before expansion — a gram hash lives in
+    exactly one bucket, so the in-bucket run size IS the gram's global
+    document frequency."""
     t = group.sort_by(
         [("gram_hash", "ascending"), ("doc_id", "ascending")]
     ).combine_chunks()
     gh = t.column("gram_hash").to_numpy(zero_copy_only=False)
     ids = t.column("doc_id").to_numpy(zero_copy_only=False)
     ng = t.column("n_grams").to_numpy(zero_copy_only=False)
-    ii, jj = _pairs_within_runs(_run_starts(gh))
+    new_run = _run_starts(gh)
+    if df_cap is not None and len(new_run):
+        starts = np.flatnonzero(new_run)
+        sizes = np.diff(np.append(starts, len(new_run)))
+        if (sizes > df_cap).any():
+            keep = np.repeat(sizes <= df_cap, sizes)
+            gh, ids, ng = gh[keep], ids[keep], ng[keep]
+            new_run = _run_starts(gh)
+    ii, jj = _pairs_within_runs(new_run)
     return pa.table(
         {
             "doc_a": pa.array(ids[ii]),
@@ -675,12 +694,19 @@ def _gram_bucket_pairs(group: pa.Table) -> pa.Table:
     )
 
 
-def dedup_jaccard(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> ray.data.Dataset:
-    """Exact word-3-gram Jaccard near-dup pairs (recall 1.0 by construction,
-    unlike MinHash): explode docs over an inverted gram index, count bucket
-    co-occurrences per pair (= exact intersection size), finish with
-    c/(na+nb-c) >= threshold. The shuffle moves (int64 x 4) rows only;
-    no text, no gram sets, no joins."""
+def dedup_jaccard(
+    sf_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    df_cap: int = JACCARD_DF_CAP,
+) -> ray.data.Dataset:
+    """Exact word-3-gram Jaccard near-dup pairs (recall 1.0 by construction
+    for every pair with at least one shared gram under the df cap):
+    explode docs over an inverted gram index, count bucket co-occurrences
+    per pair (= exact intersection size), finish with c/(na+nb-c) >=
+    threshold. The shuffle moves (int64 x 4) rows only; no text, no gram
+    sets, no joins. ``df_cap`` bounds hot-gram pair expansion (see
+    JACCARD_DF_CAP); pass ``df_cap=None`` for the uncapped exact
+    configuration."""
     num_buckets = _pair_num_buckets()
     ds = dup_corpus(sf_dir)
     exploded = ds.map_batches(
@@ -692,7 +718,7 @@ def dedup_jaccard(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> ray.data
         num_cpus=1,
     )
     pairs = exploded.groupby("_pb").map_groups(
-        lambda g: _gram_bucket_pairs(g.drop_columns(["_pb"])),
+        lambda g: _gram_bucket_pairs(g.drop_columns(["_pb"]), df_cap),
         batch_format="pyarrow",
     )
     def finalize(doc_a, doc_b, cnt, extras):

@@ -238,6 +238,46 @@ def test_dedup_jaccard_recall_is_exact():
     assert (exact["jaccard"] == 1.0).all()
 
 
+def test_jaccard_df_cap_drops_hot_gram_runs():
+    """The hot-gram guard: a gram with df > JACCARD_DF_CAP must not
+    expand its quadratic pair run; pairs from non-hot grams survive."""
+    import pyarrow as pa
+
+    from engine.ops.dedup import _gram_bucket_pairs
+
+    hot_docs = np.arange(10, dtype=np.int64)
+    t = pa.table(
+        {
+            "gram_hash": pa.array(
+                [1] * 10 + [2, 2], pa.int64()  # gram 1 df=10, gram 2 df=2
+            ),
+            "doc_id": pa.array(
+                np.concatenate([hot_docs, np.array([0, 1])]), pa.int64()
+            ),
+            "n_grams": pa.array([5] * 12, pa.int64()),
+        }
+    )
+    capped = _gram_bucket_pairs(t, df_cap=5).to_pandas()
+    assert len(capped) == 1  # only gram 2's (0,1); gram 1's 45 pairs dropped
+    assert (capped.doc_a[0], capped.doc_b[0]) == (0, 1)
+    uncapped = _gram_bucket_pairs(t, df_cap=None).to_pandas()
+    assert len(uncapped) == 46
+
+
+def test_jaccard_capped_equals_exact_below_cap():
+    """At test scale no gram's df reaches JACCARD_DF_CAP, so the default
+    (capped) configuration is bit-equal to the exact one — the property
+    the oracle-gate row relies on."""
+    from engine.ops.dedup import dedup_jaccard
+
+    def norm(df):
+        return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    capped = norm(dedup_jaccard(SF).to_pandas())
+    exact = norm(dedup_jaccard(SF, df_cap=None).to_pandas())
+    pd.testing.assert_frame_equal(capped, exact)
+
+
 def test_dedup_embedding_lsh_recall_vs_exact():
     from engine.ops.dedup import dedup_embedding, dedup_embedding_lsh
 
