@@ -2501,7 +2501,11 @@ def oracle_sql() -> dict[str, str]:
              AND a.event_type < b.event_type
             GROUP BY type_a, type_b
         """,
-        "lm_score": """
+        "lm_score": f"""
+            -- same LM_TOP_K heavy-hitter cap as the engine (ties
+            -- (n DESC, w1, w2)); bigrams outside the top-k score 0 on
+            -- both sides, so n_bigrams counts ALL bigrams but sum(c)
+            -- only capped ones
             WITH words AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS w,
                      generate_subscripts(string_split(text, ' '), 1) AS pos
@@ -2512,10 +2516,11 @@ def oracle_sql() -> dict[str, str]:
               JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
             ), cnt AS (
               SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
+              ORDER BY c DESC, w1, w2 LIMIT {textstats_mod.LM_TOP_K}
             )
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                   CAST(sum(c) AS BIGINT) AS score
-            FROM bg JOIN cnt USING (w1, w2) GROUP BY doc_id
+                   CAST(coalesce(sum(c), 0) AS BIGINT) AS score
+            FROM bg LEFT JOIN cnt USING (w1, w2) GROUP BY doc_id
         """,
         "span_corruption": """
             -- deterministic-hash masking (engine: textstats.span_corruption);

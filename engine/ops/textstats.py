@@ -826,11 +826,10 @@ def oov_rate(sf_dir: str, vocab_size: int = OOV_VOCAB_SIZE) -> ray.data.Dataset:
 
 
 def _global_bigram_counts(sf_dir: str) -> "pa.Table":
-    """Full corpus bigram-frequency table (the ``bigram_counts`` partial
-    machinery without the top-k cut) — vocabulary²-bounded, materialized
-    driver-side for broadcast. At an open-vocabulary 100 TB corpus this
-    table gets a df-cap / top-M cut (Misra-Gries) before broadcast; the
-    fixture vocabulary is closed (~31 words) so the full table is tiny."""
+    """Distributed corpus bigram-frequency Dataset (the ``bigram_counts``
+    partial machinery without the top-k cut). Never materialized whole:
+    consumers cap it (``_top_bigrams``) before anything reaches the
+    driver — distinct bigrams are NOT vocabulary²-bounded on real text."""
     from ray.data.aggregate import Sum as _Sum
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -865,7 +864,45 @@ def _global_bigram_counts(sf_dir: str) -> "pa.Table":
     return partials.groupby(["w1", "w2"]).aggregate(_Sum("n", alias_name="n"))
 
 
-def lm_score(sf_dir: str) -> ray.data.Dataset:
+# Broadcast-table bound for lm_score: only the LM_TOP_K most frequent
+# bigrams (ties broken (n DESC, w1, w2) — deterministic) enter the
+# scoring dict. Distinct bigrams grow ~linearly with corpus size on
+# open-vocabulary text, so an uncapped table is an O(corpus) driver
+# materialization at 100 TB; rare bigrams contribute negligible score
+# mass, so the cap loses only tail transitions (they score 0). The
+# DuckDB oracle applies the SAME cap; the fixture's closed vocabulary
+# (~31 words -> <1k distinct bigrams) never reaches it, so capped ==
+# exact at test scale.
+LM_TOP_K = 65536
+
+
+def _top_bigrams(sf_dir: str, k: int = LM_TOP_K) -> dict:
+    """Global top-k bigram counts as a dict, with bounded driver
+    materialization: the post-aggregate table holds each bigram exactly
+    once, so a per-block local top-k (the heavy-hitter partial pattern)
+    is a superset of the global top-k — the driver sees at most
+    num_blocks x k rows, never the full distinct-bigram table."""
+    order = [("n", "descending"), ("w1", "ascending"), ("w2", "ascending")]
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows > k:
+            batch = batch.sort_by(order).slice(0, k)
+        return batch
+
+    pruned = _global_bigram_counts(sf_dir).map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    df = pruned.to_pandas()  # <= num_blocks * k rows by construction
+    df = df.sort_values(
+        ["n", "w1", "w2"], ascending=[False, True, True], kind="mergesort"
+    ).head(k)
+    return {
+        (a, b): int(n) for a, b, n in zip(df["w1"], df["w2"], df["n"])
+    }
+
+
+def lm_score(sf_dir: str, top_k: int = LM_TOP_K) -> ray.data.Dataset:
     """Count-based LM QUALITY PROXY (CCNet-style LM filtering, integer
     form): each document scores the sum of corpus-wide frequencies of
     its adjacent word bigrams — fluent in-distribution text rides the
@@ -873,16 +910,14 @@ def lm_score(sf_dir: str) -> ray.data.Dataset:
     score low per bigram. Integer sums keep the oracle compare exact
     (a log-prob variant is one vectorized transform away and float).
 
-    Scale shape: pass 1 is the distributed bigram roll-up
-    (vocabulary²-bounded), broadcast ONCE via ``ray.put``; pass 2
-    streams documents and scores each against the dict — no shuffle on
-    the big side."""
+    Scale shape: pass 1 is the distributed bigram roll-up capped to the
+    ``top_k`` heavy hitters (see LM_TOP_K — the broadcast is bounded,
+    never the O(corpus) distinct-bigram table), broadcast ONCE via
+    ``ray.put``; pass 2 streams documents and scores each against the
+    dict — no shuffle on the big side. Bigrams outside the top-k score
+    0 on both the engine and oracle side."""
     ensure_serializable()
-    grams = _global_bigram_counts(sf_dir).to_pandas()
-    table = {
-        (a, b): int(n)
-        for a, b, n in zip(grams["w1"], grams["w2"], grams["n"])
-    }
+    table = _top_bigrams(sf_dir, top_k)
     table_ref = ray.put(table)
 
     class Score:

@@ -278,6 +278,36 @@ def test_jaccard_capped_equals_exact_below_cap():
     pd.testing.assert_frame_equal(capped, exact)
 
 
+def test_lm_score_topk_cap_is_bounded_and_deterministic(duck):
+    """The broadcast table must be exactly the global top-k by
+    (n DESC, w1, w2) — never the full distinct-bigram table — and a
+    tiny k must only lower scores (dropped bigrams score 0)."""
+    from engine.ops.textstats import _top_bigrams, lm_score
+
+    top3 = _top_bigrams(SF, 3)
+    want = duck.sql(
+        """
+        WITH words AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        bg AS (
+          SELECT a.w AS w1, b.w AS w2 FROM words a
+          JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+        SELECT w1, w2, count(*) AS n FROM bg GROUP BY w1, w2
+        ORDER BY n DESC, w1, w2 LIMIT 3
+        """
+    ).df()
+    assert top3 == {
+        (a, b): int(n) for a, b, n in zip(want.w1, want.w2, want.n)
+    }
+
+    full = lm_score(SF).to_pandas().set_index("doc_id")["score"]
+    capped = lm_score(SF, top_k=3).to_pandas().set_index("doc_id")["score"]
+    assert (capped <= full.loc[capped.index]).all()
+    assert capped.sum() < full.sum()
+
+
 def test_dedup_embedding_lsh_recall_vs_exact():
     from engine.ops.dedup import dedup_embedding, dedup_embedding_lsh
 
