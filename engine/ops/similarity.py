@@ -787,36 +787,57 @@ def semdedup(
     )
 
     def dedup_cluster(group: pa.Table) -> pa.Table:
-        t = group.combine_chunks()
-        vec_id = t["vec_id"].to_numpy(zero_copy_only=False)
-        x = emb_matrix(t["embedding"]).astype(np.float64)
-        norms = np.linalg.norm(x, axis=1)
-        norms[norms == 0] = 1.0
-        xn = x / norms[:, None]
-        sim = np.round(xn @ xn.T, _SD_DECIMALS)
-        adj = sim >= threshold
-        np.fill_diagonal(adj, True)
-        # min-label propagation to the component minimum (few hops:
-        # duplicate components are tiny)
-        labels = vec_id.astype(np.int64).copy()
-        while True:
-            # component min over neighbors, fully vectorized
-            nxt = np.where(adj, labels[None, :], np.iinfo(np.int64).max).min(
-                axis=1
-            )
-            if np.array_equal(nxt, labels):
-                break
-            labels = nxt
-        keep = labels == vec_id
-        return pa.table(
-            {
-                "vec_id": pa.array(vec_id[keep]),
-                "cluster": t["cluster"].filter(pa.array(keep)),
-            }
-        )
+        return _semdedup_cluster(group, threshold)
 
     return assigned.groupby("cluster").map_groups(
         dedup_cluster, batch_format="pyarrow"
+    )
+
+
+# Row-chunk size for the in-cluster cosine pass: a degenerate cluster
+# (near-identical embeddings at scale) must not allocate an n x n
+# similarity/adjacency matrix in one reducer — the propagation below
+# computes the identical fixpoint block-wise in O(n * chunk) memory.
+SEMDEDUP_CHUNK = 2048
+
+
+def _semdedup_cluster(
+    group: pa.Table, threshold: float, chunk: int = SEMDEDUP_CHUNK
+) -> pa.Table:
+    """One k-means cluster -> surviving (vec_id, cluster) rows.
+
+    Min-label propagation to the duplicate-component minimum (few hops:
+    duplicate components are tiny), computed in row chunks: each step
+    materializes only a (chunk x n) cosine block, so peak memory is
+    bounded regardless of cluster size while the labels fixpoint — and
+    therefore the survivor set — is bit-identical to the dense version."""
+    t = group.combine_chunks()
+    vec_id = t["vec_id"].to_numpy(zero_copy_only=False)
+    x = emb_matrix(t["embedding"]).astype(np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    norms[norms == 0] = 1.0
+    xn = x / norms[:, None]
+    n = len(vec_id)
+    labels = vec_id.astype(np.int64).copy()
+    i64max = np.iinfo(np.int64).max
+    while True:
+        nxt = np.empty_like(labels)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            sim = np.round(xn[lo:hi] @ xn.T, _SD_DECIMALS)
+            adj = sim >= threshold
+            # self-adjacency: row i (global) always sees its own label
+            adj[np.arange(hi - lo), np.arange(lo, hi)] = True
+            nxt[lo:hi] = np.where(adj, labels[None, :], i64max).min(axis=1)
+        if np.array_equal(nxt, labels):
+            break
+        labels = nxt
+    keep = labels == vec_id
+    return pa.table(
+        {
+            "vec_id": pa.array(vec_id[keep]),
+            "cluster": t["cluster"].filter(pa.array(keep)),
+        }
     )
 
 

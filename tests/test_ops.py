@@ -1129,6 +1129,51 @@ def test_semdedup_matches_bruteforce_per_cluster():
     assert 0 < len(got) < len(assign)  # non-degenerate on the fixture
 
 
+def test_semdedup_chunked_equals_dense_and_handles_degenerate_cluster():
+    """The chunked propagation must (a) produce the identical survivor
+    set as a single-block run at any chunk size, and (b) collapse a
+    degenerate all-near-identical cluster to one survivor without ever
+    allocating an n x n matrix (chunk << n exercises the bounded path)."""
+    import pyarrow as pa
+
+    from engine.ops.similarity import _semdedup_cluster
+
+    rng = np.random.default_rng(7)
+    # mixed cluster: random near-orthogonal vectors + an identical block
+    base = rng.normal(size=(40, 8))
+    dup = np.tile(rng.normal(size=(1, 8)), (25, 1))
+    x = np.concatenate([base, dup])
+    ids = rng.permutation(len(x)).astype(np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "cluster": pa.array(np.zeros(len(x), dtype=np.int32)),
+            "embedding": pa.array(
+                [row.astype(np.float32).tolist() for row in x],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    dense = _semdedup_cluster(t, 0.9, chunk=10**9).to_pandas()
+    for chunk in (1, 3, 7):
+        chunked = _semdedup_cluster(t, 0.9, chunk=chunk).to_pandas()
+        assert set(chunked.vec_id) == set(dense.vec_id)
+
+    # degenerate cluster: everyone near-identical -> exactly one survivor
+    deg_ids = np.arange(100, 400, dtype=np.int64)
+    deg = pa.table(
+        {
+            "vec_id": pa.array(deg_ids),
+            "cluster": pa.array(np.zeros(300, dtype=np.int32)),
+            "embedding": pa.array(
+                [[1.0, 0.0, 0.0, 0.0]] * 300, pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = _semdedup_cluster(deg, 0.9, chunk=16).to_pandas()
+    assert list(out.vec_id) == [100]
+
+
 def test_gopher_rules_adversarial(tmp_path, duck):
     """Engine vs DuckDB oracle on crafted texts that flip every rule:
     short docs, long words, letter-free words, symbol floods, and
