@@ -1,20 +1,24 @@
-"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal-column operators: opaque binary payloads + typed metadata.
 
 Image/audio/video at 100 TB are opaque ``binary`` columns with typed
 metadata, decoded/feature-extracted in actor-pool ``map_batches`` stages
 with SMALL batch sizes (a batch of binary payloads x concurrency must
-fit a worker heap). The decode libraries (PIL/ffmpeg) are not in this
-container, so the decode itself is stubbed behind an import-try with a
-deterministic fake — but the Ray-side plumbing (schema, batch sizing,
-actor signature, output layout) is real and tested.
+fit a worker heap).
 
-Fake container format (deterministic, synthesized from documents):
-``b"IMG1" + width:u16 + height:u16 + payload bytes``.
+Image decode is REAL: the image queries run on genuine BMP / PNG rasters
+(deterministic pixels synthesized from the documents table) decoded by
+the dependency-free codecs in ``imagecodec.py`` — parse, DEFLATE
+inflate, scanline unfilter, pixel stats, resample. PIL (absent in this
+container) remains an automatic fallback for formats outside that
+scope, and the legacy ``IMG1`` fake container still parses, covering
+the exotic-format posture. Audio/video codecs (ffmpeg) stay stubbed
+with deterministic containers — plumbing real, codec faked, honestly.
 """
 
 from __future__ import annotations
 
 import os
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -23,9 +27,77 @@ import ray
 import ray.data
 
 from .._rayutil import ensure_serializable, pool_size
+from .imagecodec import (
+    decode_image,
+    encode_bmp,
+    encode_png,
+    resize_nearest,
+    sniff_format,
+    to_gray,
+)
 
 MAGIC = b"IMG1"
 BINARY_BATCH_SIZE = 256  # small: payloads are wide rows
+
+
+def _text_pixels(text: str):
+    """Deterministic (h, w, 3) uint8 raster from a document's text: the
+    geometry and pattern are functions of the text ALONE (stable crc32),
+    so byte-identical documents produce byte-identical images — the
+    invariant image_phash_dedup groups on."""
+    crc = zlib.crc32(text.encode())
+    w = 64 + crc % 193
+    h = 64 + (crc * 7) % 151
+    yy, xx = np.meshgrid(
+        np.arange(h, dtype=np.int64), np.arange(w, dtype=np.int64),
+        indexing="ij",
+    )
+    body = np.frombuffer(
+        (text.encode() or b"\0") * (w // max(1, len(text)) + 2), dtype=np.uint8
+    )[:w].astype(np.int64)
+    r = (xx * 3 + yy * 5 + crc) % 256
+    g = (xx + yy * 2 + (crc >> 8)) % 256
+    b = (r + body[None, :]) % 256
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
+def encode_real_images(sf_dir: str) -> ray.data.Dataset:
+    """documents -> (doc_id, image: binary, mime, width, height) with
+    REAL raster payloads: even text-crc docs encode as 24-bit BMP, odd
+    as 8-bit RGB PNG — both formats exercise a genuine decode
+    downstream."""
+    ensure_serializable()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def encode(batch: pa.Table) -> pa.Table:
+        payloads, mimes, widths, heights = [], [], [], []
+        for text in batch["text"].to_pylist():
+            rgb = _text_pixels(text or "")
+            h, w = rgb.shape[:2]
+            if zlib.crc32((text or "").encode()) % 2 == 0:
+                payloads.append(encode_bmp(rgb))
+                mimes.append("image/bmp")
+            else:
+                payloads.append(encode_png(rgb))
+                mimes.append("image/png")
+            widths.append(w)
+            heights.append(h)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "image": pa.array(payloads, pa.binary()),
+                "mime": pa.array(mimes),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+            }
+        )
+
+    return ds.map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=BINARY_BATCH_SIZE,
+    )
 
 
 def encode_fake_images(sf_dir: str) -> ray.data.Dataset:
@@ -98,27 +170,36 @@ def _decode_real(payload: bytes):
 
 
 class DecodeImageMeta:
-    """Actor-pool decode stage: parse the container header, emit metadata
-    + a tiny feature (byte-mean as a stand-in for pixel stats).
+    """Actor-pool decode stage: REAL raster decode (BMP/PNG via
+    imagecodec — header parse, inflate, unfilter) emitting dimensions
+    and the gray-pixel mean.
 
-    Decoder selection is AUTOMATIC per actor: when PIL is importable the
-    real path handles non-container payloads (fake-container payloads
-    still parse via the header reader); without PIL everything routes
-    through the deterministic fake decoder. The Ray-side signature and
-    output schema do not change either way — contract-tested in
+    Dispatch per payload: BMP/PNG -> own codec; legacy ``IMG1``
+    container -> header parse (byte mean); anything else -> PIL when
+    importable, else decode_ok=False. The Ray-side signature and output
+    schema do not change across paths — contract-tested in
     tests/test_ops.py."""
 
     def __init__(self) -> None:
         self._magic = MAGIC
-        self._decode = self._decode_pil if _pil_importable() else self._decode_fake
+        self._pil = _pil_importable()
 
-    def _decode_pil(self, payload: bytes):
-        if payload[:4] == self._magic:  # synthetic container: header parse
+    def _decode(self, payload: bytes):
+        if sniff_format(payload) is not None:
+            try:
+                rgb = decode_image(payload)
+            except ValueError:
+                return None
+            h, w = rgb.shape[:2]
+            return w, h, round(float(to_gray(rgb).mean()), 6)
+        if payload[:4] == self._magic:
             return self._decode_fake(payload)
-        try:
-            return _decode_real(payload)
-        except Exception:
-            return None
+        if self._pil:
+            try:
+                return _decode_real(payload)
+            except Exception:
+                return None
+        return None
 
     def _decode_fake(self, payload: bytes):
         if payload[:4] != self._magic:
@@ -149,6 +230,8 @@ class DecodeImageMeta:
                 "width": pa.array(widths, pa.int32()),
                 "height": pa.array(heights, pa.int32()),
                 "n_pixels": pa.array(pixels, pa.int64()),
+                # gray-pixel mean for real rasters; container byte mean
+                # on the legacy IMG1 path
                 "byte_mean": pa.array(means, pa.float64()),
                 "decode_ok": pa.array(ok, pa.bool_()),
             }
@@ -156,8 +239,9 @@ class DecodeImageMeta:
 
 
 def image_metadata(sf_dir: str) -> ray.data.Dataset:
-    """Full multimodal plumbing: encode -> actor-pool decode -> metadata."""
-    return encode_fake_images(sf_dir).map_batches(
+    """Real-decode pipeline: BMP/PNG encode -> actor-pool decode ->
+    per-image metadata + gray-pixel mean."""
+    return encode_real_images(sf_dir).map_batches(
         DecodeImageMeta,
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -175,37 +259,49 @@ class ResizeImage:
     """Actor-pool resize stage: cap the longest side at ``max_side``,
     preserving aspect ratio (the size-budget guard of the reference's
     smart_resize, /root/reference/crates/infer-paddleocr/src/vision/
-    preprocess.rs:261-300). The pixel resample itself would be PIL
-    (absent here) — the fake re-encodes the container header with the
-    new dims and truncates the payload proportionally; schema, batch
-    sizing and actor signature are the real thing."""
+    preprocess.rs:261-300). BMP/PNG payloads get a REAL pixel resample
+    (deterministic nearest-neighbor) and re-encode in their original
+    format; legacy IMG1 containers keep the header-rewrite fake."""
 
     def __init__(self, max_side: int = 128) -> None:
         self._max_side = max_side
         self._magic = MAGIC
 
+    def _resize_one(self, payload: bytes):
+        """-> (payload, w, h, scaled)."""
+        fmt = sniff_format(payload)
+        if fmt is not None:
+            rgb = decode_image(payload)
+            h, w = rgb.shape[:2]
+            s = max(w, h) / self._max_side
+            if s <= 1.0:
+                return payload, w, h, False
+            # round-half-to-even like the reference's geometry math
+            # (model/mod.rs:1921-1932)
+            nw, nh = max(1, round(w / s)), max(1, round(h / s))
+            out = resize_nearest(rgb, nw, nh)
+            enc = encode_bmp(out) if fmt == "bmp" else encode_png(out)
+            return enc, nw, nh, True
+        w = int.from_bytes(payload[4:6], "big")
+        h = int.from_bytes(payload[6:8], "big")
+        s = max(w, h) / self._max_side
+        if s <= 1.0:
+            return payload, w, h, False
+        nw, nh = max(1, round(w / s)), max(1, round(h / s))
+        body = payload[8:]
+        keep = max(1, int(len(body) * (nw * nh) / (w * h)))
+        return (
+            self._magic + nw.to_bytes(2, "big") + nh.to_bytes(2, "big")
+            + body[:keep],
+            nw, nh, True,
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_payloads, out_w, out_h, scaled = [], [], [], []
         for payload in batch["image"].to_pylist():
-            w = int.from_bytes(payload[4:6], "big")
-            h = int.from_bytes(payload[6:8], "big")
-            s = max(w, h) / self._max_side
-            if s > 1.0:
-                # round-half-to-even like the reference's geometry math
-                # (model/mod.rs:1921-1932)
-                nw, nh = max(1, round(w / s)), max(1, round(h / s))
-                body = payload[8:]
-                keep = max(1, int(len(body) * (nw * nh) / (w * h)))
-                out_payloads.append(
-                    self._magic
-                    + nw.to_bytes(2, "big")
-                    + nh.to_bytes(2, "big")
-                    + body[:keep]
-                )
-                out_w.append(nw); out_h.append(nh); scaled.append(True)
-            else:
-                out_payloads.append(payload)
-                out_w.append(w); out_h.append(h); scaled.append(False)
+            p, w, h, sc = self._resize_one(payload)
+            out_payloads.append(p)
+            out_w.append(w); out_h.append(h); scaled.append(sc)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -219,8 +315,8 @@ class ResizeImage:
 
 
 def image_resize(sf_dir: str, max_side: int = 128) -> ray.data.Dataset:
-    """encode -> actor-pool resize -> metadata of the resized table."""
-    resized = encode_fake_images(sf_dir).map_batches(
+    """real encode -> actor-pool pixel resample -> resized metadata."""
+    resized = encode_real_images(sf_dir).map_batches(
         ResizeImage,
         fn_constructor_kwargs={"max_side": max_side},
         batch_format="pyarrow",
@@ -444,16 +540,25 @@ PHASH_GRID = 8  # aHash grid: 8x8 -> 64-bit fingerprint
 
 
 class PerceptualHash:
-    """Actor-pool stage: decode (fake/PIL-auto, same policy as
-    ``DecodeImageMeta``) → resample the byte field to an 8×8 grid →
-    64-bit average-hash (bit = cell > mean). The image analog of
-    SimHash: visually identical payloads collide; the downstream
-    grouping is a plain hash-key aggregate."""
+    """Actor-pool stage: REAL decode (BMP/PNG) → grayscale → resample to
+    an 8×8 pixel grid → 64-bit average-hash (bit = cell > mean). The
+    image analog of SimHash: visually identical rasters collide; the
+    downstream grouping is a plain hash-key aggregate. Legacy IMG1
+    containers hash their byte field (old posture)."""
 
     def __init__(self) -> None:
         self._magic = MAGIC
 
     def _grid(self, payload: bytes):
+        if sniff_format(payload) is not None:
+            try:
+                gray = to_gray(decode_image(payload))
+            except ValueError:
+                return None
+            h, w = gray.shape
+            ys = (np.arange(PHASH_GRID) * h) // PHASH_GRID
+            xs = (np.arange(PHASH_GRID) * w) // PHASH_GRID
+            return gray[ys][:, xs].reshape(-1)
         if payload[:4] != self._magic:
             return None
         body = np.frombuffer(payload[8:], dtype=np.uint8)
@@ -500,7 +605,7 @@ def image_phash_dedup(sf_dir: str) -> ray.data.Dataset:
     banding machinery exists in ``dedup.dedup_simhash``."""
     from ray.data.aggregate import Count, Min
 
-    hashed = encode_fake_images(sf_dir).map_batches(
+    hashed = encode_real_images(sf_dir).map_batches(
         PerceptualHash,
         batch_format="pyarrow",
         zero_copy_batch=True,

@@ -1,0 +1,164 @@
+"""Dependency-free BMP/PNG codecs + real-decode multimodal operators.
+
+The decode scope mirrors the reference's raster responsibility
+(/root/reference/crates/server/src/generation.rs:276-305) without PIL:
+round-trips, every PNG scanline filter, and the operator-level contract
+that the pipeline's stats come from real pixels."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from engine.ops.imagecodec import (
+    PNG_MAGIC,
+    _chunk,
+    decode_bmp,
+    decode_image,
+    decode_png,
+    encode_bmp,
+    encode_png,
+    resize_nearest,
+    sniff_format,
+    to_gray,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rand(shape, seed=0):
+    return np.random.default_rng(seed).integers(0, 256, shape, dtype=np.uint8)
+
+
+def test_bmp_roundtrip_various_widths():
+    # widths 1..5 exercise every 4-byte row-padding case
+    for w in range(1, 6):
+        rgb = _rand((7, w, 3), seed=w)
+        assert np.array_equal(decode_bmp(encode_bmp(rgb)), rgb)
+
+
+def test_png_roundtrip_rgb_and_gray():
+    rgb = _rand((23, 31, 3))
+    assert np.array_equal(decode_png(encode_png(rgb)), rgb)
+    gray = _rand((9, 13))
+    out = decode_png(encode_png(gray))
+    assert out.shape == (9, 13, 3)
+    assert all(np.array_equal(out[:, :, c], gray) for c in range(3))
+
+
+def _forward_filter_png(img: np.ndarray, ftypes) -> bytes:
+    """Spec-direction PNG encoder applying the given filter types per
+    row — the decoder must reverse every one of them."""
+    h, w, ch = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int64)
+    out = np.zeros((h, 1 + stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa_ <= pb and pa_ <= pc else (b if pb <= pc else c)
+
+    for y in range(h):
+        ft = ftypes[y % len(ftypes)]
+        out[y, 0] = ft
+        row = flat[y]
+        f = np.zeros(stride, dtype=np.int64)
+        for x in range(stride):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2,
+                    4: paeth(int(a), int(b), int(c))}[ft]
+            f[x] = (row[x] - pred) % 256
+        out[y, 1:] = f
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_MAGIC + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(out.tobytes()))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ftypes", [[1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_unfilters_every_filter_type(ftypes):
+    img = _rand((10, 9, 3), seed=sum(ftypes) + 1)
+    assert np.array_equal(decode_png(_forward_filter_png(img, ftypes)), img)
+
+
+def test_decode_rejects_garbage_and_unsupported():
+    with pytest.raises(ValueError):
+        decode_image(b"not an image at all")
+    # 16-bit PNG must refuse, not mis-decode
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad = (PNG_MAGIC + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(b"\0" * 26)) + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png(bad)
+    assert sniff_format(b"junk") is None
+
+
+def test_image_metadata_decodes_real_pixels():
+    """The operator's byte_mean must equal the gray mean of the actual
+    decoded raster — recomputed here independently per payload."""
+    from engine.ops.multimodal import encode_real_images, image_metadata
+
+    meta = (
+        image_metadata(SF).to_pandas().set_index("doc_id").sort_index()
+    )
+    assert meta["decode_ok"].all()
+    imgs = encode_real_images(SF).to_pandas().set_index("doc_id")
+    for doc_id in list(meta.index[:25]):
+        rgb = decode_image(imgs.loc[doc_id, "image"])
+        h, w = rgb.shape[:2]
+        assert (meta.loc[doc_id, "width"], meta.loc[doc_id, "height"]) == (w, h)
+        assert meta.loc[doc_id, "byte_mean"] == round(
+            float(to_gray(rgb).mean()), 6
+        )
+    assert imgs["mime"].isin(["image/bmp", "image/png"]).all()
+    assert set(imgs["mime"]) == {"image/bmp", "image/png"}
+
+
+def test_image_resize_resamples_real_pixels():
+    from engine.ops.multimodal import encode_real_images
+    from engine.ops.multimodal import ResizeImage
+
+    imgs = encode_real_images(SF).to_pandas()
+    big = imgs[imgs[["width", "height"]].max(axis=1) > 64].head(5)
+    stage = ResizeImage(max_side=64)
+    for _, row in big.iterrows():
+        payload, nw, nh, scaled = stage._resize_one(row["image"])
+        assert scaled and max(nw, nh) <= 64
+        rgb = decode_image(payload)  # output re-encodes losslessly
+        assert rgb.shape[:2] == (nh, nw)
+        src = decode_image(row["image"])
+        assert np.array_equal(rgb, resize_nearest(src, nw, nh))
+
+
+def test_phash_identical_rasters_collide_distinct_differ():
+    from engine.ops.multimodal import PerceptualHash, encode_real_images
+
+    imgs = encode_real_images(SF).to_pandas()
+    stage = PerceptualHash()
+    out = stage(
+        __import__("pyarrow").table(
+            {
+                "doc_id": imgs["doc_id"].head(40),
+                "image": imgs["image"].head(40),
+            }
+        )
+    ).to_pandas()
+    assert out["decode_ok"].all()
+    # the raster is a pure function of text: same text <-> same phash
+    texts = (
+        __import__("pyarrow.parquet", fromlist=["pq"])
+        .read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+        .set_index("doc_id")["text"]
+    )
+    joined = out.set_index("doc_id").join(texts)
+    per_text = joined.groupby("text")["phash"].nunique()
+    assert (per_text == 1).all()
