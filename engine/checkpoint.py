@@ -38,6 +38,61 @@ from .pipeline import extraction_plan
 MANIFEST_NAME = "_manifest.jsonl"
 CONFIG_NAME = "_config.json"
 
+# ---------------------------------------------------------------------------
+# layered job configuration (defaults -> file -> CLI), the analog of the
+# reference's AppConfig stack (defaults -> TOML -> flags -> overrides,
+# /root/reference/crates/config/src/config.rs:17-173,213-232). The
+# resolved values feed run_partitioned, and the ``extractor`` section is
+# hashed into partition fingerprints via ``config_extra`` — templating
+# many similar jobs from one file can never silently mix outputs
+# produced under different extraction semantics.
+# ---------------------------------------------------------------------------
+
+JOB_DEFAULTS: Dict = {
+    "input": None,
+    "output": None,
+    "num_partitions": 64,
+    "salt_block": None,
+    "batch_size": 2048,
+    "concurrency": None,
+    "keep_going": False,
+    "extractor": {},
+}
+
+
+def load_job_config(path: str) -> Dict:
+    """Parse a JSON (.json) or TOML job-config file; unknown keys are an
+    error (a typo'd knob must not silently fall back to a default)."""
+    with open(path, "rb") as f:
+        if path.endswith(".json"):
+            cfg = json.load(f)
+        else:
+            import tomllib
+
+            cfg = tomllib.load(f)
+    unknown = sorted(set(cfg) - set(JOB_DEFAULTS))
+    if unknown:
+        raise ValueError(
+            f"unknown job-config keys {unknown} in {path!r} "
+            f"(known: {sorted(JOB_DEFAULTS)})"
+        )
+    return cfg
+
+
+def resolve_job_config(
+    file_cfg: Optional[Dict] = None, cli: Optional[Dict] = None
+) -> Dict:
+    """defaults <- file <- CLI. Only CLI entries that were explicitly
+    set (value is not None) override; ``file_cfg`` keys must be known."""
+    resolved = dict(JOB_DEFAULTS)
+    for layer in (file_cfg or {}), (cli or {}):
+        for k, v in layer.items():
+            if k not in JOB_DEFAULTS:
+                raise ValueError(f"unknown job-config key {k!r}")
+            if v is not None:
+                resolved[k] = v
+    return resolved
+
 
 def write_resolved_config(out_dir: str, resolved: Dict) -> None:
     """Write the resolved run configuration next to the outputs (K6

@@ -11,9 +11,24 @@ and locally the same command runs against a local Ray (`RAY_ADDRESS=local`).
 This script OWNS its Ray session (init if absent, shutdown at exit) —
 library code in `engine/` never does (driver contract).
 
-Resume: rerunning with the same input + output skips partitions whose
-lineage manifest entry is complete with a matching fingerprint; a changed
-input file or extractor config reprocesses only the affected partitions.
+Configuration layers like the reference's AppConfig (defaults -> TOML
+file -> CLI flags, /root/reference/crates/config/src/config.rs:17-173):
+``--config job.toml`` (or .json) supplies any of the knobs below plus an
+``[extractor]`` table hashed into partition fingerprints; explicit CLI
+flags override the file. Example TOML:
+
+    input = "/data/transcripts"
+    output = "/data/extracted"
+    num_partitions = 64
+    salt_block = 512
+    [extractor]
+    ruleset = "v2"
+
+Resume: rerunning with the same input + output + config skips partitions
+whose lineage manifest entry is complete with a matching fingerprint; a
+changed input file reprocesses its partition only, and a changed
+``extractor`` section reprocesses everything it governs — never a silent
+mix of old and new semantics.
 """
 
 from __future__ import annotations
@@ -29,27 +44,55 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", required=True,
+    ap.add_argument("--config", default=None,
+                    help="JSON/TOML job config; CLI flags override it")
+    ap.add_argument("--input", default=None,
                     help="parquet file, glob, or directory of transcript shards")
-    ap.add_argument("--output", required=True, help="output directory")
-    ap.add_argument("--num-partitions", type=int, default=64,
-                    help="checkpoint partitions (resume granularity)")
+    ap.add_argument("--output", default=None, help="output directory")
+    ap.add_argument("--num-partitions", type=int, default=None,
+                    help="checkpoint partitions (resume granularity; default 64)")
     ap.add_argument("--salt-block", type=int, default=None,
                     help="salt skewed conversations every N turns")
-    ap.add_argument("--batch-size", type=int, default=2048)
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="extraction batch size (default 2048)")
     ap.add_argument("--concurrency", type=int, default=None,
                     help="extraction actor-pool size (default: cluster CPUs - 1)")
-    ap.add_argument("--keep-going", action="store_true",
+    ap.add_argument("--keep-going", action="store_const", const=True,
+                    default=None,
                     help="record failed partitions in the manifest and "
                          "continue (rerun retries only the failed set)")
     args = ap.parse_args()
 
-    if os.path.isdir(args.input):
-        files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    from engine.checkpoint import (
+        load_job_config,
+        resolve_job_config,
+        run_partitioned,
+    )
+
+    file_cfg = load_job_config(args.config) if args.config else None
+    cfg = resolve_job_config(
+        file_cfg,
+        {
+            "input": args.input,
+            "output": args.output,
+            "num_partitions": args.num_partitions,
+            "salt_block": args.salt_block,
+            "batch_size": args.batch_size,
+            "concurrency": args.concurrency,
+            "keep_going": args.keep_going,
+        },
+    )
+    if not cfg["input"] or not cfg["output"]:
+        print("input and output are required (flag or config file)",
+              file=sys.stderr)
+        return 2
+
+    if os.path.isdir(cfg["input"]):
+        files = sorted(glob.glob(os.path.join(cfg["input"], "*.parquet")))
     else:
-        files = sorted(glob.glob(args.input))
+        files = sorted(glob.glob(cfg["input"]))
     if not files:
-        print(f"no parquet inputs match {args.input!r}", file=sys.stderr)
+        print(f"no parquet inputs match {cfg['input']!r}", file=sys.stderr)
         return 2
 
     import ray
@@ -63,27 +106,30 @@ def main() -> int:
 
     ray.data.DataContext.get_current().enable_progress_bars = False
 
-    concurrency = args.concurrency
+    concurrency = cfg["concurrency"]
     if concurrency is None:
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
 
-    from engine.checkpoint import run_partitioned
-
     records = run_partitioned(
         files,
-        args.output,
-        num_partitions=args.num_partitions,
-        salt_block=args.salt_block,
-        batch_size=args.batch_size,
+        cfg["output"],
+        num_partitions=cfg["num_partitions"],
+        # the extractor section participates in partition fingerprints;
+        # None when absent preserves fingerprints of pre-config runs
+        config_extra=(
+            {"extractor": cfg["extractor"]} if cfg["extractor"] else None
+        ),
+        salt_block=cfg["salt_block"],
+        batch_size=cfg["batch_size"],
         concurrency=concurrency,
-        keep_going=args.keep_going,
+        keep_going=cfg["keep_going"],
     )
     done = sum(1 for r in records if r["status"] == "complete")
     failed = sum(1 for r in records if r["status"] == "failed")
     rows = sum(r["rows_out"] for r in records)
     print(json.dumps({"partitions": len(records), "complete": done,
                       "failed": failed, "rows_out": rows,
-                      "output": args.output}))
+                      "output": cfg["output"]}))
     ray.shutdown()
     return 1 if failed else 0
 

@@ -307,6 +307,59 @@ def test_finalize_partitioned_equals_flagship(tmp_path):
     ).all()
 
 
+def test_job_config_layering(tmp_path):
+    """defaults <- file <- CLI, with unknown keys refused loudly (the
+    reference's AppConfig stack, config.rs:17-173)."""
+    from engine.checkpoint import (
+        JOB_DEFAULTS, load_job_config, resolve_job_config,
+    )
+
+    toml = tmp_path / "job.toml"
+    toml.write_text(
+        'input = "/data/in"\noutput = "/data/out"\nnum_partitions = 8\n'
+        '[extractor]\nruleset = "v2"\n'
+    )
+    file_cfg = load_job_config(str(toml))
+    r = resolve_job_config(file_cfg, {"num_partitions": 16, "input": None})
+    assert r["num_partitions"] == 16          # CLI wins over file
+    assert r["input"] == "/data/in"           # None CLI does not override
+    assert r["output"] == "/data/out"
+    assert r["batch_size"] == JOB_DEFAULTS["batch_size"]  # default survives
+    assert r["extractor"] == {"ruleset": "v2"}
+
+    js = tmp_path / "job.json"
+    js.write_text(json.dumps({"salt_block": 512}))
+    assert resolve_job_config(load_job_config(str(js)))["salt_block"] == 512
+
+    bad = tmp_path / "bad.toml"
+    bad.write_text('nmu_partitions = 8\n')
+    with pytest.raises(ValueError, match="unknown job-config keys"):
+        load_job_config(str(bad))
+    with pytest.raises(ValueError, match="unknown job-config key"):
+        resolve_job_config(None, {"typo": 1})
+
+
+def test_extractor_config_change_reprocesses(t1_files, out_dir):
+    """The extractor section participates in partition fingerprints: an
+    unchanged config resumes as a no-op; a changed one reprocesses —
+    outputs produced under different extraction semantics never mix."""
+    extra = {"extractor": {"ruleset": "v1"}}
+    run_partitioned(t1_files, out_dir, num_partitions=2, batch_size=256,
+                    config_extra=extra)
+    mtimes = {
+        n: os.path.getmtime(os.path.join(out_dir, n))
+        for n in os.listdir(out_dir) if n.startswith("part=")
+    }
+    run_partitioned(t1_files, out_dir, num_partitions=2, batch_size=256,
+                    config_extra=extra)
+    for n, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(out_dir, n)) == m  # no-op
+    run_partitioned(t1_files, out_dir, num_partitions=2, batch_size=256,
+                    config_extra={"extractor": {"ruleset": "v2"}})
+    for n, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(out_dir, n)) > m  # reprocessed
+
+
 def test_finalize_refuses_without_config(t1_files, out_dir, tmp_path):
     """finalize must fail loudly when _config.json is absent (foreign or
     legacy out_dir): completeness cannot be verified, so an incomplete
