@@ -368,7 +368,14 @@ def windowed_events(sf_dir: str) -> ray.data.Dataset:
             [("v_micro", "count"), ("v_micro", "sum")]
         )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    # batch_size=None: partial-aggregate whole blocks — 1024-row slices
+    # re-emit the same (user, window) keys once per slice, inflating the
+    # exchange when keys repeat within a block (and costing extra
+    # group_by calls when they don't)
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
     return partials.groupby(["user_id", "window_start"]).aggregate(
         Sum("v_micro_count", alias_name="n_events"),
         Sum("v_micro_sum", alias_name="sum_value_micro"),
