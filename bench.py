@@ -18,6 +18,7 @@ BENCH/BASELINE.md.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import shutil
@@ -142,6 +143,13 @@ def run_bench() -> dict:
         if hasattr(r, "to_pandas"):
             r.to_pandas()
         per_query[name] = round(time.perf_counter() - t0, 3)
+        # Drop the Dataset (and with it the object-store blocks it pins)
+        # before the next timing starts: earlier rounds showed a query's
+        # in-sweep wall inflating 2x over its standalone wall purely from
+        # store pressure inherited from the queries before it
+        # (render_conversations 26s in-sweep vs 13s standalone in r2).
+        del r
+        gc.collect()
 
     ray.shutdown()
     return {

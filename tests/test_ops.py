@@ -98,9 +98,9 @@ def test_all_queries_have_oracle_or_are_documented():
     assert set(oracles) <= set(qs)
     rows_only = set(qs) - set(oracles)
     # every rows-only query is one of the documented non-SQL-expressible ops
+    # (the flagship extraction family left this set when it gained
+    # golden-parquet replay oracles — bac7e6e)
     assert rows_only == {
-        "extract_transcripts", "extract_transcripts_salted", "extract_turn_stats",
-        "checkpointed_lineage", "turn_global_views",
         "dedup_minhash", "dedup_simhash", "dedup_embedding_lsh",
         "knn_ivf",
         "image_metadata", "image_resize", "video_frame_sample",
@@ -455,17 +455,28 @@ def test_knn_ivf_neighbors_come_from_each_querys_own_probe_set():
         assert bucket[n] in probe[q], (q, n, bucket[n], probe[q])
 
 
-def test_decode_real_selected_when_pil_importable(monkeypatch):
-    """Contract: DecodeImageMeta auto-binds the PIL path when PIL imports,
-    and the fake-container path otherwise — so dropping PIL into the
-    environment upgrades decode with zero code changes."""
+def test_decode_dispatch_sniff_first_then_container_then_pil(monkeypatch):
+    """Contract: DecodeImageMeta dispatches per payload — real BMP/PNG
+    decode via the own codec first, legacy IMG1 container second, PIL
+    third when importable, decode_ok=False otherwise — so dropping PIL
+    into the environment upgrades exotic-format decode with zero code
+    changes."""
     import sys
     import types
 
+    from engine.ops.imagecodec import encode_bmp
     from engine.ops.multimodal import MAGIC, DecodeImageMeta
 
     without = DecodeImageMeta()
-    assert without._decode.__func__ is DecodeImageMeta._decode_fake
+    # real raster -> own codec (no PIL anywhere in this container)
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    w, h, mean = without._decode(encode_bmp(rgb))
+    assert (w, h) == (3, 2) and mean > 0.0
+    # legacy container -> header parse
+    payload = MAGIC + (5).to_bytes(2, "big") + (4).to_bytes(2, "big") + b"\x10" * 8
+    assert without._decode(payload)[:2] == (5, 4)
+    # unknown format without PIL -> decode_ok=False (None)
+    assert without._decode(b"JUNKDATA unknown format") is None
 
     class _FakeImg:
         size = (3, 2)
@@ -481,13 +492,10 @@ def test_decode_real_selected_when_pil_importable(monkeypatch):
     monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
 
     with_pil = DecodeImageMeta()
-    assert with_pil._decode.__func__ is DecodeImageMeta._decode_pil
-    # non-container payload routes through the (fake) PIL decoder ...
-    assert with_pil._decode(b"\x89PNG fake bytes") == (3, 2, 0.0)
-    # ... while synthetic-container payloads still parse via the header
-    payload = MAGIC + (5).to_bytes(2, "big") + (4).to_bytes(2, "big") + b"\x10" * 8
-    w, h, _m = with_pil._decode(payload)
-    assert (w, h) == (5, 4)
+    # unknown format WITH PIL importable routes through the (fake) PIL decoder
+    assert with_pil._decode(b"JUNKDATA unknown format") == (3, 2, 0.0)
+    # ... while container payloads still parse via the header, not PIL
+    assert with_pil._decode(payload)[:2] == (5, 4)
 
 
 def test_extract_rule_slice_env_toggle(monkeypatch):
