@@ -47,6 +47,31 @@ def _warm_page_cache(paths) -> None:
                 pass
 
 
+def _cpu_stat() -> dict:
+    """Host CPU tick counters from /proc/stat (VM-wide, all cores)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    names = ("user", "nice", "system", "idle", "iowait",
+             "irq", "softirq", "steal")
+    return dict(zip(names, (int(x) for x in parts)))
+
+
+def _steal_pct(before: dict, after: dict) -> float:
+    """% of CPU ticks STOLEN by the hypervisor over a window.
+
+    This sandbox VM shows 0% steal at idle but 27-40% steal exactly
+    while a Ray job saturates it (measured 2026-08-19: /proc/stat
+    sampled at 5s during render_conversations), making identical worker
+    kernels run up to ~20x slower in bad windows and absolute walls
+    swing several-x between runs. Recording the per-window steal makes
+    cross-round comparisons interpretable: a wall measured at 35% steal
+    is not comparable to one measured at 4%."""
+    tot = sum(after[k] - before[k] for k in before)
+    if tot <= 0:
+        return 0.0
+    return round(100.0 * (after["steal"] - before["steal"]) / tot, 1)
+
+
 def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", SF_DIR_DEFAULT)
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -96,9 +121,10 @@ def run_bench() -> dict:
     # per-job fixed costs amortize to ~0, and this box's consecutive-run
     # wall spread is ±20-30% (thermal) — min is the least-noise
     # estimator of achievable steady-state time. Cold recorded alongside.
-    walls = []
+    walls, steals = [], []
     for _pass in range(3):
         shutil.rmtree(BENCH_OUT, ignore_errors=True)
+        stat0 = _cpu_stat()
         t0 = time.perf_counter()
         ds = extraction_plan(
             files,
@@ -111,7 +137,9 @@ def run_bench() -> dict:
         )
         ds.write_parquet(BENCH_OUT)
         walls.append(time.perf_counter() - t0)
+        steals.append(_steal_pct(stat0, _cpu_stat()))
     cold, headline = walls[0], min(walls[1:])
+    headline_steal = steals[1 + walls[1:].index(headline)]
 
     # Representative operator timings at the real sf tables (skipped when
     # invoked as a scaling-rep subprocess — only the headline wall feeds
@@ -119,7 +147,7 @@ def run_bench() -> dict:
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
-    per_query = {}
+    per_query, per_query_steal = {}, {}
     for name in () if os.environ.get("GRAFT_SCALING_REP") else (
         "pricing_summary",
         "windowed_events",
@@ -138,11 +166,13 @@ def run_bench() -> dict:
         "curate_documents",
         "semdedup",
     ):
+        stat0 = _cpu_stat()
         t0 = time.perf_counter()
         r = qs[name](sf_dir)
         if hasattr(r, "to_pandas"):
             r.to_pandas()
         per_query[name] = round(time.perf_counter() - t0, 3)
+        per_query_steal[name] = _steal_pct(stat0, _cpu_stat())
         # Drop the Dataset (and with it the object-store blocks it pins)
         # before the next timing starts: earlier rounds showed a query's
         # in-sweep wall inflating 2x over its standalone wall purely from
@@ -162,13 +192,24 @@ def run_bench() -> dict:
         "turns": turns,
         "turns_per_sec": round(turns / headline, 1),
         "cold_sec": round(cold, 3),
+        # Hypervisor steal during each flagship pass and each query
+        # (see _steal_pct): any wall with double-digit steal is
+        # hostage to the neighbor VMs, not a statement about the plan.
+        "steal_pct_passes": steals,
+        "steal_pct_headline": headline_steal,
+        "steal_pct_queries": per_query_steal,
         # single-process busy-loop iters/sec measured in THIS run: this
         # sandbox host's per-core throughput swings up to ~6-7x between
         # sessions (frequency caps / noisy neighbors), so absolute walls
         # are only comparable across rounds after dividing by this
         # calibration (healthy sessions measure ~25-35M; see BASELINE.md
-        # "Host-state calibration").
+        # "Host-state calibration"). NOTE measured at idle — it cannot
+        # see load-triggered steal; steal_pct_* fields cover that.
         "calib_iters_per_sec": _calib_single(),
+        # aggregate busy-loop M iters/s of num_cpus concurrent processes
+        # — the under-load yardstick (captures steal + frequency drop
+        # the idle calibration misses).
+        "calib_mproc_m_iters_per_sec": _cpu_calibration(num_cpus),
     }
 
 
@@ -299,6 +340,14 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_cold": round((cold_lo / cold_hi) / (hi / lo), 3),
         "turns": results[hi]["turns"],
+        # hypervisor steal during each level's headline pass (median of
+        # reps): a level measured under heavy steal is not comparable
+        f"steal_pct_{lo}": _median(
+            [r.get("steal_pct_headline", 0.0) for r in runs[lo]]
+        ),
+        f"steal_pct_{hi}": _median(
+            [r.get("steal_pct_headline", 0.0) for r in runs[hi]]
+        ),
         "cpu_calibration_miters_lo": calib_lo,
         "cpu_calibration_miters_hi": calib_hi,
         "hw_ceiling": round((calib_hi / calib_lo) / (hi / lo), 3),
@@ -352,6 +401,12 @@ def _write_baseline_md(r: dict) -> None:
             f"{r[f'cold_sec_{hi}']} | "
             f"(T{hi}/T{lo})/4 = {r['scaling_efficiency']} "
             f"(cold {r['scaling_efficiency_cold']}) |\n\n"
+            "Hypervisor steal during the median headline pass: "
+            f"{r[f'steal_pct_{lo}']}% at {lo} CPUs, {r[f'steal_pct_{hi}']}% "
+            f"at {hi} CPUs (/proc/stat steal ticks / total ticks over the "
+            "pass; this VM shows 0% at idle but up to ~40% under load, so "
+            "walls measured in a high-steal window understate the engine — "
+            "see BASELINE.md 'Hypervisor steal').\n\n"
             "Raw-CPU calibration (independent busy-loop processes, no Ray): "
             f"{r['cpu_calibration_miters_lo']} M iters/s aggregate at {lo} "
             f"procs vs {r['cpu_calibration_miters_hi']} at {hi} procs -> "
