@@ -210,7 +210,27 @@ def run_bench() -> dict:
         # — the under-load yardstick (captures steal + frequency drop
         # the idle calibration misses).
         "calib_mproc_m_iters_per_sec": _cpu_calibration(num_cpus),
+        # single-process memcpy GB/s: THE binding resource for the
+        # string-heavy operators. This VM's memory bandwidth is
+        # host-throttled to ~0.3-0.4 GB/s total in bad windows (measured
+        # 2026-08-19: driver memcpy 0.36 GB/s; 24 concurrent workers
+        # 0.01-0.02 GB/s EACH, 256MB of page faults taking 45-54s) —
+        # register-only busy loops scale fine while Arrow string kernels
+        # crawl, so walls for text-heavy queries follow THIS number, not
+        # the CPU calibrations.
+        "calib_memcpy_gb_per_sec": _calib_memcpy(),
     }
+
+
+def _calib_memcpy(mb: int = 256, reps: int = 4) -> float:
+    import numpy as np
+
+    src = np.empty(mb << 20, dtype=np.uint8)
+    src[:: 4096] = 1
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        src.copy()
+    return round(mb * reps / 1024 / (time.perf_counter() - t0), 3)
 
 
 def _calib_single(seconds: float = 1.0) -> float:
