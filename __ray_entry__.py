@@ -404,6 +404,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_supplier_counts": tpch.q16_supplier_counts,
         "q17_small_qty_revenue": tpch.q17_small_qty_revenue,
         "q22_idle_customers": tpch.q22_idle_customers,
+        "q2_min_cost_supplier": tpch.q2_min_cost_supplier,
+        "q11_important_parts": tpch.q11_important_parts,
+        "q19_discounted_revenue": tpch.q19_discounted_revenue,
+        "q20_promotion_suppliers": tpch.q20_promotion_suppliers,
+        "q21_waiting_suppliers": tpch.q21_waiting_suppliers,
         # sampling / sketches / order statistics
         "sample_events": sketches.sample_events,
         "stratified_sample_events": sketches.stratified_sample_events,
@@ -2449,6 +2454,118 @@ def oracle_sql() -> dict[str, str]:
               AND c_custkey NOT IN (SELECT o_custkey FROM orders
                                     WHERE o_orderpriority = '1-URGENT')
             GROUP BY c_nationkey
+        """,
+        "q2_min_cost_supplier": """
+            -- Q2 shape adapted: cost(part, supplier) = min lineitem
+            -- extended price (fixture has no partsupp); same correlated
+            -- min + region-dimension topology
+            WITH pair AS (
+              SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+                     min(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS cost_cents
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+                AND p_type = 'STANDARD' AND p_size <= 25
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation ON n_nationkey = s_nationkey
+              JOIN region ON r_regionkey = n_regionkey AND r_name = 'ASIA'
+              GROUP BY 1, 2),
+            best AS (SELECT p_partkey, min(cost_cents) AS mc
+                     FROM pair GROUP BY 1)
+            SELECT CAST(round(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+                   s.s_name, n.n_name, p.p_partkey, p.p_name,
+                   pair.cost_cents
+            FROM pair
+            JOIN best ON pair.p_partkey = best.p_partkey
+                     AND pair.cost_cents = best.mc
+            JOIN part p ON p.p_partkey = pair.p_partkey
+            JOIN supplier s ON s.s_suppkey = pair.s_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            ORDER BY acctbal_cents DESC, n.n_name, s.s_name, p.p_partkey
+            LIMIT 100
+        """,
+        "q11_important_parts": """
+            -- Q11 shape adapted: value(part) = regional lineitem
+            -- cents x qty (no partsupp); scale-free threshold 2x mean
+            -- part value, compared by exact integer cross-multiply
+            WITH v AS (
+              SELECT l_partkey AS p_partkey,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS value_e2
+              FROM lineitem
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation ON n_nationkey = s_nationkey
+              JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+              GROUP BY 1),
+            st AS (SELECT sum(value_e2) AS s, count(*) AS n FROM v)
+            SELECT p_partkey, value_e2 FROM v, st
+            WHERE value_e2 * n > 2 * s
+            ORDER BY value_e2 DESC, p_partkey
+        """,
+        "q19_discounted_revenue": """
+            -- Q19 shape adapted: three OR'd (brand, size, quantity)
+            -- branches (fixture has no container/shipmode)
+            SELECT CAST(COALESCE(sum(
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   ), 0) AS BIGINT) AS revenue_e4,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 40)
+        """,
+        "q20_promotion_suppliers": """
+            -- Q20 shape adapted: dominant-share suppliers (shipped more
+            -- than half a part's 1996 volume) of the 'large *' part
+            -- family; availqty threshold re-anchored to lineitem
+            WITH pq AS (
+              SELECT l_suppkey AS s_suppkey, l_partkey AS p_partkey,
+                     CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS qty
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+                AND p_name LIKE 'large %'
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1997-01-01'
+              GROUP BY 1, 2),
+            tot AS (SELECT p_partkey, sum(qty) AS t FROM pq GROUP BY 1)
+            SELECT DISTINCT s.s_suppkey, s.s_name
+            FROM pq JOIN tot USING (p_partkey)
+            JOIN supplier s ON s.s_suppkey = pq.s_suppkey
+            WHERE 2 * qty > t
+            ORDER BY s.s_name
+        """,
+        "q21_waiting_suppliers": """
+            -- Q21 shape adapted: late = last shipment > order date + 60d
+            -- (fixture has no commit/receipt dates); exists/not-exists
+            -- counted per order via n_supp >= 2 AND n_late = 1
+            WITH ls AS (
+              SELECT l_orderkey, l_suppkey, max(l_shipdate) AS ms
+              FROM lineitem GROUP BY 1, 2),
+            j AS (
+              SELECT l_orderkey, l_suppkey,
+                     (ms > o_orderdate + INTERVAL 60 DAY) AS late
+              FROM ls JOIN orders ON o_orderkey = l_orderkey
+                                 AND o_orderstatus = 'F'),
+            per_order AS (
+              SELECT l_orderkey, count(*) AS n_supp,
+                     sum(CASE WHEN late THEN 1 ELSE 0 END) AS n_late,
+                     max(CASE WHEN late THEN l_suppkey END) AS late_supp
+              FROM j GROUP BY 1)
+            SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM per_order
+            JOIN supplier ON s_suppkey = late_supp
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN region ON r_regionkey = n_regionkey AND r_name = 'ASIA'
+            WHERE n_supp >= 2 AND n_late = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 100
         """,
         "q9_nation_profit": """
             SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS l_year,

@@ -807,3 +807,649 @@ def q16_supplier_counts(sf_dir: str, num_buckets: int | None = None):
     return quads.groupby(["p_brand", "p_type", "p_size"]).map_groups(
         count_distinct, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2: minimum-cost supplier per part (correlated min + multi-dimension join)
+# ---------------------------------------------------------------------------
+
+Q2_TYPE = "STANDARD"
+Q2_MAX_SIZE = 25
+Q2_REGION = "ASIA"
+
+
+def _region_suppliers(sf_dir: str, region_name: str):
+    """Broadcast-side prep shared by the Q2/Q21 shapes: suppliers whose
+    nation sits in ``region_name``, as sorted-key lookup arrays
+    (suppkey -> name / acctbal cents / nation name). Three dimension
+    tables read once on the driver — |supplier|+|nation|+|region| rows,
+    never a shuffle (SURVEY J1/J2 broadcast discipline)."""
+    import pyarrow.parquet as pq
+
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    rkeys = region.filter(pc.equal(region["r_name"], region_name))[
+        "r_regionkey"
+    ].to_numpy(zero_copy_only=False)
+    nat = nation.filter(
+        pc.is_in(nation["n_regionkey"], value_set=pa.array(rkeys))
+    )
+    nat_keys = nat["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nat_names = np.asarray(nat["n_name"].to_numpy(zero_copy_only=False))
+    nk_sorted, nn_sorted = _sorted_lookup(nat_keys, nat_names)
+
+    supplier = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+    snat = supplier["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    supp = supplier.filter(pa.array(np.isin(snat, nk_sorted)))
+    skeys = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(skeys)
+    skeys = skeys[order]
+    snames = np.asarray(supp["s_name"].to_numpy(zero_copy_only=False))[order]
+    scents = (
+        pc.cast(
+            pc.round(pc.multiply(supp["s_acctbal"], 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)[order]
+    )
+    snat_f = supp["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    pos = np.searchsorted(nk_sorted, snat_f)
+    s_nnames = nn_sorted[pos]
+    return skeys, snames, scents, s_nnames
+
+
+def q2_min_cost_supplier(sf_dir: str, num_buckets: int | None = None):
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) in one
+    region achieving the minimum cost, ordered by account balance.
+
+    The fixture has no partsupp, so "cost" of (part, supplier) is the
+    minimum extended price that supplier ever charged for that part in
+    lineitem — the correlated ``min`` subquery topology (the hard part
+    of Q2) is intact; only the cost column's provenance changes.
+
+    Physical plan: part/supplier/nation/region are dimensions, broadcast
+    ONCE via ray.put as sorted-key numpy arrays; lineitem is pruned to 3
+    columns, semi-filtered per batch against both broadcast key sets,
+    and pre-aggregated to per-batch (partkey, suppkey) -> min(cents)
+    partials — so the ONE hash(partkey) bucket shuffle moves pair-level
+    partials, never raw rows. Each bucket resolves its parts' minima
+    locally (a partkey never spans buckets); the achiever set is
+    dimension-bounded, so the final sort+limit is tiny.
+
+    Reference parity: extends the registry-lookup surface (SURVEY
+    J1-J4, /root/reference/crates/config/src/config.rs:253-264) to the
+    classic min-cost-supplier topology."""
+    from ..pipeline import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ensure_serializable()
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name", "p_type", "p_size"],
+    )
+    part = part.filter(
+        pc.and_(
+            pc.equal(part["p_type"], Q2_TYPE),
+            pc.less_equal(part["p_size"], Q2_MAX_SIZE),
+        )
+    )
+    pkeys = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(pkeys)
+    pkeys = pkeys[order]
+    pnames = np.asarray(part["p_name"].to_numpy(zero_copy_only=False))[order]
+
+    skeys, snames, scents, s_nnames = _region_suppliers(sf_dir, Q2_REGION)
+    side = ray.put((pkeys, pnames, skeys, snames, scents, s_nnames))
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk_s, _, sk_s, _, _, _ = ray.get(side)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(pk, pk_s) & np.isin(sk, sk_s)
+        cents = _fixed_point(batch["l_extendedprice"], 100)
+        agg = (
+            pa.table(
+                {"pk": pa.array(pk[keep]), "sk": pa.array(sk[keep]),
+                 "cents": cents.filter(pa.array(keep))}
+            )
+            .group_by(["pk", "sk"])
+            .aggregate([("cents", "min")])
+        )
+        pkk = agg["pk"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array((pkk % num_buckets).astype(np.int32)),
+                "pk": agg["pk"],
+                "sk": agg["sk"],
+                "cost_cents": agg["cents_min"],
+            }
+        )
+
+    tagged = line.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_min(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        # re-aggregate the per-batch partials (a pair may span batches),
+        # then keep the pairs achieving their part's minimum
+        pair = (
+            pa.table({"pk": t["pk"], "sk": t["sk"], "c": t["cost_cents"]})
+            .group_by(["pk", "sk"])
+            .aggregate([("c", "min")])
+        )
+        best = pair.group_by(["pk"]).aggregate([("c_min", "min")])
+        bk = best["pk"].to_numpy(zero_copy_only=False)
+        bv = best["c_min_min"].to_numpy(zero_copy_only=False)
+        bk_s, bv_s = _sorted_lookup(bk, bv)
+        pk = pair["pk"].to_numpy(zero_copy_only=False)
+        c = pair["c_min"].to_numpy(zero_copy_only=False)
+        keep = c == bv_s[np.searchsorted(bk_s, pk)]
+        out = pair.filter(pa.array(keep))
+        return pa.table(
+            {"pk": out["pk"], "sk": out["sk"], "cost_cents": out["c_min"]}
+        )
+
+    achievers = tagged.groupby("_b").map_groups(
+        lambda g: bucket_min(g.drop_columns(["_b"])), batch_format="pyarrow"
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        pk_s, pn, sk_s, sn, sc, snn = ray.get(side)
+        pk = batch["pk"].to_numpy(zero_copy_only=False)
+        sk = batch["sk"].to_numpy(zero_copy_only=False)
+        ppos = np.searchsorted(pk_s, pk)
+        spos = np.searchsorted(sk_s, sk)
+        return pa.table(
+            {
+                "acctbal_cents": pa.array(sc[spos]),
+                "s_name": pa.array(sn[spos].tolist(), pa.string()),
+                "n_name": pa.array(snn[spos].tolist(), pa.string()),
+                "p_partkey": batch["pk"],
+                "p_name": pa.array(pn[ppos].tolist(), pa.string()),
+                "cost_cents": batch["cost_cents"],
+            }
+        )
+
+    out = achievers.map_batches(attach, batch_format="pyarrow")
+    return out.sort(
+        ["acctbal_cents", "n_name", "s_name", "p_partkey"],
+        descending=[True, False, False, False],
+    ).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# Q11: important parts (HAVING against a global scalar, two-pass)
+# ---------------------------------------------------------------------------
+
+Q11_REGION = "EUROPE"
+
+
+def q11_important_parts(sf_dir: str):
+    """TPC-H Q11 shape: per-part inventory "value" restricted to one
+    region's suppliers, keeping parts whose value exceeds a global
+    threshold computed from the same aggregate (the HAVING-vs-scalar
+    subquery topology).
+
+    Without partsupp, value(part) = sum(extendedprice_cents x quantity)
+    over that region's lineitems; the spec's fixed fraction is replaced
+    by a scale-free one — keep parts above 2x the mean part value — so
+    the query stays non-degenerate at every sf (the spec scales its own
+    fraction by 1/SF for the same reason).
+
+    Physical plan: region suppliers broadcast once; lineitem pruned to 4
+    columns, semi-filtered per batch, pre-aggregated per batch to
+    (partkey -> value) partials; ONE groupby(partkey) shuffle of partials;
+    the per-part aggregate is |part|-bounded so it materializes, and the
+    threshold compare is an exact integer cross-multiplication
+    (value * n > 2 * total) — no division, no float."""
+    ensure_serializable()
+
+    skeys, _, _, _ = _region_suppliers(sf_dir, Q11_REGION)
+    side = ray.put(skeys)
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk_s = ray.get(side)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(sk, sk_s)
+        cents = _fixed_point(batch["l_extendedprice"], 100)
+        qty = _fixed_point(batch["l_quantity"], 1)
+        val = pc.multiply(cents, qty)
+        return (
+            pa.table(
+                {"p_partkey": batch["l_partkey"], "value_e2": val}
+            )
+            .filter(pa.array(keep))
+            .group_by(["p_partkey"])
+            .aggregate([("value_e2", "sum")])
+        )
+
+    per_part = (
+        line.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p_partkey")
+        .aggregate(Sum("value_e2_sum", alias_name="value_e2"))
+        # |part|-bounded aggregate: materialize so the scalar pass and
+        # the filter don't re-run the lineitem scan
+        .materialize()
+    )
+    total = per_part.sum("value_e2") or 0
+    n = per_part.count()
+    if n == 0:
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "p_partkey": pd.Series([], dtype=np.int64),
+                "value_e2": pd.Series([], dtype=np.int64),
+            }
+        )
+    # value * n > 2 * total  <=>  value > floor(2 * total / n): exact in
+    # integers (the smallest qualifying integer is floor()+1 whether or
+    # not n divides 2*total), and Ray's filter expr stays column-vs-const
+    out = per_part.filter(expr=f"value_e2 > {(2 * int(total)) // int(n)}")
+    return out.sort(["value_e2", "p_partkey"], descending=[True, False])
+
+
+# ---------------------------------------------------------------------------
+# Q19: discounted revenue under OR'd brand/size/quantity branches
+# ---------------------------------------------------------------------------
+
+Q19_BRANCHES = (
+    # (brand, max_size, qty_lo, qty_hi)
+    ("Brand#12", 15, 1, 20),
+    ("Brand#23", 25, 10, 30),
+    ("Brand#4", 35, 20, 40),
+)
+
+
+def q19_discounted_revenue(sf_dir: str):
+    """TPC-H Q19 shape: lineitem x part revenue where any of three OR'd
+    (brand, size-range, quantity-range) branches matches. The fixture
+    lacks container/shipmode, so each branch predicates on brand + size
+    + quantity — the disjunctive multi-column join predicate (the hard
+    part: it defeats naive pushdown) is intact.
+
+    Physical plan: part broadcast once as sorted partkey -> (branch id,
+    size); the branch predicate evaluates vectorized per batch against
+    the probed attributes; per-batch TWO-number partials (revenue, n)
+    collapse into one global sum — zero shuffle."""
+    ensure_serializable()
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size"],
+    )
+    pkeys = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(pkeys)
+    pkeys = pkeys[order]
+    brands = np.asarray(part["p_brand"].to_numpy(zero_copy_only=False))[order]
+    sizes = part["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    branch = np.full(pkeys.size, -1, dtype=np.int64)
+    for i, (b, max_size, _, _) in enumerate(Q19_BRANCHES):
+        branch[(brands == b) & (sizes >= 1) & (sizes <= max_size)] = i
+    side = ray.put((pkeys, branch))
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    qty_lo = np.array([b[2] for b in Q19_BRANCHES], dtype=np.int64)
+    qty_hi = np.array([b[3] for b in Q19_BRANCHES], dtype=np.int64)
+
+    class Partial:
+        def __init__(self, ref):
+            self._pkeys, self._branch = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            br = _probe_i64(self._pkeys, self._branch, pk)
+            qty = _fixed_point(batch["l_quantity"], 1).to_numpy(zero_copy_only=False)
+            hit = br >= 0
+            b = np.where(hit, br, 0)
+            match = hit & (qty >= qty_lo[b]) & (qty <= qty_hi[b])
+            cents = _fixed_point(batch["l_extendedprice"], 100)
+            disc_pct = _fixed_point(batch["l_discount"], 100)
+            rev = pc.multiply(
+                cents, pc.subtract(pa.scalar(100), disc_pct)
+            ).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "revenue_e4": pa.array([int(rev[match].sum())], pa.int64()),
+                    "n_items": pa.array([int(match.sum())], pa.int64()),
+                }
+            )
+
+    from .._rayutil import pool_size
+
+    partials = line.map_batches(
+        Partial,
+        fn_constructor_args=(side,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        num_cpus=1,
+    )
+    agg = partials.sum(["revenue_e4", "n_items"])
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "revenue_e4": pa.array([int(agg["sum(revenue_e4)"] or 0)], pa.int64()),
+                "n_items": pa.array([int(agg["sum(n_items)"] or 0)], pa.int64()),
+            }
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20: dominant-share suppliers of a part family (correlated threshold)
+# ---------------------------------------------------------------------------
+
+Q20_NAME_PREFIX = "large "
+Q20_LO = np.datetime64("1996-01-01", "us")
+Q20_HI = np.datetime64("1997-01-01", "us")
+
+
+def q20_promotion_suppliers(sf_dir: str, num_buckets: int | None = None):
+    """TPC-H Q20 shape: suppliers who, for some part in a name family
+    during one year, shipped MORE THAN HALF of that part's total volume
+    — the correlated per-part threshold (spec: ps_availqty > 0.5 x
+    sum(l_quantity)) re-anchored to lineitem because the fixture has no
+    partsupp. The nested semi-join chain (supplier <- qualifying pair <-
+    per-part scalar) is intact; the spec's nation filter is carried by
+    the Q2/Q21 region variants, so this one keeps all suppliers and the
+    adaptation is documented in the oracle.
+
+    Physical plan: qualifying partkeys broadcast once; lineitem pruned +
+    date-filtered at the read, per-batch partial sum of qty per
+    (partkey, suppkey); ONE hash(partkey) bucket shuffle of pair
+    partials; each bucket resolves its parts' totals locally and emits
+    qualifying suppkeys; the distinct-supplier set is
+    dimension-bounded, so the name attach + sort are tiny."""
+    from ..pipeline import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ensure_serializable()
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
+    )
+    part = part.filter(pc.starts_with(part["p_name"], Q20_NAME_PREFIX))
+    pkeys = np.sort(
+        part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+
+    supplier = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+    )
+    skeys = supplier["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(skeys)
+    skeys = skeys[order]
+    snames = np.asarray(supplier["s_name"].to_numpy(zero_copy_only=False))[order]
+    side = ray.put((pkeys, skeys, snames))
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= pa.scalar(Q20_LO))
+            & (pc.field("l_shipdate") < pa.scalar(Q20_HI))
+        ),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk_s, _, _ = ray.get(side)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(pk, pk_s)
+        qty = _fixed_point(batch["l_quantity"], 1)
+        agg = (
+            pa.table(
+                {"pk": pa.array(pk[keep]),
+                 "sk": batch["l_suppkey"].filter(pa.array(keep)),
+                 "qty": qty.filter(pa.array(keep))}
+            )
+            .group_by(["pk", "sk"])
+            .aggregate([("qty", "sum")])
+        )
+        pkk = agg["pk"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array((pkk % num_buckets).astype(np.int32)),
+                "pk": agg["pk"],
+                "sk": agg["sk"],
+                "qty": agg["qty_sum"],
+            }
+        )
+
+    tagged = line.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_dominant(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        pair = (
+            pa.table({"pk": t["pk"], "sk": t["sk"], "q": t["qty"]})
+            .group_by(["pk", "sk"])
+            .aggregate([("q", "sum")])
+        )
+        tot = pair.group_by(["pk"]).aggregate([("q_sum", "sum")])
+        tk = tot["pk"].to_numpy(zero_copy_only=False)
+        tv = tot["q_sum_sum"].to_numpy(zero_copy_only=False)
+        tk_s, tv_s = _sorted_lookup(tk, tv)
+        pk = pair["pk"].to_numpy(zero_copy_only=False)
+        q = pair["q_sum"].to_numpy(zero_copy_only=False)
+        keep = 2 * q > tv_s[np.searchsorted(tk_s, pk)]
+        sk = pc.unique(pair.filter(pa.array(keep))["sk"])
+        return pa.table({"s_suppkey": pc.cast(sk, pa.int64())})
+
+    qualifying = tagged.groupby("_b").map_groups(
+        lambda g: bucket_dominant(g.drop_columns(["_b"])), batch_format="pyarrow"
+    )
+
+    # global distinct over the supplier-bounded qualifying set
+    distinct = qualifying.groupby("s_suppkey").map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        _, sk_s, sn = ray.get(side)
+        sk = batch["s_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(sk_s, sk)
+        return pa.table(
+            {
+                "s_suppkey": batch["s_suppkey"],
+                "s_name": pa.array(sn[pos].tolist(), pa.string()),
+            }
+        )
+
+    return distinct.map_batches(attach, batch_format="pyarrow").sort("s_name")
+
+
+# ---------------------------------------------------------------------------
+# Q21: suppliers who alone kept a multi-supplier order waiting
+# ---------------------------------------------------------------------------
+
+Q21_REGION = "ASIA"
+Q21_LATE_DAYS = 60
+
+
+def q21_waiting_suppliers(sf_dir: str, num_buckets: int | None = None):
+    """TPC-H Q21 shape: for finished multi-supplier orders where EXACTLY
+    ONE supplier shipped late, count the blame per supplier (restricted
+    to one region), descending. The fixture lacks commit/receipt dates,
+    so "late" = the supplier's last shipment left more than 60 days
+    after the order date; the exists / not-exists self-join topology —
+    the hardest TPC-H shape — is intact.
+
+    Physical plan: lineitem pre-aggregates per batch to (orderkey,
+    suppkey) -> max(shipdate) partials (the exists checks only need the
+    per-supplier max); the 'F'-status orders ride the same ONE
+    hash(orderkey) bucket shuffle (q12 union idiom). Each bucket
+    re-aggregates pairs, joins the order date by searchsorted, and for
+    orders with >=2 suppliers and exactly 1 late one credits that
+    supplier via the exact identity sum(late x suppkey) (valid because
+    n_late == 1). Per-bucket per-supplier counts then collapse in a
+    supplier-bounded groupby; region filter + name attach happen on
+    that tiny set from the shared broadcast."""
+    from ..pipeline import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ensure_serializable()
+
+    skeys, snames, _, _ = _region_suppliers(sf_dir, Q21_REGION)
+    side = ray.put((skeys, snames))
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"],
+        filter=(pc.field("o_orderstatus") == "F"),
+    )
+
+    def tag_line(batch: pa.Table) -> pa.Table:
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ship = _ts_us(batch["l_shipdate"])
+        agg = (
+            pa.table(
+                {"okey": pa.array(okey), "sk": batch["l_suppkey"],
+                 "ship_us": pa.array(ship)}
+            )
+            .group_by(["okey", "sk"])
+            .aggregate([("ship_us", "max")])
+        )
+        ok = agg["okey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array((ok % num_buckets).astype(np.int32)),
+                "okey": agg["okey"],
+                "sk": pc.cast(agg["sk"], pa.int64()),
+                "ship_us": agg["ship_us_max"],
+                "is_order": pa.array(np.zeros(len(agg), dtype=np.int8)),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_b": pa.array((okey % num_buckets).astype(np.int32)),
+                "okey": pa.array(okey),
+                "sk": pa.array(np.zeros(okey.size, dtype=np.int64)),
+                "ship_us": pa.array(_ts_us(batch["o_orderdate"])),
+                "is_order": pa.array(np.ones(okey.size, dtype=np.int8)),
+            }
+        )
+
+    tagged = line.map_batches(
+        tag_line, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        orders.map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def blame_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        empty = pa.table(
+            {"s_suppkey": pa.array([], pa.int64()),
+             "numwait": pa.array([], pa.int64())}
+        )
+        is_order = t["is_order"].to_numpy(zero_copy_only=False) == 1
+        okey = t["okey"].to_numpy(zero_copy_only=False)
+        o_keys = okey[is_order]
+        if o_keys.size == 0 or is_order.all():
+            return empty
+        o_sorted_idx = np.argsort(o_keys)
+        o_sorted = o_keys[o_sorted_idx]
+        o_date = t["ship_us"].to_numpy(zero_copy_only=False)[is_order][o_sorted_idx]
+        # re-aggregate pair partials (a pair may span input batches)
+        pairs = (
+            pa.table(
+                {"okey": pa.array(okey[~is_order]),
+                 "sk": t["sk"].filter(pa.array(~is_order)),
+                 "ship_us": t["ship_us"].filter(pa.array(~is_order))}
+            )
+            .group_by(["okey", "sk"])
+            .aggregate([("ship_us", "max")])
+        )
+        p_ok = pairs["okey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(o_sorted, p_ok), 0, o_sorted.size - 1)
+        hit = o_sorted[pos] == p_ok  # inner join: only 'F' orders survive
+        if not hit.any():
+            return empty
+        p_ok = p_ok[hit]
+        p_sk = pairs["sk"].to_numpy(zero_copy_only=False)[hit]
+        ms = pairs["ship_us_max"].to_numpy(zero_copy_only=False)[hit]
+        odate = o_date[pos[hit]]
+        late = (ms > odate + Q21_LATE_DAYS * _US_PER_DAY).astype(np.int64)
+        per_order = (
+            pa.table(
+                {"okey": pa.array(p_ok), "late": pa.array(late),
+                 "late_sk": pa.array(late * p_sk)}
+            )
+            .group_by(["okey"])
+            .aggregate([([], "count_all"), ("late", "sum"), ("late_sk", "sum")])
+        )
+        n_supp = pc.cast(per_order["count_all"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n_late = per_order["late_sum"].to_numpy(zero_copy_only=False)
+        qual = (n_supp >= 2) & (n_late == 1)
+        if not qual.any():
+            return empty
+        blamed = per_order["late_sk_sum"].to_numpy(zero_copy_only=False)[qual]
+        agg = (
+            pa.table({"s_suppkey": pa.array(blamed)})
+            .group_by(["s_suppkey"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "s_suppkey": agg["s_suppkey"],
+                "numwait": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+
+    per_bucket = tagged.groupby("_b").map_groups(
+        lambda g: blame_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
+    )
+    counts = per_bucket.groupby("s_suppkey").aggregate(
+        Sum("numwait", alias_name="numwait")
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        sk_s, sn = ray.get(side)
+        sk = batch["s_suppkey"].to_numpy(zero_copy_only=False)
+        # region filter: only suppliers in the broadcast survive
+        pos = _probe_i64(sk_s, np.arange(sk_s.size, dtype=np.int64), sk)
+        hit = pos >= 0
+        return pa.table(
+            {
+                "s_name": pa.array(sn[pos[hit]].tolist(), pa.string()),
+                "numwait": batch["numwait"].filter(pa.array(hit)),
+            }
+        )
+
+    return (
+        counts.map_batches(attach, batch_format="pyarrow")
+        .sort(["numwait", "s_name"], descending=[True, False])
+        .limit(100)
+    )

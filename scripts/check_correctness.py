@@ -2,7 +2,7 @@
 entry at a given sf and compare row-count + schema + sorted values
 against oracle_sql() via DuckDB. Rows-only queries get a rows>=0 check.
 
-Usage: python scripts/check_correctness.py [sf_dir]
+Usage: python scripts/check_correctness.py [sf_dir] [--only name1,name2]
 """
 
 import os
@@ -29,7 +29,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import duckdb
     import ray
 
@@ -58,6 +64,8 @@ def main():
             con.sql(f"CREATE VIEW {t} AS FROM '{path}'")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if only is not None:
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = []
     for name, fn in qs.items():
         try:

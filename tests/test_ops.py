@@ -66,6 +66,8 @@ SQL_CHECKED = [
     "cohort_retention", "q8_market_share", "hourly_active_users",
     "q9_nation_profit", "q12_late_shipments", "q15_top_supplier",
     "q16_supplier_counts", "q17_small_qty_revenue", "q22_idle_customers",
+    "q2_min_cost_supplier", "q11_important_parts", "q19_discounted_revenue",
+    "q20_promotion_suppliers", "q21_waiting_suppliers",
     "gopher_rules", "lm_score_buckets", "bm25_topk", "curate_documents",
     "rolling_fingerprint", "kmeans_embeddings", "diverse_sample",
     "semdedup", "dedup_lines", "pack_sequences", "chunk_documents",
@@ -1449,6 +1451,174 @@ def test_q22_random_matches_duckdb(tmp_path):
     want = canon(con.sql(entrymod.oracle_sql()["q22_idle_customers"]).df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert got["n_customers"].sum() > 0  # non-degenerate
+
+
+def test_q21_random_matches_duckdb(tmp_path):
+    """Randomized exists/not-exists blame check for the Q21 shape:
+    random multi-supplier orders with random lateness (forcing orders
+    with 0, 1 and many late suppliers, single-supplier orders, and
+    non-'F' orders that must drop) vs DuckDB on the same files. Also
+    exercises pair partials split across input batches (num_buckets=4
+    with 3000 lineitems across many orders)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+
+    from engine.ops.tpch import q21_waiting_suppliers
+
+    rng = np.random.default_rng(48)
+    n_ord, n_supp, n_line = 250, 12, 3000
+    base = np.datetime64("1996-01-01", "us")
+    odate = base + (rng.integers(0, 365, n_ord) * 86_400_000_000).astype(
+        "timedelta64[us]"
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
+            "o_orderdate": pa.array(odate),
+            "o_orderstatus": pa.array(
+                [("F", "O", "P")[i % 3] for i in range(n_ord)], pa.string()
+            ),
+        }
+    )
+    l_ok = rng.integers(0, n_ord, n_line)
+    # lateness: ship 0..120 days after the order date (threshold 60)
+    ship = odate[l_ok] + (
+        rng.integers(0, 121, n_line) * 86_400_000_000
+    ).astype("timedelta64[us]")
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(l_ok.astype(np.int64)),
+            "l_suppkey": pa.array(rng.integers(0, n_supp, n_line)),
+            "l_shipdate": pa.array(ship),
+        }
+    )
+    supplier = pa.table(
+        {
+            "s_suppkey": pa.array(np.arange(n_supp, dtype=np.int64)),
+            "s_name": pa.array([f"S{i:03d}" for i in range(n_supp)]),
+            "s_nationkey": pa.array(
+                (np.arange(n_supp) % 25).astype(np.int32)
+            ),
+            "s_acctbal": pa.array(np.zeros(n_supp)),
+        }
+    )
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array(np.arange(25, dtype=np.int32)),
+            "n_name": pa.array([f"NATION_{i}" for i in range(25)]),
+            "n_regionkey": pa.array((np.arange(25) % 5).astype(np.int32)),
+        }
+    )
+    region = pa.table(
+        {
+            "r_regionkey": pa.array(np.arange(5, dtype=np.int32)),
+            "r_name": pa.array(
+                ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+            ),
+        }
+    )
+    for name, t in [("orders", orders), ("lineitem", lineitem),
+                    ("supplier", supplier), ("nation", nation),
+                    ("region", region)]:
+        pq.write_table(t, str(tmp_path / f"{name}.parquet"))
+
+    got = canon(_as_df(q21_waiting_suppliers(str(tmp_path), num_buckets=4)))
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "supplier", "nation", "region"):
+        con.sql(f"CREATE VIEW {t} AS FROM '{tmp_path}/{t}.parquet'")
+    want = canon(con.sql(entrymod.oracle_sql()["q21_waiting_suppliers"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["numwait"].sum() > 0  # non-degenerate
+
+
+def test_q2_ties_and_q20_threshold(tmp_path):
+    """Crafted edges for the two correlated-threshold shapes: Q2 cost
+    ties (two suppliers sharing a part's minimum must BOTH surface) and
+    Q20's strict more-than-half rule (an exactly-half supplier must NOT
+    qualify)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+
+    from engine.ops.tpch import q2_min_cost_supplier, q20_promotion_suppliers
+
+    ts = lambda d: np.datetime64(d, "us")
+    part = pa.table(
+        {
+            "p_partkey": pa.array([1, 2], pa.int64()),
+            "p_name": pa.array(["large bolt", "large rod"]),
+            "p_type": pa.array(["STANDARD", "STANDARD"]),
+            "p_size": pa.array([5, 10], pa.int32()),
+        }
+    )
+    supplier = pa.table(
+        {
+            "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+            "s_name": pa.array(["S001", "S002", "S003"]),
+            # nations 2 and 7 are ASIA (regionkey 2); 3 is EUROPE
+            "s_nationkey": pa.array([2, 7, 3], pa.int32()),
+            "s_acctbal": pa.array([10.0, 20.0, 30.0]),
+        }
+    )
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array(np.arange(25, dtype=np.int32)),
+            "n_name": pa.array([f"NATION_{i}" for i in range(25)]),
+            "n_regionkey": pa.array((np.arange(25) % 5).astype(np.int32)),
+        }
+    )
+    region = pa.table(
+        {
+            "r_regionkey": pa.array(np.arange(5, dtype=np.int32)),
+            "r_name": pa.array(
+                ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+            ),
+        }
+    )
+    # part 1: suppliers 1 and 2 TIE at min cost 5.00 (supplier 3 is
+    # cheaper but outside the region — must not shadow the tie);
+    # part 2: qty split 10 vs 10 (exactly half each -> Q20 empty for it)
+    # and supplier 1 ships 30 of part 1 vs 10 (dominant -> qualifies)
+    lineitem = pa.table(
+        {
+            "l_partkey": pa.array([1, 1, 1, 1, 1, 2, 2], pa.int64()),
+            "l_suppkey": pa.array([1, 2, 3, 1, 2, 1, 2], pa.int64()),
+            "l_extendedprice": pa.array(
+                [5.0, 5.0, 1.0, 9.0, 7.0, 4.0, 4.0]
+            ),
+            "l_quantity": pa.array(
+                [30.0, 10.0, 5.0, 0.0, 0.0, 10.0, 10.0]
+            ),
+            "l_shipdate": pa.array(
+                [ts("1996-03-01")] * 7
+            ),
+        }
+    )
+    for name, t in [("part", part), ("supplier", supplier),
+                    ("nation", nation), ("region", region),
+                    ("lineitem", lineitem)]:
+        pq.write_table(t, str(tmp_path / f"{name}.parquet"))
+
+    con = duckdb.connect()
+    for t in ("part", "supplier", "nation", "region", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS FROM '{tmp_path}/{t}.parquet'")
+
+    got2 = canon(_as_df(q2_min_cost_supplier(str(tmp_path), num_buckets=4)))
+    want2 = canon(con.sql(entrymod.oracle_sql()["q2_min_cost_supplier"]).df())
+    pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
+    # the tie: both region suppliers of part 1 at cost 500 cents
+    assert sorted(got2.loc[got2["p_partkey"] == 1, "s_name"]) == ["S001", "S002"]
+
+    got20 = canon(_as_df(q20_promotion_suppliers(str(tmp_path), num_buckets=4)))
+    want20 = canon(
+        con.sql(entrymod.oracle_sql()["q20_promotion_suppliers"]).df()
+    )
+    pd.testing.assert_frame_equal(got20, want20, check_dtype=False)
+    # supplier 1 dominates part 1 (30 of 45); nobody dominates part 2
+    assert got20["s_name"].tolist() == ["S001"]
 
 
 def test_curate_documents_merges_duplicates(tmp_path):
