@@ -360,6 +360,27 @@ def _render_bucket_kernels(name: str, t: pa.Table) -> pa.Table:
 _BUILTIN_TEMPLATES: Dict[str, Callable] = dict(TEMPLATES)  # pre-override snapshot
 
 
+def _read_for_buckets(
+    transcript_paths, columns, num_buckets: int
+) -> ray.data.Dataset:
+    """Pruned transcript read sized for a downstream
+    ``groupby("_bucket")``: the read block count is pinned to the bucket
+    count. Ray's sort-based groupby creates one output range PER INPUT
+    BLOCK, with boundaries sampled from the key values — when ranges
+    greatly outnumber the key's cardinality the sampled quantiles
+    degenerate (duplicate boundaries ⇒ empty ranges, off-quantile
+    boundaries ⇒ ranges holding several whole buckets), turning a
+    balanced 64-bucket exchange into a few 2×-sized straggler blocks
+    whose reduce+render tasks serialize the tail. Measured on the
+    620k-turn bench tier (alternated A/B, same session): default 224
+    read blocks over 64 buckets = 9.4–30.1s; 64 blocks over 64 buckets
+    = 4.6–12.9s. At cluster scale the same rule holds by raising BOTH
+    together: buckets ≈ blocks ≈ corpus_bytes / target_block_size."""
+    return ray.data.read_parquet(
+        transcript_paths, columns=columns, override_num_blocks=num_buckets
+    )
+
+
 def _bucketed(ds: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset:
     from .pipeline import _hash_conv_ids
 
@@ -390,8 +411,8 @@ def render_conversations(
         template in _KERNEL_SET
         and TEMPLATES[template] is _BUILTIN_TEMPLATES.get(template)
     )
-    ds = ray.data.read_parquet(
-        transcript_paths, columns=["conv_id", "turn_idx", "role", "text"]
+    ds = _read_for_buckets(
+        transcript_paths, ["conv_id", "turn_idx", "role", "text"], num_buckets
     )
 
     def render_bucket(group: pa.Table) -> pa.Table:
@@ -438,8 +459,8 @@ def compact_history(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset
     from ._rayutil import ensure_serializable
 
     ensure_serializable()
-    ds = ray.data.read_parquet(
-        transcript_paths, columns=["conv_id", "turn_idx", "role", "text"]
+    ds = _read_for_buckets(
+        transcript_paths, ["conv_id", "turn_idx", "role", "text"], num_buckets
     )
 
     def compact_bucket(group: pa.Table) -> pa.Table:
@@ -576,8 +597,8 @@ def sft_masks(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
     from ._rayutil import ensure_serializable
 
     ensure_serializable()
-    ds = ray.data.read_parquet(
-        transcript_paths, columns=["conv_id", "turn_idx", "role", "text"]
+    ds = _read_for_buckets(
+        transcript_paths, ["conv_id", "turn_idx", "role", "text"], num_buckets
     )
 
     def mask_bucket(group: pa.Table) -> pa.Table:
@@ -630,8 +651,8 @@ def sft_token_spans(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset
     from ._rayutil import ensure_serializable
 
     ensure_serializable()
-    ds = ray.data.read_parquet(
-        transcript_paths, columns=["conv_id", "turn_idx", "role", "text"]
+    ds = _read_for_buckets(
+        transcript_paths, ["conv_id", "turn_idx", "role", "text"], num_buckets
     )
 
     def token_bucket(group: pa.Table) -> pa.Table:
@@ -712,8 +733,8 @@ def sft_pack(
     from .ops.textstats import _prefix_scan
 
     ensure_serializable()
-    ds = ray.data.read_parquet(
-        transcript_paths, columns=["conv_id", "turn_idx", "role", "text"]
+    ds = _read_for_buckets(
+        transcript_paths, ["conv_id", "turn_idx", "role", "text"], num_buckets
     )
 
     def prep_bucket(group: pa.Table) -> pa.Table:
