@@ -502,19 +502,25 @@ def extraction_plan(
 ) -> ray.data.Dataset:
     """Build the full lazy extraction plan over transcript Parquet paths.
 
-    ``num_blocks``: read parallelism. Default lets Ray choose; the bench
-    pins it to ~#cores — hundreds of tiny blocks make the ordering
-    shuffle coordination-bound (224-block sort cost ~16s wall at 1.25s
-    CPU before this was tuned)."""
+    ``num_blocks``: read parallelism. Defaults to ``num_buckets`` so the
+    ordering exchange's range count matches the bucket key's
+    cardinality: Ray's sort-based groupby creates one output range per
+    input block with boundaries sampled from the key values, and when
+    ranges greatly outnumber distinct keys the quantiles degenerate
+    (duplicate boundaries ⇒ empty ranges; off-quantile boundaries ⇒
+    merged-bucket straggler blocks that serialize the tail — Ray's
+    default 224 blocks over 64 buckets measured 2-5x slower than 64/64
+    on the bench tier). Both scale together via default_num_buckets()
+    (2x cluster cores); jobs at extreme corpus-to-cluster ratios should
+    raise both so blocks stay near the target block size."""
     from ._rayutil import ensure_serializable
     from ._rayutil import pool_size as _pool_size
 
     ensure_serializable()
     if num_buckets is None:
         num_buckets = default_num_buckets()
-    read_kwargs = {}
-    if num_blocks is not None:
-        read_kwargs["override_num_blocks"] = num_blocks
+    read_kwargs = {"override_num_blocks": num_blocks if num_blocks is not None
+                   else num_buckets}
 
     conv_sizes_ref = None
     if ordered and salt_block is not None and sizes_mode == "dense":
