@@ -285,7 +285,14 @@ def finalize_partitioned(
     files = sorted(_glob.glob(os.path.join(out_dir, "part=*", "*.parquet")))
     if not files:
         raise ValueError(f"no part=N parquet outputs under {out_dir!r}")
-    ds = ray.data.read_parquet(files)
+    # Read block count pinned to the ordering bucket count — the same
+    # sort-range/key-cardinality matching as extraction_plan (see its
+    # docstring): ranges ≫ distinct buckets degenerate the exchange into
+    # empty + merged-bucket straggler blocks.
+    from .pipeline import default_num_buckets
+
+    eff_buckets = num_buckets if num_buckets else default_num_buckets()
+    ds = ray.data.read_parquet(files, override_num_blocks=eff_buckets)
     drop = [c for c in ("conv_n_turns", "part") if c in ds.schema().names]
     if drop:
         ds = ds.drop_columns(drop)
