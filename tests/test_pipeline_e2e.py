@@ -252,3 +252,34 @@ def test_cluster_sized_defaults():
     lo, hi = pool_size()
     assert lo == 1 and hi == max(2, ncpu - 1)
     assert default_num_buckets() == max(64, 2 * ncpu)
+
+
+def test_read_blocks_match_ordering_buckets(t1_files):
+    """Exchange-shape regression guard: the block count entering the
+    bucket-keyed ordering groupby must track the bucket count. Ray's
+    sort-based groupby creates one range per input block with boundaries
+    sampled from the key values; ranges >> distinct buckets degenerate
+    the quantiles into empty ranges + merged-bucket straggler blocks
+    (2-10x measured on the bench tier — BENCH/BASELINE.md round 3)."""
+    from engine.pipeline import default_num_buckets
+
+    ds = extraction_plan(t1_files, batch_size=256, ordered=False)
+    # The unordered plan ends at the extraction map, whose block count
+    # tracks the read block count. override_num_blocks is a hint — a
+    # tiny input can't split that far (harmless: FEWER blocks than
+    # buckets never degenerates the exchange) — so guard the harmful
+    # direction only: blocks must never exceed the bucket count.
+    assert ds.materialize().num_blocks() <= default_num_buckets()
+
+    # At a tier big enough to actually split (t2: ~60k rows, 8 files),
+    # the hint is honored exactly.
+    import os
+
+    from engine import synth
+
+    d = synth.fixture_dir("t2")
+    t2_files = sorted(
+        os.path.join(d, p) for p in os.listdir(d) if p.endswith(".parquet")
+    )
+    ds2 = extraction_plan(t2_files, batch_size=256, ordered=False)
+    assert ds2.materialize().num_blocks() == default_num_buckets()
