@@ -255,3 +255,35 @@ def test_kernel_render_tolerates_null_role_and_text(tmp_path):
         assert (got["rendered"].values == want["rendered"].values).all(), (
             name, got["rendered"].tolist(), want["rendered"].tolist()
         )
+
+
+def test_token_prefix_counts_matches_spec_impl():
+    """The batched token counter (one reduceat pass, per-string
+    cache-resident flags) must agree exactly with the spec
+    implementation (full running count over the concatenated utf-32
+    buffer) — unicode, empty strings, zero-length and full-length
+    prefixes included."""
+    import numpy as np
+
+    from engine.templates import _token_prefix_counter, _token_prefix_counts
+
+    rng = np.random.default_rng(7)
+    alphabet = list("ab c\t\nde\f\rxyz  ") + ["é", "中", "𝄞", " ", "|"]
+    for _ in range(300):
+        n = int(rng.integers(1, 8))
+        texts = [
+            "".join(rng.choice(alphabet, size=int(rng.integers(0, 40))))
+            for _ in range(n)
+        ]
+        if sum(map(len, texts)) == 0:
+            continue  # all-empty corpus is outside the spec impl's domain
+        nq = int(rng.integers(0, 10))
+        rows = rng.integers(0, n, size=nq)
+        lens = np.array([len(texts[r]) for r in rows], dtype=np.int64)
+        starts = (rng.random(nq) * (lens + 1)).astype(np.int64)
+        ends = starts + (rng.random(nq) * (lens - starts + 1)).astype(np.int64)
+        cp, totals_ref = _token_prefix_counter(texts)
+        ts, te, totals = _token_prefix_counts(texts, rows, starts, ends)
+        assert np.array_equal(ts, cp(rows, starts))
+        assert np.array_equal(te, cp(rows, ends))
+        assert np.array_equal(totals, totals_ref)
