@@ -436,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": dedup.dedup_incremental,
         "dedup_lines": dedup.dedup_lines,
         "dedup_editdist": dedup.dedup_editdist,
+        "dedup_substrings": dedup.dedup_substrings,
         "dedup_best": dedup.dedup_best,
         # iterative graph analytics
         "pagerank_entities": graph.pagerank_entities,
@@ -481,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contrastive_pairs": textstats.contrastive_pairs,
         "mixture_sample": textstats.mixture_sample,
         "doc_repetition": textstats.doc_repetition,
+        "repetition_signals": textstats.repetition_signals,
         "span_corruption": textstats.span_corruption,
         "oov_rate": textstats.oov_rate,
         "lm_score": textstats.lm_score,
@@ -1390,6 +1392,117 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS BIGINT) AS keep
             FROM grams g JOIN lo USING (gram)
             GROUP BY g.doc_id
+        """,
+        "dedup_substrings": f"""
+            -- ExactSubstr span cut, keep-first: every non-first
+            -- occurrence of a duplicated word-{dedup.SUBSTR_L}-gram
+            -- window is removed from its doc; text reassembled from the
+            -- surviving words. Gram STRINGS here vs 128-bit window
+            -- hashes in the engine (dedup_exact collision contract).
+            -- Words are '[^ ]+' runs (single-space split, empties
+            -- dropped) on BOTH sides.
+            WITH corpus AS ({dup_corpus_sql}),
+            words AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(coalesce(text, ''),
+                            ' '), x -> x <> '')) AS w,
+                     generate_subscripts(list_filter(
+                            string_split(coalesce(text, ''), ' '),
+                            x -> x <> ''), 1) AS pos1
+              FROM corpus),
+            grams AS (
+              SELECT doc_id, pos1 - 1 AS pos,
+                     array_to_string(list(w) OVER win, ' ') AS gram,
+                     count(*) OVER win AS glen
+              FROM words
+              WINDOW win AS (PARTITION BY doc_id ORDER BY pos1
+                             ROWS BETWEEN CURRENT ROW
+                             AND {dedup.SUBSTR_L - 1} FOLLOWING)),
+            ranked AS (
+              SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY gram
+                                        ORDER BY doc_id, pos) AS rn
+              FROM grams WHERE glen = {dedup.SUBSTR_L}),
+            removed AS (
+              SELECT DISTINCT doc_id, wpos FROM (
+                SELECT r.doc_id, r.pos + j.j AS wpos
+                FROM ranked r
+                CROSS JOIN (SELECT unnest(range({dedup.SUBSTR_L})) AS j) j
+                WHERE r.rn > 1)),
+            rebuilt AS (
+              SELECT w.doc_id,
+                     coalesce(string_agg(
+                       CASE WHEN rm.wpos IS NULL THEN w.w END,
+                       ' ' ORDER BY w.pos1), '') AS clean_text,
+                     CAST(count(*) AS BIGINT) AS n_words,
+                     CAST(count(rm.wpos) AS BIGINT) AS n_removed
+              FROM words w
+              LEFT JOIN removed rm
+                ON rm.doc_id = w.doc_id AND rm.wpos = w.pos1 - 1
+              GROUP BY w.doc_id)
+            SELECT c.doc_id,
+                   coalesce(r.clean_text, '') AS clean_text,
+                   CAST(coalesce(r.n_words, 0) AS BIGINT) AS n_words,
+                   CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed
+            FROM corpus c LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "repetition_signals": f"""
+            -- Gopher A1.1 repetition signals, exact-integer: most
+            -- frequent word 2-gram (count / first pos / char length;
+            -- ties -> earliest first occurrence) and duplicated word
+            -- 5-gram occurrence + character mass. Same '[^ ]+' word
+            -- semantics as the engine kernel.
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(coalesce(text, ''),
+                            ' '), x -> x <> '')) AS w,
+                     generate_subscripts(list_filter(
+                            string_split(coalesce(text, ''), ' '),
+                            x -> x <> ''), 1) AS pos1
+              FROM documents),
+            g2 AS (
+              SELECT doc_id, pos1 - 1 AS pos,
+                     array_to_string(list(w) OVER win, ' ') AS gram,
+                     count(*) OVER win AS glen
+              FROM words
+              WINDOW win AS (PARTITION BY doc_id ORDER BY pos1
+                             ROWS BETWEEN CURRENT ROW
+                             AND {textstats_mod.REP_TOP_N - 1} FOLLOWING)),
+            c2 AS (
+              SELECT doc_id, gram, count(*) AS c, min(pos) AS fpos
+              FROM g2 WHERE glen = {textstats_mod.REP_TOP_N}
+              GROUP BY doc_id, gram),
+            top2 AS (
+              SELECT doc_id, c, fpos, CAST(length(gram) AS BIGINT) AS gl
+              FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                             ORDER BY c DESC, fpos ASC) AS rn FROM c2)
+              WHERE rn = 1),
+            g5 AS (
+              SELECT doc_id,
+                     array_to_string(list(w) OVER win, ' ') AS gram,
+                     count(*) OVER win AS glen
+              FROM words
+              WINDOW win AS (PARTITION BY doc_id ORDER BY pos1
+                             ROWS BETWEEN CURRENT ROW
+                             AND {textstats_mod.REP_DUP_N - 1} FOLLOWING)),
+            c5 AS (
+              SELECT doc_id, gram, count(*) AS c
+              FROM g5 WHERE glen = {textstats_mod.REP_DUP_N}
+              GROUP BY doc_id, gram),
+            dup5 AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup5_grams,
+                     CAST(sum(c * length(gram)) AS BIGINT) AS dup5_chars
+              FROM c5 WHERE c >= 2 GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(length(coalesce(d.text, '')) AS BIGINT) AS n_chars,
+                   CAST(coalesce(t.c, 0) AS BIGINT) AS top2_count,
+                   CAST(coalesce(t.fpos, -1) AS BIGINT) AS top2_pos,
+                   CAST(coalesce(t.gl, 0) AS BIGINT) AS top2_chars,
+                   CAST(coalesce(f.dup5_grams, 0) AS BIGINT) AS dup5_grams,
+                   CAST(coalesce(f.dup5_chars, 0) AS BIGINT) AS dup5_chars
+            FROM documents d
+            LEFT JOIN top2 t USING (doc_id)
+            LEFT JOIN dup5 f USING (doc_id)
         """,
         "dedup_best": f"""
             -- keep the LONGEST member per near-dup cluster (ties: min

@@ -2239,3 +2239,218 @@ def dedup_best(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> ray.data.Da
     return attached.groupby("_cb").map_groups(
         lambda g: argmax_bucket(g.drop_columns(["_cb"])), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring SPAN CUT (ExactSubstr, Lee et al. 2022 "Deduplicating
+# Training Data Makes Language Models Better") — the remove-the-span
+# complement of ``dedup_spans``'s whole-doc cull and ``dedup_lines``'s
+# line granularity: every non-first occurrence of a duplicated
+# word-L-gram window is cut from its document, text reassembled.
+# ---------------------------------------------------------------------------
+
+SUBSTR_L = 6  # words per window; Lee et al. cut at 50 BPE tokens — the
+              # word analog at fixture document lengths
+
+
+def dedup_substrings(
+    sf_dir: str, L: int = SUBSTR_L, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Cut duplicated substrings, keep-first: over the ``dup_corpus``,
+    any word-L-gram window whose exact text occurs elsewhere in the
+    corpus is removed from every document EXCEPT its first occurrence
+    (min (doc_id, pos)); documents are reassembled from the surviving
+    words in original order. Emits (doc_id, clean_text, n_words,
+    n_removed) for every document, including word-less ones.
+
+    Scale shape — two shuffles, only one of which moves text (the
+    ``dedup_lines`` discipline):
+    1. marks pass: explode docs to (gram_h1, gram_h2, doc_id, pos) int
+       rows — window hashes are polynomial combines of per-word
+       128-bit siphashes computed once per flat word stream (word text
+       never rides the shuffle) — bucketed by hash(gram); ONE
+       map_groups per bucket sorts its keys and emits the non-first
+       rows of every run with length >= 2. A bucket holds every
+       occurrence of its hashes, so in-bucket run order IS the global
+       keep-first order; a hot window (boilerplate repeated millions of
+       times) costs one linear run scan, never pair expansion.
+    2. reassembly pass: document text bucketed by hash(doc_id), unioned
+       with the int-only marks (sentinel columns); per bucket the marks
+       expand to word-position ranges [pos, pos+L), dedupe via packed
+       (local_doc, word_pos) keys, and kept words rejoin per doc through
+       ``pa.LargeListArray`` offsets + ``pc.binary_join`` — no per-doc
+       Python, 64-bit offsets for >2 GiB bucket concats.
+
+    The oracle compares gram STRINGS while the engine compares 128-bit
+    window hashes — identical up to siphash collisions (~2^-128 per
+    pair, the ``dedup_exact`` contract). Reference analog: the noise
+    filters strip repeated boilerplate regions from decoded documents
+    (crates/server/src/generation.rs renders each region once); this is
+    the corpus-wide version of that responsibility."""
+    from ..pipeline import default_num_buckets
+    from .textstats import _explode_word_stream, _word_gram_hashes, _word_hash_pair
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ensure_serializable()
+    corpus = dup_corpus(sf_dir)
+
+    def explode_grams(batch: pa.Table) -> pa.Table:
+        parent, pos, flat = _explode_word_stream(batch)
+        doc_all = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h1, h2 = _word_hash_pair(flat, "engine-subwordk")
+        nwin = len(parent) - L + 1
+        if nwin <= 0:
+            e64 = pa.array([], pa.int64())
+            return pa.table(
+                {
+                    "_gb": pa.array([], pa.int32()),
+                    "g1": e64, "g2": e64, "doc_id": e64, "pos": e64,
+                }
+            )
+        ok = parent[:nwin] == parent[L - 1 :]
+        g1 = _word_gram_hashes(h1, L)[ok].view(np.int64)
+        g2 = _word_gram_hashes(h2, L)[ok].view(np.int64)
+        doc = doc_all[parent[:nwin][ok]]
+        p = pos[:nwin][ok]
+        return pa.table(
+            {
+                "_gb": pa.array(_bucket_of(g1, g2, num_buckets=num_buckets)),
+                "g1": pa.array(g1),
+                "g2": pa.array(g2),
+                "doc_id": pa.array(doc.astype(np.int64)),
+                "pos": pa.array(p),
+            }
+        )
+
+    def mark_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+        )
+        if group.num_rows == 0:
+            return empty
+        t = group.sort_by(
+            [("g1", "ascending"), ("g2", "ascending"),
+             ("doc_id", "ascending"), ("pos", "ascending")]
+        )
+        g1 = t["g1"].to_numpy(zero_copy_only=False)
+        g2 = t["g2"].to_numpy(zero_copy_only=False)
+        new = _run_starts(g1, g2)
+        run_id = np.cumsum(new) - 1
+        per_row = np.bincount(run_id)[run_id]
+        dup = (per_row >= 2) & ~new  # every occurrence but the global first
+        if not dup.any():
+            return empty
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(dup)),
+                "pos": t["pos"].filter(pa.array(dup)),
+            }
+        )
+
+    marks = (
+        corpus.map_batches(explode_grams, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_gb")
+        .map_groups(
+            lambda g: mark_bucket(g.drop_columns(["_gb"])), batch_format="pyarrow"
+        )
+    )
+
+    def tag_text(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_db": pa.array(_bucket_of(doc_id, num_buckets=num_buckets)),
+                "doc_id": batch["doc_id"],
+                "pos": pa.array(np.full(len(doc_id), -1, np.int64)),
+                "text": pc.fill_null(batch["text"], ""),
+                "is_mark": pa.array(np.zeros(len(doc_id), np.int8)),
+            }
+        )
+
+    def tag_marks(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_db": pa.array(_bucket_of(doc_id, num_buckets=num_buckets)),
+                "doc_id": batch["doc_id"],
+                "pos": batch["pos"],
+                "text": pa.array([""] * len(doc_id), pa.string()),
+                "is_mark": pa.array(np.ones(len(doc_id), np.int8)),
+            }
+        )
+
+    tagged = corpus.map_batches(
+        tag_text, batch_format="pyarrow", zero_copy_batch=True
+    ).union(marks.map_batches(tag_marks, batch_format="pyarrow", zero_copy_batch=True))
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "clean_text": pa.array([], pa.string()),
+                "n_words": pa.array([], pa.int64()),
+                "n_removed": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        is_mark = pc.equal(group["is_mark"], 1)
+        docs = (
+            group.filter(pc.invert(is_mark))
+            .sort_by([("doc_id", "ascending")])
+            .combine_chunks()
+        )
+        mt = group.filter(is_mark).combine_chunks()
+        if docs.num_rows == 0:
+            if mt.num_rows:  # marks must land with their text — loud
+                raise ValueError(
+                    f"dedup_substrings: bucket holds {mt.num_rows} marks "
+                    "but no documents"
+                )
+            return empty
+        doc_ids = docs["doc_id"].to_numpy(zero_copy_only=False)
+        parent, wpos, flat = _explode_word_stream(docs)
+        n_words = np.bincount(parent, minlength=docs.num_rows).astype(np.int64)
+
+        # marks -> removed (local_doc, word_pos) keys, deduped
+        mdoc = mt["doc_id"].to_numpy(zero_copy_only=False)
+        mpos = mt["pos"].to_numpy(zero_copy_only=False)
+        midx = np.searchsorted(doc_ids, mdoc)
+        if len(midx) and (
+            midx.max() >= len(doc_ids) or not np.array_equal(doc_ids[midx], mdoc)
+        ):
+            raise ValueError("dedup_substrings: mark doc_id missing from bucket")
+        rm_doc = np.repeat(midx, L)
+        rm_pos = np.repeat(mpos, L) + np.tile(np.arange(L, dtype=np.int64), len(mpos))
+        if len(wpos) and int(wpos.max()) >= (1 << 32):
+            raise ValueError("doc exceeds 2^32 words; widen the packed-key layout")
+        rm_key = np.unique((rm_doc.astype(np.int64) << np.int64(32)) | rm_pos)
+        w_key = (parent << np.int64(32)) | wpos
+        removed = np.zeros(len(w_key), bool)
+        if len(rm_key):
+            j = np.searchsorted(rm_key, w_key)
+            j[j == len(rm_key)] = 0
+            removed = rm_key[j] == w_key
+        kept = ~removed
+        csum = np.concatenate([[0], np.cumsum(kept)])
+        bounds = np.concatenate([[0], np.cumsum(n_words)])
+        n_kept = (csum[bounds[1:]] - csum[bounds[:-1]]).astype(np.int64)
+        kept_words = flat.filter(pa.array(kept))
+        if isinstance(kept_words, pa.ChunkedArray):
+            kept_words = kept_words.combine_chunks()
+        offsets = np.concatenate([[0], np.cumsum(n_kept)]).astype(np.int64)
+        la = pa.LargeListArray.from_arrays(pa.array(offsets), kept_words)
+        clean = pc.binary_join(la, " ")
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "clean_text": clean,
+                "n_words": pa.array(n_words),
+                "n_removed": pa.array((n_words - n_kept).astype(np.int64)),
+            }
+        )
+
+    return tagged.groupby("_db").map_groups(
+        lambda g: reassemble(g.drop_columns(["_db"])), batch_format="pyarrow"
+    )

@@ -2248,3 +2248,168 @@ class _ApplyBPE:
                 "n_chars_tokenized": pa.array(chars),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals (Rae et al. 2021, A1.1 repetition filters)
+# ---------------------------------------------------------------------------
+
+REP_TOP_N = 2   # "fraction of characters in the most frequent n-gram" rule
+REP_DUP_N = 5   # "fraction of characters in duplicated n-grams" rule
+
+
+def _explode_word_stream(batch: pa.Table):
+    """Vectorized word explode over a batch: (doc_row_index, word_pos,
+    flat word array). Words are maximal runs of non-space characters
+    ('[^ ]+' — DuckDB ``regexp_extract_all`` parity); empty docs and
+    runs of spaces contribute no words. Shared by ``repetition_signals``
+    and ``dedup.dedup_substrings``."""
+    lists = pc.split_pattern(pc.fill_null(batch["text"], ""), " ")
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    keep = pc.invert(pc.equal(flat, "")).to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    parent = parent[keep].astype(np.int64)
+    n = len(parent)
+    if n == 0:
+        return parent, np.empty(0, np.int64), flat
+    run_start = np.zeros(n, dtype=np.int64)
+    starts = np.flatnonzero(np.diff(parent, prepend=parent[0] - 1))
+    run_start[starts] = starts
+    run_start = np.maximum.accumulate(run_start)
+    pos = np.arange(n, dtype=np.int64) - run_start
+    return parent, pos, flat
+
+
+_GRAM_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _word_gram_hashes(h: np.ndarray, L: int) -> np.ndarray:
+    """Polynomial combine of L consecutive word hashes into one window
+    hash (uint64 wraparound); L vectorized passes over the flat word
+    stream, never a Python loop over windows."""
+    n = len(h) - L + 1
+    if n <= 0:
+        return np.empty(0, np.uint64)
+    g = np.zeros(n, dtype=np.uint64)
+    for j in range(L):
+        g = g * _GRAM_MIX + h[j : j + n]
+    return g
+
+
+def _word_hash_pair(flat, key_prefix: str):
+    """Two independent fixed-key 64-bit siphashes of a word column (same
+    128-bit collision discipline as ``dedup.text_hash128``)."""
+    from pandas.util import hash_array
+
+    k1, k2 = f"{key_prefix}1", f"{key_prefix}2"
+    if len(k1) != 16:
+        raise ValueError(f"hash key prefix must be 15 chars, got {key_prefix!r}")
+    texts = np.asarray(flat.to_pylist(), dtype=object)
+    return hash_array(texts, hash_key=k1), hash_array(texts, hash_key=k2)
+
+
+def repetition_signals(sf_dir: str) -> ray.data.Dataset:
+    """Gopher A1.1 repetition filter signals per document, exact-integer:
+
+    - ``top2_count`` / ``top2_pos`` / ``top2_chars`` — occurrence count,
+      first position and character length of the document's most frequent
+      word 2-gram (ties broken by earliest first occurrence — a total
+      order, since a position holds exactly one gram). The published
+      "fraction of characters in the most frequent n-gram" is
+      ``top2_count * top2_chars / n_chars``; the three integers are
+      emitted raw so the oracle compare stays float-free.
+    - ``dup5_grams`` / ``dup5_chars`` — total occurrences of duplicated
+      (count >= 2) word 5-grams and their summed ``count * gram_chars``
+      character mass, the "fraction of characters in duplicated n-grams"
+      numerator.
+
+    Intra-document by definition -> pure ``map_batches``, no shuffle, no
+    cross-doc state: the whole kernel is one lexsort + run arithmetic
+    over the batch's flat word stream (window hashes via polynomial
+    combine of per-word siphashes; gram char lengths from a word-length
+    cumsum, never re-materializing gram strings). Scale cost is
+    O(words * log words) per batch with ~5 numpy passes."""
+    top_n, dup_n = REP_TOP_N, REP_DUP_N
+
+    def signals(batch: pa.Table) -> pa.Table:
+        parent, pos, flat = _explode_word_stream(batch)
+        nrows = batch.num_rows
+        wlen = (
+            pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        h1, h2 = _word_hash_pair(flat, "engine-repsigke")
+        cs = np.concatenate([[0], np.cumsum(wlen)])
+
+        def gram_runs(L):
+            """Per distinct (doc, gram): (doc, count, first_pos, chars)."""
+            nwin = len(parent) - L + 1
+            if nwin <= 0:
+                e = np.empty(0, np.int64)
+                return e, e, e, e
+            ok = parent[:nwin] == parent[L - 1 :]
+            g1 = _word_gram_hashes(h1, L)[ok]
+            g2 = _word_gram_hashes(h2, L)[ok]
+            doc = parent[:nwin][ok]
+            p = pos[:nwin][ok]
+            chars = (cs[L:][:nwin] - cs[:nwin] + (L - 1))[ok]
+            order = np.lexsort((p, g2, g1, doc))
+            doc, g1, g2 = doc[order], g1[order], g2[order]
+            p, chars = p[order], chars[order]
+            new = np.zeros(len(doc), bool)
+            if len(doc):
+                new[0] = True
+                new[1:] = (
+                    (doc[1:] != doc[:-1])
+                    | (g1[1:] != g1[:-1])
+                    | (g2[1:] != g2[:-1])
+                )
+            starts = np.flatnonzero(new)
+            sizes = np.diff(np.append(starts, len(doc))).astype(np.int64)
+            return doc[starts], sizes, p[starts], chars[starts]
+
+        d2, cnt2, fpos2, chars2 = gram_runs(top_n)
+        top_count = np.zeros(nrows, np.int64)
+        top_pos = np.full(nrows, -1, np.int64)
+        top_chars = np.zeros(nrows, np.int64)
+        if len(d2):
+            # last row per doc under (count asc, first_pos desc) = the
+            # (count desc, first_pos asc) winner
+            order = np.lexsort((-fpos2, cnt2, d2))
+            dO = d2[order]
+            last = np.flatnonzero(np.diff(dO, append=dO[-1] + 1))
+            sel = order[last]
+            top_count[d2[sel]] = cnt2[sel]
+            top_pos[d2[sel]] = fpos2[sel]
+            top_chars[d2[sel]] = chars2[sel]
+
+        d5, cnt5, _, chars5 = gram_runs(dup_n)
+        dup_grams = np.zeros(nrows, np.int64)
+        dup_chars = np.zeros(nrows, np.int64)
+        if len(d5):
+            # np.add.at, not bincount-with-weights: bincount accumulates
+            # in float64 and count*chars must stay exact int64
+            m = cnt5 >= 2
+            np.add.at(dup_grams, d5[m], cnt5[m])
+            np.add.at(dup_chars, d5[m], cnt5[m] * chars5[m])
+
+        n_chars = (
+            pc.utf8_length(pc.fill_null(batch["text"], ""))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_chars": pa.array(n_chars),
+                "top2_count": pa.array(top_count),
+                "top2_pos": pa.array(top_pos),
+                "top2_chars": pa.array(top_chars),
+                "dup5_grams": pa.array(dup_grams),
+                "dup5_chars": pa.array(dup_chars),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        signals, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -77,6 +77,7 @@ SQL_CHECKED = [
     "quantize_embeddings", "dedup_best", "cluster_topics",
     "merge_upsert", "knn_filtered", "quantile_sketch", "partitioned_sink",
     "pareto_docs", "weighted_sample_docs",
+    "dedup_substrings", "repetition_signals",
 ]
 
 
@@ -2900,3 +2901,108 @@ def test_dedup_best_keeps_longest():
     assert (got["n_members"] >= 1).all()
     # clusters containing a near-copy have >= 3 members (orig + exact + near)
     assert (got["n_members"] > 1).any()
+
+
+def test_dedup_substrings_crafted_edges(tmp_path):
+    """ExactSubstr span cut on a crafted corpus: an exact copy loses every
+    word (all windows non-first), a self-repeating doc loses its second
+    repeat, overlap removal dedupes positions, and empty / multi-space
+    docs survive untouched."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+    from engine.ops.dedup import SUBSTR_L, dedup_substrings
+
+    assert SUBSTR_L == 6
+    a = [f"a{i}" for i in range(12)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 4, 6, 8], pa.int64()),
+                "text": pa.array(
+                    [
+                        " ".join(a),                   # owner of a0..a11
+                        " ".join(a),                   # exact copy -> all cut
+                        " ".join(a[:6] + a[:6]),       # self-repeat + copy of 1
+                        "",                            # no words
+                        "x0  x1 x2",                   # double space, < L words
+                    ]
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{tmp_path}/documents.parquet'")
+    got = canon(_as_df(dedup_substrings(str(tmp_path))))
+    want = canon(con.sql(entrymod.oracle_sql()["dedup_substrings"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    by_id = got.set_index("doc_id")
+    # doc 1 owns every window (lowest doc_id): untouched
+    assert by_id.loc[1, "clean_text"] == " ".join(a)
+    assert by_id.loc[1, "n_removed"] == 0
+    # doc 2 (exact copy, and its dup_corpus +100000 clone of doc 1's text
+    # aside): every window non-first -> fully cut
+    assert by_id.loc[2, "clean_text"] == ""
+    assert by_id.loc[2, "n_removed"] == 12
+    # doc 4 = a0..a5 a0..a5: the pos-0 and pos-6 windows are both
+    # non-first copies of doc 1's prefix window, so their spans cover
+    # all 12 positions (the wrap windows at pos 1-5 occur only here and
+    # keep their first occurrence, but every word is already cut)
+    assert by_id.loc[4, "n_removed"] == 12
+    assert by_id.loc[4, "clean_text"] == ""
+    # word-less and short docs pass through
+    assert by_id.loc[6, "clean_text"] == "" and by_id.loc[6, "n_words"] == 0
+    assert by_id.loc[8, "clean_text"] == "x0 x1 x2"
+    assert by_id.loc[8, "n_removed"] == 0
+
+
+def test_repetition_signals_crafted(tmp_path):
+    """Gopher repetition signals: looping text yields a dominant 2-gram
+    and duplicated 5-grams; tie-break goes to the earliest first
+    occurrence; short/empty docs emit zero signals."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+    from engine.ops.textstats import repetition_signals
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "spam ham " * 9 + "spam ham",  # loop: 'ham spam' x9, 'spam ham' x10
+                        "aa bb aa bb cc dd cc dd",     # tie on count -> earliest pos
+                        "one",                          # single word: no grams
+                        "",                             # empty
+                    ]
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{tmp_path}/documents.parquet'")
+    got = canon(_as_df(repetition_signals(str(tmp_path))))
+    want = canon(con.sql(entrymod.oracle_sql()["repetition_signals"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    by_id = got.set_index("doc_id")
+    assert by_id.loc[0, "top2_count"] == 10          # 'spam ham' x10
+    assert by_id.loc[0, "top2_pos"] == 0
+    assert by_id.loc[0, "top2_chars"] == len("spam ham")
+    # all 16 5-gram occurrences belong to duplicated grams (period-2
+    # loop -> two distinct 5-grams, 8 occurrences each)
+    assert by_id.loc[0, "dup5_grams"] == 16
+    # doc 1: 'aa bb' and 'cc dd' both occur 2x; earliest first pos wins
+    assert by_id.loc[1, "top2_count"] == 2 and by_id.loc[1, "top2_pos"] == 0
+    assert by_id.loc[1, "top2_chars"] == len("aa bb")
+    assert by_id.loc[1, "dup5_grams"] == 0           # no duplicated 5-gram
+    for d in (2, 3):
+        assert by_id.loc[d, "top2_count"] == 0
+        assert by_id.loc[d, "top2_pos"] == -1
+        assert by_id.loc[d, "dup5_chars"] == 0
