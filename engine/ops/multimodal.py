@@ -11,8 +11,14 @@ the dependency-free codecs in ``imagecodec.py`` — parse, DEFLATE
 inflate, scanline unfilter, pixel stats, resample. PIL (absent in this
 container) remains an automatic fallback for formats outside that
 scope, and the legacy ``IMG1`` fake container still parses, covering
-the exotic-format posture. Audio/video codecs (ffmpeg) stay stubbed
-with deterministic containers — plumbing real, codec faked, honestly.
+the exotic-format posture.
+
+Audio/video decode is REAL too: audio payloads are genuine RIFF/WAVE
+PCM16 files and video payloads genuine YUV4MPEG2 (Y4M) C420 streams,
+parsed by the dependency-free codecs in ``avcodec.py`` (chunk walk,
+FRAME-marker plane math). The legacy ``AUD1``/``VID1`` fake containers
+remain fallback dispatch paths, same as IMG1 for images; ffmpeg-only
+formats (mp3/h264/...) stay out of scope, honestly.
 """
 
 from __future__ import annotations
@@ -27,6 +33,7 @@ import ray
 import ray.data
 
 from .._rayutil import ensure_serializable, pool_size
+from .avcodec import decode_wav, decode_y4m, encode_wav, encode_y4m
 from .imagecodec import (
     decode_image,
     encode_bmp,
@@ -335,6 +342,54 @@ def image_resize(sf_dir: str, max_side: int = 128) -> ray.data.Dataset:
 VID_MAGIC = b"VID1"
 
 
+def _doc_frames(doc_id: int, text: str):
+    """Deterministic (n, h, w) uint8 luma frames for a document: even
+    dims (4:2:0 legality), per-frame phase shift, text bytes striped
+    into the pattern so byte-identical docs render identical clips."""
+    n = 4 + int(doc_id) % 29
+    w = 16 + 2 * (doc_id % 9)
+    h = 16 + 2 * ((doc_id * 3) % 7)
+    yy, xx = np.meshgrid(
+        np.arange(h, dtype=np.int64), np.arange(w, dtype=np.int64), indexing="ij"
+    )
+    stripe = np.frombuffer(
+        ((text.encode() or b"\0") * (w // max(1, len(text)) + 2))[:w],
+        dtype=np.uint8,
+    ).astype(np.int64)
+    base = (xx * 3 + yy * 5 + doc_id + stripe[None, :]) % 256
+    f = np.arange(n, dtype=np.int64)[:, None, None]
+    return ((base[None, :, :] + 17 * f) % 256).astype(np.uint8)
+
+
+def encode_real_videos(sf_dir: str) -> ray.data.Dataset:
+    """documents -> (doc_id, video: binary, n_frames) with REAL
+    YUV4MPEG2 C420 payloads (avcodec.encode_y4m)."""
+    ensure_serializable()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        payloads, n_frames = [], []
+        for doc_id, text in zip(ids, batch["text"].to_pylist()):
+            frames = _doc_frames(int(doc_id), text or "")
+            payloads.append(encode_y4m(frames))
+            n_frames.append(frames.shape[0])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "video": pa.array(payloads, pa.binary()),
+                "n_frames": pa.array(n_frames, pa.int32()),
+            }
+        )
+
+    return ds.map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=BINARY_BATCH_SIZE,
+    )
+
+
 def encode_fake_videos(sf_dir: str) -> ray.data.Dataset:
     """documents -> (doc_id, video: binary, n_frames). Container:
     b"VID1" + n_frames:u16 + fixed 32-byte frame records."""
@@ -368,8 +423,9 @@ def encode_fake_videos(sf_dir: str) -> ray.data.Dataset:
 class SampleFrames:
     """Actor-pool frame-sample stage: every ``stride``-th frame becomes
     its own output row (the flat-map shape: 1 video row -> ceil(n/stride)
-    frame rows) with a per-frame byte-mean feature. A real ffmpeg decode
-    drops in behind the same signature."""
+    frame rows) with a per-frame luma-mean feature. REAL YUV4MPEG2
+    decode (avcodec.decode_y4m FRAME walk); legacy ``VID1`` containers
+    still parse via the old 32-byte-record path."""
 
     def __init__(self, stride: int = 4) -> None:
         self._stride = stride
@@ -379,6 +435,16 @@ class SampleFrames:
         for doc_id, payload in zip(
             batch["doc_id"].to_pylist(), batch["video"].to_pylist()
         ):
+            if payload[:9] == b"YUV4MPEG2":
+                try:
+                    _w, _h, frames = decode_y4m(payload)
+                except ValueError:
+                    continue
+                for f in range(0, frames.shape[0], self._stride):
+                    doc_ids.append(doc_id)
+                    frame_idx.append(f)
+                    means.append(round(float(frames[f].mean()), 6))
+                continue
             if payload[:4] != VID_MAGIC:
                 continue
             n = int.from_bytes(payload[4:6], "big")
@@ -398,7 +464,9 @@ class SampleFrames:
 
 
 def video_frame_sample(sf_dir: str, stride: int = 4) -> ray.data.Dataset:
-    return encode_fake_videos(sf_dir).map_batches(
+    """Full video pipeline: real Y4M encode -> actor-pool FRAME-walk
+    decode -> strided per-frame luma features."""
+    return encode_real_videos(sf_dir).map_batches(
         SampleFrames,
         fn_constructor_kwargs={"stride": stride},
         batch_format="pyarrow",
@@ -417,6 +485,56 @@ AUD_MAGIC = b"AUD1"
 AUDIO_FRAME = 1024  # samples per analysis window
 
 
+def _doc_waveform(doc_id: int, text: str):
+    """Deterministic int16 waveform for a document: two sinusoids +
+    text-derived noise (shared by the real-WAV and legacy encoders so
+    both containers carry identical samples)."""
+    sr = 8000 if doc_id % 2 == 0 else 16000
+    n = 2048 + (int(doc_id) * 331) % 6144
+    t = np.arange(n, dtype=np.float64)
+    f1 = 110.0 + (doc_id % 37) * 7.0
+    f2 = 440.0 + (doc_id % 13) * 11.0
+    wave = 0.5 * np.sin(2 * np.pi * f1 * t / sr)
+    wave += 0.25 * np.sin(2 * np.pi * f2 * t / sr)
+    noise = np.frombuffer(
+        (text.encode() * (n // max(1, len(text)) + 1))[:n], dtype=np.uint8
+    ).astype(np.float64)
+    wave += (noise - 127.5) / 1024.0
+    return sr, np.clip(wave * 20000, -32768, 32767).astype(np.int16)
+
+
+def encode_real_audio(sf_dir: str) -> ray.data.Dataset:
+    """documents -> (doc_id, audio: binary, sample_rate, n_samples) with
+    REAL RIFF/WAVE PCM16 payloads (avcodec.encode_wav) carrying the same
+    deterministic waveform as the legacy container."""
+    ensure_serializable()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        payloads, rates, counts = [], [], []
+        for doc_id, text in zip(ids, batch["text"].to_pylist()):
+            sr, samples = _doc_waveform(int(doc_id), text or "")
+            payloads.append(encode_wav(samples, sr))
+            rates.append(sr)
+            counts.append(len(samples))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "audio": pa.array(payloads, pa.binary()),
+                "sample_rate": pa.array(rates, pa.int32()),
+                "n_samples": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=BINARY_BATCH_SIZE,
+    )
+
+
 def encode_fake_audio(sf_dir: str) -> ray.data.Dataset:
     """documents -> (doc_id, audio: binary, sample_rate, n_samples).
     Container: b"AUD1" + sample_rate:u32 + n_samples:u32 + int16 LE
@@ -431,23 +549,13 @@ def encode_fake_audio(sf_dir: str) -> ray.data.Dataset:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         payloads, rates, counts = [], [], []
         for doc_id, text in zip(ids, batch["text"].to_pylist()):
-            sr = 8000 if doc_id % 2 == 0 else 16000
-            n = 2048 + (int(doc_id) * 331) % 6144
-            t = np.arange(n, dtype=np.float64)
-            f1 = 110.0 + (doc_id % 37) * 7.0
-            f2 = 440.0 + (doc_id % 13) * 11.0
-            wave = 0.5 * np.sin(2 * np.pi * f1 * t / sr)
-            wave += 0.25 * np.sin(2 * np.pi * f2 * t / sr)
-            noise = np.frombuffer(
-                (text.encode() * (n // max(1, len(text)) + 1))[:n], dtype=np.uint8
-            ).astype(np.float64)
-            wave += (noise - 127.5) / 1024.0
-            samples = np.clip(wave * 20000, -32768, 32767).astype("<i2")
+            sr, samples = _doc_waveform(int(doc_id), text or "")
+            n = len(samples)
             payloads.append(
                 AUD_MAGIC
                 + int(sr).to_bytes(4, "big")
                 + int(n).to_bytes(4, "big")
-                + samples.tobytes()
+                + samples.astype("<i2").tobytes()
             )
             rates.append(sr)
             counts.append(n)
@@ -467,13 +575,28 @@ def encode_fake_audio(sf_dir: str) -> ray.data.Dataset:
 
 
 class AudioFeatures:
-    """Actor-pool audio feature stage: decode the container header, frame
-    the waveform into AUDIO_FRAME-sample windows and emit per-doc RMS /
-    peak / duration features. A real librosa/ffmpeg decode drops in
-    behind the same signature (the _decode_real pattern)."""
+    """Actor-pool audio feature stage: REAL RIFF/WAVE PCM16 decode
+    (avcodec.decode_wav chunk walk) — legacy ``AUD1`` containers still
+    parse — then frame the waveform into AUDIO_FRAME-sample windows and
+    emit per-doc RMS / peak / duration features."""
 
     def __init__(self, frame: int = AUDIO_FRAME) -> None:
         self._frame = frame
+
+    @staticmethod
+    def _samples(payload: bytes):
+        """-> (sample_rate, int16 samples) or None."""
+        if payload[:4] == b"RIFF":
+            try:
+                sr, _channels, samples = decode_wav(payload)
+            except ValueError:
+                return None
+            return sr, samples
+        if payload[:4] == AUD_MAGIC:
+            sr = int.from_bytes(payload[4:8], "big")
+            n = int.from_bytes(payload[8:12], "big")
+            return sr, np.frombuffer(payload[12 : 12 + 2 * n], dtype="<i2")
+        return None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, rates, counts, durs, nfr, rmeans, rmaxs, peaks, ok = (
@@ -483,14 +606,14 @@ class AudioFeatures:
             batch["doc_id"].to_pylist(), batch["audio"].to_pylist()
         ):
             ids.append(doc_id)
-            if payload[:4] != AUD_MAGIC:
+            decoded = self._samples(payload)
+            if decoded is None:
                 rates.append(0); counts.append(0); durs.append(0.0)
                 nfr.append(0); rmeans.append(0.0); rmaxs.append(0.0)
                 peaks.append(0); ok.append(False)
                 continue
-            sr = int.from_bytes(payload[4:8], "big")
-            n = int.from_bytes(payload[8:12], "big")
-            samples = np.frombuffer(payload[12 : 12 + 2 * n], dtype="<i2")
+            sr, samples = decoded
+            n = len(samples)
             f = self._frame
             n_frames = (len(samples) + f - 1) // f
             padded = np.zeros(n_frames * f, dtype=np.float64)
@@ -521,8 +644,9 @@ class AudioFeatures:
 
 
 def audio_features(sf_dir: str) -> ray.data.Dataset:
-    """Full audio plumbing: encode -> actor-pool windowed-RMS features."""
-    return encode_fake_audio(sf_dir).map_batches(
+    """Full audio pipeline: real WAV encode -> actor-pool chunk-walk
+    decode -> windowed-RMS features."""
+    return encode_real_audio(sf_dir).map_batches(
         AudioFeatures,
         batch_format="pyarrow",
         zero_copy_batch=True,

@@ -371,10 +371,10 @@ def test_image_resize_caps_longest_side():
 
 
 def test_video_frame_sample_stride():
-    from engine.ops.multimodal import encode_fake_videos, video_frame_sample
+    from engine.ops.multimodal import encode_real_videos, video_frame_sample
 
     frames = video_frame_sample(SF, stride=4).to_pandas()
-    src = encode_fake_videos(SF).drop_columns(["video"]).to_pandas()
+    src = encode_real_videos(SF).drop_columns(["video"]).to_pandas()
     per_doc = frames.groupby("doc_id").size()
     want = src.set_index("doc_id")["n_frames"].map(lambda n: (n + 3) // 4)
     assert per_doc.sort_index().equals(want.sort_index().astype("int64"))
@@ -639,7 +639,7 @@ def test_asof_join_left_nulls_ties_and_inclusivity(tmp_path):
 def test_audio_features_plumbing():
     """Audio modality: frame count formula, duration, RMS bounds, and a
     pure-numpy oracle for one document's features."""
-    from engine.ops.multimodal import AUDIO_FRAME, audio_features, encode_fake_audio
+    from engine.ops.multimodal import AUDIO_FRAME, audio_features, encode_real_audio
 
     feats = audio_features(SF).to_pandas().set_index("doc_id").sort_index()
     assert feats["decode_ok"].all()
@@ -652,11 +652,13 @@ def test_audio_features_plumbing():
     )
     assert (feats["rms_max"] >= feats["rms_mean"]).all()
     assert (feats["peak"] <= 32768).all() and (feats["peak"] > 0).all()
-    # single-doc oracle: recompute RMS from the raw container
-    src = encode_fake_audio(SF).take(1)[0]
+    # single-doc oracle: re-decode the raw WAV container
+    from engine.ops.avcodec import decode_wav
+
+    src = encode_real_audio(SF).take(1)[0]
     payload, doc_id = src["audio"], src["doc_id"]
-    n = int.from_bytes(payload[8:12], "big")
-    samples = np.frombuffer(payload[12 : 12 + 2 * n], dtype="<i2")
+    _sr, _ch, samples = decode_wav(payload)
+    n = len(samples)
     nf = (n + AUDIO_FRAME - 1) // AUDIO_FRAME
     padded = np.zeros(nf * AUDIO_FRAME)
     padded[:n] = samples
