@@ -483,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": textstats.mixture_sample,
         "doc_repetition": textstats.doc_repetition,
         "repetition_signals": textstats.repetition_signals,
+        "dsir_select": textstats.dsir_select,
         "span_corruption": textstats.span_corruption,
         "oov_rate": textstats.oov_rate,
         "lm_score": textstats.lm_score,
@@ -1503,6 +1504,51 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN top2 t USING (doc_id)
             LEFT JOIN dup5 f USING (doc_id)
+        """,
+        "dsir_select": f"""
+            -- DSIR-shaped selection, integer-exact: per-doc target/source
+            -- unigram-frequency masses over top-{textstats_mod.DSIR_TOP_K}
+            -- capped count tables (ties -> count DESC, word ASC — the
+            -- engine's exact rule); select when N_s*t_mass > N_t*s_mass.
+            WITH words AS (
+              SELECT doc_id, lang,
+                     unnest(list_filter(string_split(coalesce(text, ''),
+                            ' '), x -> x <> '')) AS w
+              FROM documents),
+            tcnt AS (
+              SELECT w, count(*) AS c FROM words
+              WHERE lang = '{textstats_mod.DSIR_TARGET_LANG}'
+              GROUP BY w ORDER BY c DESC, w ASC
+              LIMIT {textstats_mod.DSIR_TOP_K}),
+            scnt AS (
+              SELECT w, count(*) AS c FROM words
+              GROUP BY w ORDER BY c DESC, w ASC
+              LIMIT {textstats_mod.DSIR_TOP_K}),
+            totals AS (
+              SELECT count(*) FILTER (
+                       WHERE lang = '{textstats_mod.DSIR_TARGET_LANG}')
+                       AS n_t,
+                     count(*) AS n_s
+              FROM words),
+            per_doc AS (
+              SELECT w.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(coalesce(sum(t.c), 0) AS BIGINT) AS t_mass,
+                     CAST(coalesce(sum(s.c), 0) AS BIGINT) AS s_mass
+              FROM words w
+              LEFT JOIN tcnt t ON t.w = w.w
+              LEFT JOIN scnt s ON s.w = w.w
+              GROUP BY w.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(p.t_mass, 0) AS BIGINT) AS t_mass,
+                   CAST(coalesce(p.s_mass, 0) AS BIGINT) AS s_mass,
+                   CAST(CASE WHEN totals.n_s * coalesce(p.t_mass, 0)
+                               > totals.n_t * coalesce(p.s_mass, 0)
+                        THEN 1 ELSE 0 END AS BIGINT) AS selected
+            FROM documents d
+            LEFT JOIN per_doc p USING (doc_id)
+            CROSS JOIN totals
         """,
         "dedup_best": f"""
             -- keep the LONGEST member per near-dup cluster (ties: min

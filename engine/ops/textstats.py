@@ -2413,3 +2413,151 @@ def repetition_signals(sf_dir: str) -> ray.data.Dataset:
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         signals, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-shaped data selection (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling") — integer-exact surrogate
+# ---------------------------------------------------------------------------
+
+DSIR_TOP_K = 2048       # bounded feature table (the lm_score discipline)
+DSIR_TARGET_LANG = "en"  # the in-domain corpus the selector steers toward
+
+
+def _unigram_count_table(sf_dir: str):
+    """Distributed (word, c_all, c_target) counts: ONE corpus pass with
+    per-batch pre-aggregation, one vocabulary-bounded groupby. c_target
+    counts only tokens of DSIR_TARGET_LANG documents."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words_list = pc.split_pattern(pc.fill_null(batch["text"], ""), " ")
+        flat = pc.list_flatten(words_list)
+        keep = pc.invert(pc.equal(flat, ""))
+        flat = flat.filter(keep)
+        parent = pc.list_parent_indices(words_list).to_numpy(
+            zero_copy_only=False
+        )[keep.to_numpy(zero_copy_only=False)]
+        is_t = (
+            pc.equal(batch["lang"], DSIR_TARGET_LANG)
+            .to_numpy(zero_copy_only=False)[parent]
+            .astype(np.int64)
+        )
+        t = pa.table(
+            {"w": flat, "c_all": pa.array(np.ones(len(parent), np.int64)),
+             "c_t": pa.array(is_t)}
+        )
+        return t.group_by(["w"]).aggregate([("c_all", "sum"), ("c_t", "sum")])
+
+    return (
+        _read_documents(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("w")
+        .aggregate(
+            Sum("c_all_sum", alias_name="c_all"),
+            Sum("c_t_sum", alias_name="c_t"),
+        )
+    )
+
+
+def dsir_select(sf_dir: str, k: int = DSIR_TOP_K) -> ray.data.Dataset:
+    """DSIR-shaped selection, integer-exact: score every document by the
+    corpus-frequency MASS its tokens carry in the target (lang = 'en')
+    vs the source (whole corpus) unigram distribution, and select docs
+    whose average target mass exceeds their average source mass — the
+    cross-multiplied integer form ``N_s * t_mass > N_t * s_mass`` of
+    DSIR's positive-importance-weight test (the published estimator's
+    log-ratio is float; the integer mass comparison keeps the oracle
+    hash-exact and is one vectorized ``log`` away from the real weights).
+
+    Scale shape: pass 1 builds the distributed unigram table (ONE
+    corpus pass, vocabulary-bounded groupby), reduces exact corpus
+    totals from the DISTRIBUTED table (never materializing it on the
+    driver), and caps both lookup sides to the ``k`` heavy hitters —
+    per-block local top-k partials mean the driver sees at most
+    num_blocks x k rows (the ``_top_bigrams`` bound). Pass 2 streams
+    documents against the two broadcast dicts; out-of-table words score
+    0 on BOTH engines. No shuffle ever carries the corpus."""
+    from ray.data.aggregate import Sum
+
+    ensure_serializable()
+    counts = _unigram_count_table(sf_dir).materialize()  # vocab-bounded
+    tot = counts.aggregate(
+        Sum("c_all", alias_name="n_s"), Sum("c_t", alias_name="n_t")
+    )
+    n_s, n_t = int(tot["n_s"]), int(tot["n_t"])
+
+    def table_of(col: str) -> dict:
+        order = [(col, "descending"), ("w", "ascending")]
+
+        def local_topk(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.greater(batch[col], 0))
+            if batch.num_rows > k:
+                batch = batch.sort_by(order).slice(0, k)
+            return batch
+
+        df = (
+            counts.map_batches(
+                local_topk, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+            .to_pandas()  # <= num_blocks * k rows by construction
+            .sort_values([col, "w"], ascending=[False, True], kind="mergesort")
+            .head(k)
+        )
+        return {w: int(c) for w, c in zip(df["w"], df[col])}
+
+    t_ref = ray.put(table_of("c_t"))
+    s_ref = ray.put(table_of("c_all"))
+
+    class Score:
+        def __init__(self, tr, sr, n_t_, n_s_):
+            self._t, self._s = ray.get(tr), ray.get(sr)
+            self._n_t, self._n_s = n_t_, n_s_
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            words_list = pc.split_pattern(pc.fill_null(batch["text"], ""), " ")
+            flat = pc.list_flatten(words_list)
+            keep = pc.invert(pc.equal(flat, ""))
+            flat = pc.dictionary_encode(flat.filter(keep).combine_chunks())
+            parent = pc.list_parent_indices(words_list).to_numpy(
+                zero_copy_only=False
+            )[keep.to_numpy(zero_copy_only=False)]
+            n = batch.num_rows
+            n_tokens = np.bincount(parent, minlength=n).astype(np.int64)
+            t_mass = np.zeros(n, np.int64)
+            s_mass = np.zeros(n, np.int64)
+            if len(parent):
+                vocab = np.asarray(flat.dictionary.to_pylist(), dtype=object)
+                codes = np.asarray(flat.indices, dtype=np.int64)
+                per_t = np.array(
+                    [self._t.get(w, 0) for w in vocab], dtype=np.int64
+                )
+                per_s = np.array(
+                    [self._s.get(w, 0) for w in vocab], dtype=np.int64
+                )
+                np.add.at(t_mass, parent, per_t[codes])
+                np.add.at(s_mass, parent, per_s[codes])
+            selected = (
+                self._n_s * t_mass > self._n_t * s_mass
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                    "n_tokens": pa.array(n_tokens),
+                    "t_mass": pa.array(t_mass),
+                    "s_mass": pa.array(s_mass),
+                    "selected": pa.array(selected),
+                }
+            )
+
+    from .._rayutil import pool_size
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        Score,
+        fn_constructor_args=(t_ref, s_ref, n_t, n_s),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        num_cpus=1,
+    )

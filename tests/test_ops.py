@@ -77,7 +77,7 @@ SQL_CHECKED = [
     "quantize_embeddings", "dedup_best", "cluster_topics",
     "merge_upsert", "knn_filtered", "quantile_sketch", "partitioned_sink",
     "pareto_docs", "weighted_sample_docs",
-    "dedup_substrings", "repetition_signals",
+    "dedup_substrings", "repetition_signals", "dsir_select",
 ]
 
 
@@ -3008,3 +3008,87 @@ def test_repetition_signals_crafted(tmp_path):
         assert by_id.loc[d, "top2_count"] == 0
         assert by_id.loc[d, "top2_pos"] == -1
         assert by_id.loc[d, "dup5_chars"] == 0
+
+
+def test_dedup_substrings_hot_window_is_linear(tmp_path):
+    """A window duplicated across MANY docs (boilerplate) must cost one
+    linear run scan — every non-first occurrence is marked, output
+    correct, no pair expansion. 1500 identical docs + 1 owner."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from engine.ops.dedup import dedup_substrings
+
+    n = 1500
+    text = "b0 b1 b2 b3 b4 b5"
+    pq.write_table(
+        pa.table(
+            {
+                # ids 1..n+1 all carry the same 6 words -> ONE gram run of
+                # length 3*(n+1)/... (dup_corpus injects exact copies and
+                # near-dups too); owner = min doc_id
+                "doc_id": pa.array(list(range(1, n + 2)), pa.int64()),
+                "text": pa.array([text] * (n + 1)),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = (
+        dedup_substrings(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 1 keeps its text; every other original doc is fully cut
+    assert got.loc[1, "clean_text"] == text and got.loc[1, "n_removed"] == 0
+    originals = got.loc[2 : n + 1]
+    assert (originals["clean_text"] == "").all()
+    assert (originals["n_removed"] == 6).all()
+    # dup_corpus's exact copies (+100000) are all cut too; its trimmed
+    # near-dups (+200000) have 5 words < L and pass through untouched
+    copies = got.loc[100001 : 100001 + n]
+    assert (copies["clean_text"] == "").all()
+    trimmed = got.loc[200001:]
+    assert (trimmed["n_removed"] == 0).all()
+
+
+def test_dsir_select_crafted(tmp_path):
+    """DSIR-shaped selection on a crafted corpus: docs made of
+    target-corpus vocabulary are selected, docs of source-only words are
+    not, and a word-less doc scores all-zero / unselected."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+    from engine.ops.textstats import dsir_select
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        "good clean prose here",      # en (target)
+                        "good clean text here",       # en (target)
+                        "good clean prose here",      # de, but target words
+                        "spamwort nur hier unten",    # de, source-only words
+                        "",                           # empty
+                    ]
+                ),
+                "lang": pa.array(["en", "en", "de", "de", "de"]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{tmp_path}/documents.parquet'")
+    got = canon(_as_df(dsir_select(str(tmp_path))))
+    want = canon(con.sql(entrymod.oracle_sql()["dsir_select"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    by_id = got.set_index("doc_id")
+    # target-vocab docs beat the corpus average regardless of their own
+    # lang label; source-only docs have zero target mass
+    assert by_id.loc[0, "selected"] == 1
+    assert by_id.loc[2, "selected"] == 1
+    assert by_id.loc[3, "t_mass"] == 0 and by_id.loc[3, "selected"] == 0
+    assert by_id.loc[4, "n_tokens"] == 0 and by_id.loc[4, "selected"] == 0
