@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_event_per_user": relational.top_event_per_user,
         "grouped_topn_events": relational.grouped_topn_events,
         "asof_join_events_orders": relational.asof_join_events_orders,
+        "sampled_join_events_orders": relational.sampled_join_events_orders,
         "interval_join_events_orders": relational.interval_join_events_orders,
         "anti_join_customers": relational.anti_join_customers,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -1504,6 +1505,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN top2 t USING (doc_id)
             LEFT JOIN dup5 f USING (doc_id)
+        """,
+        "sampled_join_events_orders": f"""
+            -- deterministic Bernoulli sample of the equi-join OUTPUT:
+            -- pair survives iff the two-key Knuth mix (per-term % 2^32
+            -- keeps BIGINT arithmetic overflow-free) clears pct
+            SELECT e.event_id, e.user_id, o.o_orderkey AS order_key,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) AS order_cents
+            FROM events e JOIN orders o ON o.o_custkey = e.user_id
+            WHERE ((((e.event_id * {relational.SJ_A}) % {relational.SJ_M})
+                  + ((o.o_orderkey * {relational.SJ_B}) % {relational.SJ_M})
+                  + {relational.SJ_C}) % {relational.SJ_M}) % 100
+                  < {relational.SAMPLED_JOIN_PCT}
         """,
         "dsir_select": f"""
             -- DSIR-shaped selection, integer-exact: per-doc target/source

@@ -3779,3 +3779,158 @@ def merge_upsert(sf_dir: str) -> ray.data.Dataset:
     return both.groupby("_db").map_groups(
         lambda g: merge_bucket(g.drop_columns(["_db"])), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampled equi-join (uniform Bernoulli over the join OUTPUT without
+# materializing it — the join-sampling problem of PODS'23 "Guaranteeing
+# the Õ(AGM/OUT) Runtime for Uniform Sampling ... over Joins" and
+# EDBT'23 "Streaming Weighted Sampling over Join Queries", in the
+# engine's deterministic-hash form)
+# ---------------------------------------------------------------------------
+
+SAMPLED_JOIN_PCT = 5          # keep ~5% of join pairs
+SJ_A = 2654435761            # Knuth multiplicative (sample_events parity)
+SJ_B = 2246822519            # second mixing prime for the right key
+SJ_C = 12345
+SJ_M = 4294967296            # 2^32
+_SJ_CHUNK = 1 << 20           # pair-enumeration chunk: bounds peak memory
+
+
+def sampled_join_events_orders(
+    sf_dir: str, pct: int = SAMPLED_JOIN_PCT, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Deterministic Bernoulli sample of the events x orders equi-join
+    (``user_id = o_custkey``) at ``pct``%: a pair survives iff the
+    Knuth-mix of BOTH keys clears the threshold — the decision is a pure
+    function of (event_id, o_orderkey), so a resumed partition samples
+    identically and the DuckDB oracle replays it row-for-row.
+
+    Scale shape: both sides bucket by hash(user_id) (the asof-join
+    machinery) and ONE map_groups per bucket enumerates candidate pairs
+    as int32/int64 INDEX arithmetic in fixed-size chunks
+    (``_SJ_CHUNK`` pairs at a time): the wide join rows are
+    materialized ONLY for surviving pairs, so peak memory is
+    chunk-bounded and output is rate-bounded — the full join result
+    never exists anywhere. Per-term ``% 2^32`` keeps the mix inside
+    int64 on the SQL side (no BIGINT overflow) with the same key-range
+    contract as ``sample_events``."""
+    from ..pipeline import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ensure_serializable()
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id"])
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        from pandas.util import hash_array
+
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        n = len(uid)
+        return pa.table(
+            {
+                "_b": pa.array((hash_array(uid) % num_buckets).astype(np.int32)),
+                "user_id": batch["user_id"],
+                "is_order": pa.array(np.zeros(n, dtype=np.int8)),
+                "lkey": batch["event_id"],
+                "rcents": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        from pandas.util import hash_array
+
+        uid = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        n = len(uid)
+        return pa.table(
+            {
+                "_b": pa.array((hash_array(uid) % num_buckets).astype(np.int32)),
+                "user_id": batch["o_custkey"],
+                "is_order": pa.array(np.ones(n, dtype=np.int8)),
+                "lkey": batch["o_orderkey"],
+                "rcents": _fixed_point(batch["o_totalprice"], 100),
+            }
+        )
+
+    tagged = events.map_batches(
+        tag_events, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        orders.map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "order_key": pa.array([], pa.int64()),
+            "order_cents": pa.array([], pa.int64()),
+        }
+    )
+
+    def sample_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        if t.num_rows == 0:
+            return empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        is_order = t["is_order"].to_numpy(zero_copy_only=False)
+        key = t["lkey"].to_numpy(zero_copy_only=False)
+        cents = t["rcents"].to_numpy(zero_copy_only=False)
+        ev, od = is_order == 0, is_order == 1
+        if not ev.any() or not od.any():
+            return empty
+        # sort each side by (uid, key) -> deterministic pair order
+        eo = np.lexsort((key[ev], uid[ev]))
+        oo = np.lexsort((key[od], uid[od]))
+        e_uid, e_key = uid[ev][eo], key[ev][eo]
+        o_uid, o_key, o_cents = uid[od][oo], key[od][oo], cents[od][oo]
+        # shared uid alignment: runs on each side, matched via searchsorted
+        e_u, e_start, e_cnt = np.unique(e_uid, return_index=True, return_counts=True)
+        o_u, o_start, o_cnt = np.unique(o_uid, return_index=True, return_counts=True)
+        pos = np.searchsorted(o_u, e_u)
+        pos_c = np.minimum(pos, len(o_u) - 1)
+        hit = o_u[pos_c] == e_u
+        m, g_es, g_os = e_cnt[hit], e_start[hit], o_start[pos_c[hit]]
+        k = o_cnt[pos_c[hit]]
+        pairs_per = (m * k).astype(np.int64)
+        total = int(pairs_per.sum())
+        if total == 0:
+            return empty
+        bounds = np.concatenate([[0], np.cumsum(pairs_per)])
+        out = []
+        # chunked enumeration: never more than _SJ_CHUNK pair indices live
+        # (gid recovered per chunk via searchsorted over the pair-count
+        # prefix sums — no O(total) scaffold array is ever built)
+        for lo in range(0, total, _SJ_CHUNK):
+            hi = min(lo + _SJ_CHUNK, total)
+            idx = np.arange(lo, hi, dtype=np.int64)
+            g = np.searchsorted(bounds, idx, side="right") - 1
+            loc = idx - bounds[g]
+            li = g_es[g] + loc // k[g]
+            ri = g_os[g] + loc % k[g]
+            eid, okey = e_key[li], o_key[ri]
+            h = (
+                (eid.astype(np.uint64) * np.uint64(SJ_A)) % np.uint64(SJ_M)
+                + (okey.astype(np.uint64) * np.uint64(SJ_B)) % np.uint64(SJ_M)
+                + np.uint64(SJ_C)
+            ) % np.uint64(SJ_M)
+            keep = (h % np.uint64(100)) < pct
+            if keep.any():
+                out.append(
+                    pa.table(
+                        {
+                            "event_id": pa.array(eid[keep]),
+                            "user_id": pa.array(e_uid[li[keep]]),
+                            "order_key": pa.array(okey[keep]),
+                            "order_cents": pa.array(o_cents[ri[keep]]),
+                        }
+                    )
+                )
+        return pa.concat_tables(out) if out else empty
+
+    return tagged.groupby("_b").map_groups(
+        lambda g: sample_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
+    )

@@ -78,6 +78,7 @@ SQL_CHECKED = [
     "merge_upsert", "knn_filtered", "quantile_sketch", "partitioned_sink",
     "pareto_docs", "weighted_sample_docs",
     "dedup_substrings", "repetition_signals", "dsir_select",
+    "sampled_join_events_orders",
 ]
 
 
@@ -3092,3 +3093,51 @@ def test_dsir_select_crafted(tmp_path):
     assert by_id.loc[2, "selected"] == 1
     assert by_id.loc[3, "t_mass"] == 0 and by_id.loc[3, "selected"] == 0
     assert by_id.loc[4, "n_tokens"] == 0 and by_id.loc[4, "selected"] == 0
+
+
+def test_sampled_join_crafted_rates(tmp_path):
+    """Sampled equi-join semantics on a crafted fixture: pct=100 IS the
+    full join (3x4 pairs for the shared user, unmatched sides drop),
+    pct=0 is empty, and the default rate matches the SQL replay."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+    from engine.ops.relational import sampled_join_events_orders
+
+    events = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 9], pa.int64()),  # 9: no orders
+            "ts": pa.array([0, 0, 0, 0], pa.timestamp("us")),
+            "event_type": pa.array(["a"] * 4),
+            "value": pa.array([1.0] * 4),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([10, 11, 12, 13, 14], pa.int64()),
+            "o_custkey": pa.array([7, 7, 7, 7, 8], pa.int64()),  # 8: no events
+            "o_orderdate": pa.array([0] * 5, pa.date32()),
+            "o_totalprice": pa.array([1.5, 2.25, 3.0, 4.75, 9.9]),
+        }
+    )
+    pq.write_table(events, str(tmp_path / "events.parquet"))
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+
+    full = (
+        sampled_join_events_orders(str(tmp_path), pct=100, num_buckets=4)
+        .to_pandas()
+    )
+    assert len(full) == 12  # 3 events x 4 orders; users 8 and 9 drop
+    assert set(full["user_id"]) == {7}
+    assert set(full["order_cents"]) == {150, 225, 300, 475}
+    assert len(sampled_join_events_orders(str(tmp_path), pct=0).to_pandas()) == 0
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS FROM '{tmp_path}/events.parquet'")
+    con.sql(f"CREATE VIEW orders AS FROM '{tmp_path}/orders.parquet'")
+    sql = entrymod.oracle_sql()["sampled_join_events_orders"]
+    got = canon(_as_df(sampled_join_events_orders(str(tmp_path), num_buckets=4)))
+    want = canon(con.sql(sql).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
