@@ -200,3 +200,132 @@ def test_data_url_equals_literal_embedding(seed):
     b64 = base64.b64encode(doc.encode()).decode()
     assert extract_turn(f"pre\ndata:text/html;base64,{b64}\npost", "user") == \
         extract_turn(f"pre\n{doc}\npost", "user")
+
+
+def test_repetition_signals_kernel_matches_bruteforce():
+    """Differential fuzz: the vectorized repetition kernel (lexsort + run
+    arithmetic over hashed word grams) vs a dict-based pure-Python oracle
+    on 300 random docs incl. empty text, double spaces and exact
+    copies."""
+    import random
+
+    import pyarrow as pa
+
+    from engine.ops.textstats import REP_DUP_N, REP_TOP_N, repetition_signals
+
+    random.seed(41)
+    vocab = ["aa", "bb", "cc", "dd", "e", "fff"]
+    texts = []
+    for i in range(300):
+        n = random.randrange(0, 24)
+        t = " ".join(random.choice(vocab) for _ in range(n))
+        if random.random() < 0.25:
+            t = t + "  " + t  # double space + self-repetition
+        texts.append(t)
+    texts[3] = ""
+    texts[5] = texts[4]
+
+    # drive the map_batches kernel directly (no Ray session needed)
+    import inspect
+
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts)}
+    )
+    ds = repetition_signals.__wrapped__ if hasattr(
+        repetition_signals, "__wrapped__") else None
+    # reach the inner kernel via a tiny local reimplementation of the
+    # brute oracle and the PUBLIC pipeline at sf-dir granularity is
+    # covered elsewhere; here: write a one-file fixture and run via Ray
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    pq.write_table(batch, os.path.join(d, "documents.parquet"))
+    got = repetition_signals(d).to_pandas().set_index("doc_id").sort_index()
+
+    for i, t in enumerate(texts):
+        ws = [w for w in t.split(" ") if w]
+        grams = {}
+        for j in range(len(ws) - REP_TOP_N + 1):
+            g = " ".join(ws[j : j + REP_TOP_N])
+            c, f = grams.get(g, (0, j))
+            grams[g] = (c + 1, f)
+        if grams:
+            best = max(grams.items(), key=lambda kv: (kv[1][0], -kv[1][1]))
+            want = (best[1][0], best[1][1], len(best[0]))
+        else:
+            want = (0, -1, 0)
+        row = got.loc[i]
+        assert (row["top2_count"], row["top2_pos"], row["top2_chars"]) == want
+        g5 = {}
+        for j in range(len(ws) - REP_DUP_N + 1):
+            g = " ".join(ws[j : j + REP_DUP_N])
+            g5[g] = g5.get(g, 0) + 1
+        assert row["dup5_grams"] == sum(c for c in g5.values() if c >= 2)
+        assert row["dup5_chars"] == sum(
+            c * len(g) for g, c in g5.items() if c >= 2
+        )
+        assert row["n_chars"] == len(t)
+
+
+def test_dedup_substrings_matches_bruteforce():
+    """Differential fuzz: the two-shuffle span-cut pipeline vs a
+    dict-based keep-first oracle over 120 random docs with heavy overlap
+    (small vocab forces cross-doc duplicate windows). The oracle runs on
+    the SAME dup_corpus expansion the engine reads."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    from engine.ops.dedup import (
+        EXACT_DUP_OFFSET, NEAR_DUP_OFFSET, SUBSTR_L, dedup_substrings,
+    )
+
+    random.seed(43)
+    vocab = ["x1", "x2", "x3"]
+    texts = {}
+    for i in range(120):
+        n = random.randrange(0, 16)
+        texts[i] = " ".join(random.choice(vocab) for _ in range(n))
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array(sorted(texts), pa.int64()),
+             "text": pa.array([texts[i] for i in sorted(texts)])}
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = dedup_substrings(d).to_pandas().set_index("doc_id").sort_index()
+
+    # brute oracle over the dup_corpus expansion
+    full = dict(texts)
+    import re
+
+    for i, t in texts.items():
+        full[i + EXACT_DUP_OFFSET] = t
+        if i % 2 == 0:
+            # dup_corpus's exact trim rule: drop trailing whitespace+token
+            # (a no-op on single-word / empty docs)
+            full[i + NEAR_DUP_OFFSET] = re.sub(r"\s+\S+$", "", t)
+    occ = {}
+    for did in sorted(full):
+        ws = [w for w in full[did].split(" ") if w]
+        for j in range(len(ws) - SUBSTR_L + 1):
+            occ.setdefault(" ".join(ws[j : j + SUBSTR_L]), []).append((did, j))
+    removed = {}
+    for lst in occ.values():
+        if len(lst) >= 2:
+            for did, j in lst[1:]:
+                removed.setdefault(did, set()).update(range(j, j + SUBSTR_L))
+    assert len(got) == len(full)
+    for did in sorted(full):
+        ws = [w for w in full[did].split(" ") if w]
+        rm = removed.get(did, set())
+        want_clean = " ".join(w for j, w in enumerate(ws) if j not in rm)
+        row = got.loc[did]
+        assert row["clean_text"] == want_clean, did
+        assert row["n_words"] == len(ws)
+        assert row["n_removed"] == len(rm & set(range(len(ws))))
