@@ -365,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topn_events": relational.grouped_topn_events,
         "asof_join_events_orders": relational.asof_join_events_orders,
         "sampled_join_events_orders": relational.sampled_join_events_orders,
+        "weighted_join_sample_events_orders": relational.weighted_join_sample_events_orders,
         "interval_join_events_orders": relational.interval_join_events_orders,
         "anti_join_customers": relational.anti_join_customers,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -1517,6 +1518,19 @@ def oracle_sql() -> dict[str, str]:
                   + ((o.o_orderkey * {relational.SJ_B}) % {relational.SJ_M})
                   + {relational.SJ_C}) % {relational.SJ_M}) % 100
                   < {relational.SAMPLED_JOIN_PCT}
+        """,
+        "weighted_join_sample_events_orders": f"""
+            -- weighted join sampling: pair survives with probability
+            -- proportional to the order's value (cents / 2^26, clamped)
+            SELECT e.event_id, e.user_id, o.o_orderkey AS order_key,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) AS order_cents
+            FROM events e JOIN orders o ON o.o_custkey = e.user_id
+            WHERE ((((e.event_id * {relational.SJ_A}) % {relational.SJ_M})
+                  + ((o.o_orderkey * {relational.SJ_B}) % {relational.SJ_M})
+                  + {relational.SJ_C}) % {relational.SJ_M})
+                  % {relational.WEIGHTED_JOIN_MOD}
+                  < least(CAST(round(o.o_totalprice * 100) AS BIGINT),
+                          {relational.WEIGHTED_JOIN_MOD - 1})
         """,
         "dsir_select": f"""
             -- DSIR-shaped selection, integer-exact: per-doc target/source

@@ -3798,7 +3798,10 @@ _SJ_CHUNK = 1 << 20           # pair-enumeration chunk: bounds peak memory
 
 
 def sampled_join_events_orders(
-    sf_dir: str, pct: int = SAMPLED_JOIN_PCT, num_buckets: int | None = None
+    sf_dir: str,
+    pct: int = SAMPLED_JOIN_PCT,
+    num_buckets: int | None = None,
+    weight_mod: int | None = None,
 ) -> ray.data.Dataset:
     """Deterministic Bernoulli sample of the events x orders equi-join
     (``user_id = o_custkey``) at ``pct``%: a pair survives iff the
@@ -3917,7 +3920,15 @@ def sampled_join_events_orders(
                 + (okey.astype(np.uint64) * np.uint64(SJ_B)) % np.uint64(SJ_M)
                 + np.uint64(SJ_C)
             ) % np.uint64(SJ_M)
-            keep = (h % np.uint64(100)) < pct
+            if weight_mod is None:
+                keep = (h % np.uint64(100)) < pct
+            else:
+                # weighted Bernoulli: inclusion probability proportional
+                # to the order's value (cents / weight_mod, clamped < 1)
+                w = np.minimum(
+                    o_cents[ri], np.int64(weight_mod - 1)
+                ).astype(np.uint64)
+                keep = (h % np.uint64(weight_mod)) < w
             if keep.any():
                 out.append(
                     pa.table(
@@ -3933,4 +3944,25 @@ def sampled_join_events_orders(
 
     return tagged.groupby("_b").map_groups(
         lambda g: sample_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
+    )
+
+
+WEIGHTED_JOIN_MOD = 1 << 26   # p = order_cents / 2^26; TPC-H totalprice
+                              # tops out ~$557k = 5.57e7 cents < 2^26? no:
+                              # 5.57e7 < 6.71e7 — headroom; larger values clamp
+
+
+def weighted_join_sample_events_orders(
+    sf_dir: str, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """WEIGHTED join sampling (the EDBT'23 "Streaming Weighted Sampling
+    over Join Queries" problem in deterministic-hash form): each
+    events x orders pair survives with probability proportional to the
+    order's value — ``hash(keys) % 2^26 < min(order_cents, 2^26-1)`` —
+    so high-value orders dominate the sample in exact proportion, with
+    no randomness to reconcile across resumes. Same chunk-bounded
+    enumeration as ``sampled_join_events_orders``: the full join output
+    never materializes; expected output size = sum(p) over pairs."""
+    return sampled_join_events_orders(
+        sf_dir, num_buckets=num_buckets, weight_mod=WEIGHTED_JOIN_MOD
     )

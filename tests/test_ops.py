@@ -78,7 +78,7 @@ SQL_CHECKED = [
     "merge_upsert", "knn_filtered", "quantile_sketch", "partitioned_sink",
     "pareto_docs", "weighted_sample_docs",
     "dedup_substrings", "repetition_signals", "dsir_select",
-    "sampled_join_events_orders",
+    "sampled_join_events_orders", "weighted_join_sample_events_orders",
 ]
 
 
@@ -3119,7 +3119,8 @@ def test_sampled_join_crafted_rates(tmp_path):
             "o_orderkey": pa.array([10, 11, 12, 13, 14], pa.int64()),
             "o_custkey": pa.array([7, 7, 7, 7, 8], pa.int64()),  # 8: no events
             "o_orderdate": pa.array([0] * 5, pa.date32()),
-            "o_totalprice": pa.array([1.5, 2.25, 3.0, 4.75, 9.9]),
+            # last two: a near-clamp giant (p ~ 0.9996) and tiny ones
+            "o_totalprice": pa.array([1.5, 2.25, 3.0, 670000.0, 9.9]),
         }
     )
     pq.write_table(events, str(tmp_path / "events.parquet"))
@@ -3131,7 +3132,7 @@ def test_sampled_join_crafted_rates(tmp_path):
     )
     assert len(full) == 12  # 3 events x 4 orders; users 8 and 9 drop
     assert set(full["user_id"]) == {7}
-    assert set(full["order_cents"]) == {150, 225, 300, 475}
+    assert set(full["order_cents"]) == {150, 225, 300, 67000000}
     assert len(sampled_join_events_orders(str(tmp_path), pct=0).to_pandas()) == 0
 
     con = duckdb.connect()
@@ -3141,3 +3142,15 @@ def test_sampled_join_crafted_rates(tmp_path):
     got = canon(_as_df(sampled_join_events_orders(str(tmp_path), num_buckets=4)))
     want = canon(con.sql(sql).df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # weighted mode: tiny cents -> ~0 inclusion; a giant order (clamped
+    # to p~1) always survives; SQL replay matches exactly
+    from engine.ops.relational import weighted_join_sample_events_orders
+
+    wsql = entrymod.oracle_sql()["weighted_join_sample_events_orders"]
+    wgot = _as_df(weighted_join_sample_events_orders(str(tmp_path), num_buckets=4))
+    wwant = canon(con.sql(wsql).df())
+    assert len(wwant) > 0           # the giant order keeps some pairs
+    pd.testing.assert_frame_equal(canon(wgot), wwant, check_dtype=False)
+    # tiny-cents orders are (deterministically) never sampled here
+    assert set(wgot["order_cents"]) == {67000000}
