@@ -366,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_events_orders": relational.asof_join_events_orders,
         "sampled_join_events_orders": relational.sampled_join_events_orders,
         "weighted_join_sample_events_orders": relational.weighted_join_sample_events_orders,
+        "join_size_estimate_events_orders": relational.join_size_estimate_events_orders,
         "interval_join_events_orders": relational.interval_join_events_orders,
         "anti_join_customers": relational.anti_join_customers,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -1531,6 +1532,17 @@ def oracle_sql() -> dict[str, str]:
                   % {relational.WEIGHTED_JOIN_MOD}
                   < least(CAST(round(o.o_totalprice * 100) AS BIGINT),
                           {relational.WEIGHTED_JOIN_MOD - 1})
+        """,
+        "join_size_estimate_events_orders": """
+            -- exact |events JOIN orders| from per-key degree products,
+            -- never running the join
+            WITH de AS (SELECT user_id AS k, count(*) AS d FROM events
+                        GROUP BY user_id),
+            do_ AS (SELECT o_custkey AS k, count(*) AS d FROM orders
+                    GROUP BY o_custkey)
+            SELECT CAST(sum(de.d * do_.d) AS BIGINT) AS join_rows,
+                   CAST(count(*) AS BIGINT) AS matched_keys
+            FROM de JOIN do_ USING (k)
         """,
         "dsir_select": f"""
             -- DSIR-shaped selection, integer-exact: per-doc target/source

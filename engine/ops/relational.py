@@ -3966,3 +3966,71 @@ def weighted_join_sample_events_orders(
     return sampled_join_events_orders(
         sf_dir, num_buckets=num_buckets, weight_mod=WEIGHTED_JOIN_MOD
     )
+
+
+def join_size_estimate_events_orders(sf_dir: str) -> ray.data.Dataset:
+    """EXACT join-output-size computation without computing the join —
+    the size-estimation side of the join-sampling literature (the AGM
+    bound's degree-sequence form): |events ⋈ orders| =
+    Σ_u deg_events(u) * deg_orders(u), plus the matched-key count.
+
+    Scale shape: each side pre-aggregates per-key degrees inside
+    map_batches (shuffle rows = distinct keys per batch, never events),
+    ONE groupby(key) merges both sides' partials, the per-key product
+    reduces to a 1-row answer — the join itself never runs. This is the
+    planner-side primitive the sampled/weighted join operators pair
+    with (decide the rate from the exact size, then sample)."""
+    from ray.data.aggregate import Sum
+
+    ensure_serializable()
+    events = _read(sf_dir, "events", columns=["user_id"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def deg_events(batch: pa.Table) -> pa.Table:
+        t = pa.table({"k": batch["user_id"]})
+        g = t.group_by(["k"]).aggregate([("k", "count")])
+        return pa.table(
+            {"k": g["k"], "d_e": pc.cast(g["k_count"], pa.int64()),
+             "d_o": pa.array(np.zeros(g.num_rows, np.int64))}
+        )
+
+    def deg_orders(batch: pa.Table) -> pa.Table:
+        t = pa.table({"k": batch["o_custkey"]})
+        g = t.group_by(["k"]).aggregate([("k", "count")])
+        return pa.table(
+            {"k": g["k"], "d_e": pa.array(np.zeros(g.num_rows, np.int64)),
+             "d_o": pc.cast(g["k_count"], pa.int64())}
+        )
+
+    degrees = (
+        events.map_batches(deg_events, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            orders.map_batches(
+                deg_orders, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        .groupby("k")
+        .aggregate(Sum("d_e", alias_name="d_e"), Sum("d_o", alias_name="d_o"))
+    )
+
+    def partial_product(batch: pa.Table) -> pa.Table:
+        de = batch["d_e"].to_numpy(zero_copy_only=False)
+        do = batch["d_o"].to_numpy(zero_copy_only=False)
+        both = (de > 0) & (do > 0)
+        return pa.table(
+            {
+                "join_rows": pa.array([int((de * do)[both].sum())], pa.int64()),
+                "matched_keys": pa.array([int(both.sum())], pa.int64()),
+            }
+        )
+
+    return (
+        degrees.map_batches(
+            partial_product, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(None)
+        .aggregate(
+            Sum("join_rows", alias_name="join_rows"),
+            Sum("matched_keys", alias_name="matched_keys"),
+        )
+    )

@@ -79,6 +79,7 @@ SQL_CHECKED = [
     "pareto_docs", "weighted_sample_docs",
     "dedup_substrings", "repetition_signals", "dsir_select",
     "sampled_join_events_orders", "weighted_join_sample_events_orders",
+    "join_size_estimate_events_orders",
 ]
 
 
@@ -3154,3 +3155,10 @@ def test_sampled_join_crafted_rates(tmp_path):
     pd.testing.assert_frame_equal(canon(wgot), wwant, check_dtype=False)
     # tiny-cents orders are (deterministically) never sampled here
     assert set(wgot["order_cents"]) == {67000000}
+
+    # the size estimate agrees with the pct=100 materialized join
+    from engine.ops.relational import join_size_estimate_events_orders
+
+    est = _as_df(join_size_estimate_events_orders(str(tmp_path)))
+    assert int(est["join_rows"].iloc[0]) == len(full) == 12
+    assert int(est["matched_keys"].iloc[0]) == 1
