@@ -317,18 +317,119 @@ def entry() -> Any:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Ordered so the driver's 50-entry CORRECTNESS sample maximizes
+    coverage over rounds: the 5 flagship entries stay first, then the
+    oracle-backed queries that have never received a driver row (rotated
+    each round); previously-green entries sit at the tail, still covered
+    by the full-dict replica gate (scripts/check_correctness.py)."""
     from engine.ops import (
         dedup, graph, multimodal, relational, similarity, sketches, textstats, tpch,
     )
 
     return {
-        # flagship extraction family (non-SQL -> rows-only checks)
+        # --- flagship extraction family (non-SQL -> rows-only checks) — always sampled
         "extract_transcripts": _extract_transcripts,
         "extract_transcripts_salted": _extract_transcripts_salted,
         "extract_turn_stats": _extract_turn_stats,
         "checkpointed_lineage": _checkpointed_lineage,
         "turn_global_views": _turn_global_views,
-        # conversation-template / history ops (SURVEY M1-M3)
+        # --- rotation r4: oracle-backed queries with no driver CORRECTNESS row in r1-r3
+        "q9_nation_profit": tpch.q9_nation_profit,
+        "q12_late_shipments": tpch.q12_late_shipments,
+        "q15_top_supplier": tpch.q15_top_supplier,
+        "q16_supplier_counts": tpch.q16_supplier_counts,
+        "q17_small_qty_revenue": tpch.q17_small_qty_revenue,
+        "q22_idle_customers": tpch.q22_idle_customers,
+        "q2_min_cost_supplier": tpch.q2_min_cost_supplier,
+        "q11_important_parts": tpch.q11_important_parts,
+        "q19_discounted_revenue": tpch.q19_discounted_revenue,
+        "q20_promotion_suppliers": tpch.q20_promotion_suppliers,
+        "q21_waiting_suppliers": tpch.q21_waiting_suppliers,
+        "rollup_events": relational.rollup_events,
+        "rank_events_per_user": relational.rank_events_per_user,
+        "moving_sum_events": relational.moving_sum_events,
+        "user_type_setops": relational.user_type_setops,
+        "q10_returned_revenue": relational.q10_returned_revenue,
+        "ntile_events_per_user": relational.ntile_events_per_user,
+        "dense_rank_events_per_user": relational.dense_rank_events_per_user,
+        "percent_rank_events": relational.percent_rank_events,
+        "densify_user_days": relational.densify_user_days,
+        "user_journeys": relational.user_journeys,
+        "q18_large_orders": relational.q18_large_orders,
+        "funnel_conversion": relational.funnel_conversion,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q7_volume_shipping": relational.q7_volume_shipping,
+        "time_to_conversion": relational.time_to_conversion,
+        "event_type_cooccurrence": relational.event_type_cooccurrence,
+        "daily_activity_full_join": relational.daily_activity_full_join,
+        "cohort_retention": relational.cohort_retention,
+        "hourly_active_users": relational.hourly_active_users,
+        "q8_market_share": relational.q8_market_share,
+        "anti_join_customers_bloom": relational.anti_join_customers_bloom,
+        "dup_cluster_sizes": dedup.dup_cluster_sizes,
+        "dedup_spans": dedup.dedup_spans,
+        "dedup_clusters": dedup.dedup_clusters,
+        "decontaminate_documents": dedup.decontaminate_documents,
+        "dedup_incremental": dedup.dedup_incremental,
+        "dedup_lines": dedup.dedup_lines,
+        "dedup_editdist": dedup.dedup_editdist,
+        "dedup_substrings": dedup.dedup_substrings,
+        "dedup_best": dedup.dedup_best,
+        "semdedup": similarity.semdedup,
+        "kmeans_embeddings": similarity.kmeans_embeddings,
+        "knn_filtered": similarity.knn_filtered,
+        "quantize_embeddings": similarity.quantize_embeddings,
+        # --- remaining never-driver-checked queries (rotate into the prefix in r5)
+        "ewma_events_per_user": relational.ewma_events_per_user,
+        "sample_events": sketches.sample_events,
+        "stratified_sample_events": sketches.stratified_sample_events,
+        "approx_distinct_users": sketches.approx_distinct_users,
+        "quantile_events_value": sketches.quantile_events_value,
+        "quantile_sketch": sketches.quantile_sketch,
+        "weighted_sample_docs": sketches.weighted_sample_docs,
+        "quantile_events_by_type": sketches.quantile_events_by_type,
+        "heavy_hitter_words": sketches.heavy_hitter_words,
+        "outlier_events": sketches.outlier_events,
+        "train_test_split": sketches.train_test_split,
+        "cms_word_counts": sketches.cms_word_counts,
+        "shuffle_export": sketches.shuffle_export,
+        "pagerank_entities": graph.pagerank_entities,
+        "source_overlap": dedup.source_overlap,
+        "cluster_topics": similarity.cluster_topics,
+        "embedding_centroids": similarity.embedding_centroids,
+        "unnest_embeddings": similarity.unnest_embeddings,
+        "diverse_sample": similarity.diverse_sample,
+        "gopher_rules": textstats.gopher_rules,
+        "lm_score_buckets": textstats.lm_score_buckets,
+        "bm25_topk": textstats.bm25_topk,
+        "curate_documents": textstats.curate_documents,
+        "lang_id_accuracy": textstats.lang_id_accuracy,
+        "bpe_token_counts": textstats.bpe_token_counts,
+        "bpe_train": textstats.bpe_train,
+        "compression_ratio": textstats.compression_ratio,
+        "tokenize_bpe": textstats.tokenize_bpe,
+        "word_counts": textstats.word_counts,
+        "trending_terms": textstats.trending_terms,
+        "pareto_docs": textstats.pareto_docs,
+        "bigram_counts": textstats.bigram_counts,
+        "tfidf_top_terms": textstats.tfidf_top_terms,
+        "filter_quality_docs": textstats.filter_quality_docs,
+        "pack_sequences": textstats.pack_sequences,
+        "chunk_documents": textstats.chunk_documents,
+        "source_mix_weights": textstats.source_mix_weights,
+        "inverted_index": textstats.inverted_index,
+        "fim_examples": textstats.fim_examples,
+        "contrastive_pairs": textstats.contrastive_pairs,
+        "mixture_sample": textstats.mixture_sample,
+        "doc_repetition": textstats.doc_repetition,
+        "repetition_signals": textstats.repetition_signals,
+        "dsir_select": textstats.dsir_select,
+        "span_corruption": textstats.span_corruption,
+        "oov_rate": textstats.oov_rate,
+        "lm_score": textstats.lm_score,
+        "audio_features": multimodal.audio_features,
+        "image_phash_dedup": multimodal.image_phash_dedup,
+        # --- driver-checked in r1-r3 (green); retained for the replica gate
         "render_conversations": _render_conversations,
         "sft_masks": _sft_masks,
         "sft_token_spans": _sft_token_spans,
@@ -347,7 +448,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_stats_jsonl": _conv_stats_jsonl,
         "conv_stats_csv": _conv_stats_csv,
         "partitioned_sink": _partitioned_sink,
-        # relational operators (SURVEY SS2.6-2.7, SS2.10)
         "pricing_summary": relational.pricing_summary,
         "stage_totals": relational.stage_totals,
         "top_stages": relational.top_stages,
@@ -378,124 +478,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_order_priority": relational.q4_order_priority,
         "q13_customer_distribution": relational.q13_customer_distribution,
         "pivot_events_by_day": relational.pivot_events_by_day,
-        "rollup_events": relational.rollup_events,
-        "rank_events_per_user": relational.rank_events_per_user,
-        "moving_sum_events": relational.moving_sum_events,
-        "user_type_setops": relational.user_type_setops,
-        "q10_returned_revenue": relational.q10_returned_revenue,
-        "ntile_events_per_user": relational.ntile_events_per_user,
-        "ewma_events_per_user": relational.ewma_events_per_user,
-        "anti_join_customers_bloom": relational.anti_join_customers_bloom,
-        "dense_rank_events_per_user": relational.dense_rank_events_per_user,
-        "percent_rank_events": relational.percent_rank_events,
-        "densify_user_days": relational.densify_user_days,
-        "user_journeys": relational.user_journeys,
-        "q18_large_orders": relational.q18_large_orders,
-        "funnel_conversion": relational.funnel_conversion,
-        "q6_forecast_revenue": relational.q6_forecast_revenue,
-        "q7_volume_shipping": relational.q7_volume_shipping,
-        "time_to_conversion": relational.time_to_conversion,
-        "event_type_cooccurrence": relational.event_type_cooccurrence,
-        "daily_activity_full_join": relational.daily_activity_full_join,
-        "cohort_retention": relational.cohort_retention,
-        "hourly_active_users": relational.hourly_active_users,
-        "q8_market_share": relational.q8_market_share,
-        # remaining TPC-H shapes adapted to the fixture schema
-        "q9_nation_profit": tpch.q9_nation_profit,
-        "q12_late_shipments": tpch.q12_late_shipments,
-        "q15_top_supplier": tpch.q15_top_supplier,
-        "q16_supplier_counts": tpch.q16_supplier_counts,
-        "q17_small_qty_revenue": tpch.q17_small_qty_revenue,
-        "q22_idle_customers": tpch.q22_idle_customers,
-        "q2_min_cost_supplier": tpch.q2_min_cost_supplier,
-        "q11_important_parts": tpch.q11_important_parts,
-        "q19_discounted_revenue": tpch.q19_discounted_revenue,
-        "q20_promotion_suppliers": tpch.q20_promotion_suppliers,
-        "q21_waiting_suppliers": tpch.q21_waiting_suppliers,
-        # sampling / sketches / order statistics
-        "sample_events": sketches.sample_events,
-        "stratified_sample_events": sketches.stratified_sample_events,
-        "approx_distinct_users": sketches.approx_distinct_users,
-        "quantile_events_value": sketches.quantile_events_value,
-        "quantile_sketch": sketches.quantile_sketch,
-        "weighted_sample_docs": sketches.weighted_sample_docs,
-        "quantile_events_by_type": sketches.quantile_events_by_type,
-        "heavy_hitter_words": sketches.heavy_hitter_words,
-        "outlier_events": sketches.outlier_events,
-        "train_test_split": sketches.train_test_split,
-        "cms_word_counts": sketches.cms_word_counts,
-        "shuffle_export": sketches.shuffle_export,
-        # dedup family
         "dedup_exact": dedup.dedup_exact,
-        "dup_cluster_sizes": dedup.dup_cluster_sizes,
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_jaccard": dedup.dedup_jaccard,
-        "dedup_spans": dedup.dedup_spans,
-        "dedup_clusters": dedup.dedup_clusters,
         "dedup_embedding": dedup.dedup_embedding,
         "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
-        "decontaminate_documents": dedup.decontaminate_documents,
-        "dedup_incremental": dedup.dedup_incremental,
-        "dedup_lines": dedup.dedup_lines,
-        "dedup_editdist": dedup.dedup_editdist,
-        "dedup_substrings": dedup.dedup_substrings,
-        "dedup_best": dedup.dedup_best,
-        # iterative graph analytics
-        "pagerank_entities": graph.pagerank_entities,
-        # corpus reporting
-        "source_overlap": dedup.source_overlap,
-        # similarity search
         "knn_bruteforce": similarity.knn_bruteforce,
-        "knn_filtered": similarity.knn_filtered,
-        "quantize_embeddings": similarity.quantize_embeddings,
-        "cluster_topics": similarity.cluster_topics,
         "knn_ivf": similarity.knn_ivf,
-        "embedding_centroids": similarity.embedding_centroids,
-        "unnest_embeddings": similarity.unnest_embeddings,
-        "kmeans_embeddings": similarity.kmeans_embeddings,
-        "diverse_sample": similarity.diverse_sample,
-        "semdedup": similarity.semdedup,
-        # text analysis
         "quality_score": textstats.quality_score,
-        "gopher_rules": textstats.gopher_rules,
-        "lm_score_buckets": textstats.lm_score_buckets,
-        "bm25_topk": textstats.bm25_topk,
-        "curate_documents": textstats.curate_documents,
         "lang_id": textstats.lang_id,
-        "lang_id_accuracy": textstats.lang_id_accuracy,
-        "bpe_token_counts": textstats.bpe_token_counts,
-        "bpe_train": textstats.bpe_train,
-        "compression_ratio": textstats.compression_ratio,
-        "tokenize_bpe": textstats.tokenize_bpe,
-        "word_counts": textstats.word_counts,
-        "trending_terms": textstats.trending_terms,
-        "pareto_docs": textstats.pareto_docs,
-        "bigram_counts": textstats.bigram_counts,
-        "tfidf_top_terms": textstats.tfidf_top_terms,
-        "filter_quality_docs": textstats.filter_quality_docs,
         "normalize_documents": textstats.normalize_documents,
         "doc_fingerprint": textstats.doc_fingerprint,
         "rolling_fingerprint": textstats.rolling_fingerprint,
-        "pack_sequences": textstats.pack_sequences,
-        "chunk_documents": textstats.chunk_documents,
-        "source_mix_weights": textstats.source_mix_weights,
-        "inverted_index": textstats.inverted_index,
-        "fim_examples": textstats.fim_examples,
-        "contrastive_pairs": textstats.contrastive_pairs,
-        "mixture_sample": textstats.mixture_sample,
-        "doc_repetition": textstats.doc_repetition,
-        "repetition_signals": textstats.repetition_signals,
-        "dsir_select": textstats.dsir_select,
-        "span_corruption": textstats.span_corruption,
-        "oov_rate": textstats.oov_rate,
-        "lm_score": textstats.lm_score,
-        # multimodal plumbing
         "image_metadata": multimodal.image_metadata,
         "image_resize": multimodal.image_resize,
         "video_frame_sample": multimodal.video_frame_sample,
-        "audio_features": multimodal.audio_features,
-        "image_phash_dedup": multimodal.image_phash_dedup,
     }
 
 
