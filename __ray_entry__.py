@@ -1508,25 +1508,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sampled_join_events_orders": f"""
             -- deterministic Bernoulli sample of the equi-join OUTPUT:
-            -- pair survives iff the two-key Knuth mix (per-term % 2^32
-            -- keeps BIGINT arithmetic overflow-free) clears pct
+            -- pair survives iff the two-key Knuth mix clears pct. The
+            -- multiply runs in HUGEINT (int128) so it cannot overflow
+            -- for ANY BIGINT key; the engine's uint64 wrap agrees
+            -- because (x mod 2^64) mod 2^32 == x mod 2^32
             SELECT e.event_id, e.user_id, o.o_orderkey AS order_key,
                    CAST(round(o.o_totalprice * 100) AS BIGINT) AS order_cents
             FROM events e JOIN orders o ON o.o_custkey = e.user_id
-            WHERE ((((e.event_id * {relational.SJ_A}) % {relational.SJ_M})
-                  + ((o.o_orderkey * {relational.SJ_B}) % {relational.SJ_M})
-                  + {relational.SJ_C}) % {relational.SJ_M}) % 100
+            WHERE CAST((((CAST(e.event_id AS HUGEINT) * {relational.SJ_A})
+                         % {relational.SJ_M})
+                  + ((CAST(o.o_orderkey AS HUGEINT) * {relational.SJ_B})
+                         % {relational.SJ_M})
+                  + {relational.SJ_C}) % {relational.SJ_M} AS BIGINT) % 100
                   < {relational.SAMPLED_JOIN_PCT}
         """,
         "weighted_join_sample_events_orders": f"""
             -- weighted join sampling: pair survives with probability
-            -- proportional to the order's value (cents / 2^26, clamped)
+            -- proportional to the order's value (cents / 2^26, clamped).
+            -- HUGEINT multiply: overflow-free for any BIGINT key (see
+            -- sampled_join_events_orders)
             SELECT e.event_id, e.user_id, o.o_orderkey AS order_key,
                    CAST(round(o.o_totalprice * 100) AS BIGINT) AS order_cents
             FROM events e JOIN orders o ON o.o_custkey = e.user_id
-            WHERE ((((e.event_id * {relational.SJ_A}) % {relational.SJ_M})
-                  + ((o.o_orderkey * {relational.SJ_B}) % {relational.SJ_M})
-                  + {relational.SJ_C}) % {relational.SJ_M})
+            WHERE CAST((((CAST(e.event_id AS HUGEINT) * {relational.SJ_A})
+                         % {relational.SJ_M})
+                  + ((CAST(o.o_orderkey AS HUGEINT) * {relational.SJ_B})
+                         % {relational.SJ_M})
+                  + {relational.SJ_C}) % {relational.SJ_M} AS BIGINT)
                   % {relational.WEIGHTED_JOIN_MOD}
                   < least(CAST(round(o.o_totalprice * 100) AS BIGINT),
                           {relational.WEIGHTED_JOIN_MOD - 1})

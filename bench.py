@@ -200,6 +200,11 @@ def run_bench() -> dict:
         "unit": "sec",
         "queries": per_query,
         "queries_cold": per_query_cold,
+        # POLICY (since r3): `queries` is the MIN of 2 warm executions;
+        # `queries_cold` is the first execution. Rounds 1-2 recorded
+        # single-shot walls — round-over-round per-query comparisons
+        # must use queries_cold against those, not `queries`.
+        "queries_policy": "min-of-2-warm since r3; compare r1/r2 single-shot walls against queries_cold",
         "sf": _sf_of(sf_dir),
         "num_cpus": num_cpus,
         "turns": turns,

@@ -291,7 +291,7 @@ def finalize_partitioned(
     # empty + merged-bucket straggler blocks.
     from .pipeline import default_num_buckets
 
-    eff_buckets = num_buckets if num_buckets else default_num_buckets()
+    eff_buckets = num_buckets if num_buckets else default_num_buckets(files)
     ds = ray.data.read_parquet(files, override_num_blocks=eff_buckets)
     drop = [c for c in ("conv_n_turns", "part") if c in ds.schema().names]
     if drop:

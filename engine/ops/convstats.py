@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from .._rayutil import ensure_serializable, pool_size
-from ..pipeline import _hash_conv_ids
+from ..pipeline import _hash_conv_ids, resolve_num_buckets
 from .dedup import _bucket_of, _run_starts, text_hash128
 
 TOKEN_RE = r"\S+"
@@ -41,7 +41,9 @@ def _transcript_ds(transcript_paths, columns) -> ray.data.Dataset:
     return ray.data.read_parquet(transcript_paths, columns=columns)
 
 
-def conv_stats(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
+def conv_stats(
+    transcript_paths, num_buckets=None
+) -> ray.data.Dataset:
     """Per-conversation: n_turns, n_tool_turns, n_chars, ts range (us).
 
     Combine shape: per-batch ``group_by(conv_id)`` partials (one row per
@@ -51,6 +53,7 @@ def conv_stats(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
     ``num_buckets`` and reducing each bucket with vectorized reduceat
     makes the shuffle key 64 distinct int32s (~6s). Same pattern as the
     dedup pair combine."""
+    num_buckets = resolve_num_buckets(num_buckets, transcript_paths)
     ds = _transcript_ds(
         transcript_paths, ["conv_id", "role", "text", "ts"]
     )
@@ -237,7 +240,9 @@ def dedup_turns(transcript_paths) -> ray.data.Dataset:
 CHUNK_TOKENS = 256  # token budget per packed training chunk
 
 
-def chunk_conversations(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
+def chunk_conversations(
+    transcript_paths, num_buckets=None
+) -> ray.data.Dataset:
     """SEQUENCE PACKING: assign each turn to a fixed-budget training
     chunk — chunk_id = floor(tokens_before_this_turn / CHUNK_TOKENS)
     within its conversation, turns in turn_idx order. The
@@ -251,6 +256,7 @@ def chunk_conversations(transcript_paths, num_buckets: int = 64) -> ray.data.Dat
     transcript partitioning key — and each bucket sorts (conv_id,
     turn_idx) once and takes a cumsum-minus-run-base. No per-row or
     per-conversation Python."""
+    num_buckets = resolve_num_buckets(num_buckets, transcript_paths)
     ds = _transcript_ds(transcript_paths, ["conv_id", "turn_idx", "text"])
 
     def counts(batch: pa.Table) -> pa.Table:
@@ -309,7 +315,9 @@ def chunk_conversations(transcript_paths, num_buckets: int = 64) -> ray.data.Dat
 _ROLE_CODES = {"user": 0, "assistant": 1, "system": 2, "tool": 3}
 
 
-def valid_role_alternation(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
+def valid_role_alternation(
+    transcript_paths, num_buckets=None
+) -> ray.data.Dataset:
     """Structural validation of conversations — the schema-level clean
     step run before any transcript enters a training mix: a conv is
     valid iff turn 0 is user or system, 'system' never appears after
@@ -320,6 +328,7 @@ def valid_role_alternation(transcript_paths, num_buckets: int = 64) -> ray.data.
     one standard shuffle: roles compress to int8 codes, rows bucket on
     hash(conv), and each bucket lexsorts once and evaluates all three
     rules vectorized over run boundaries — no per-conv Python."""
+    num_buckets = resolve_num_buckets(num_buckets, transcript_paths)
     ds = _transcript_ds(transcript_paths, ["conv_id", "turn_idx", "role"])
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -379,7 +388,9 @@ def valid_role_alternation(transcript_paths, num_buckets: int = 64) -> ray.data.
     )
 
 
-def sft_pairs(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
+def sft_pairs(
+    transcript_paths, num_buckets=None
+) -> ray.data.Dataset:
     """SFT PAIR MINING — the dataset-construction step that turns raw
     transcripts into supervised (prompt, response) examples: every
     adjacent turn pair where a 'user' turn is immediately followed (in
@@ -391,6 +402,7 @@ def sft_pairs(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
     lexsorts once, and the pair predicate evaluates as a vectorized
     shift-compare over run boundaries (a pair never crosses a conv
     boundary). Text rides the shuffle once; no per-conv Python."""
+    num_buckets = resolve_num_buckets(num_buckets, transcript_paths)
     ds = _transcript_ds(transcript_paths, ["conv_id", "turn_idx", "role", "text"])
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -506,7 +518,9 @@ class _LinkExtract:
         )
 
 
-def link_stats(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
+def link_stats(
+    transcript_paths, num_buckets=None
+) -> ray.data.Dataset:
     """Corpus-wide link popularity over the hrefs embedded in turn text
     -> (href, n_occurrences, n_turns, n_convs). This is the link-graph
     frequency signal a boilerplate stripper feeds on (nav/footer links
@@ -523,6 +537,7 @@ def link_stats(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
     run boundaries (sum n per href run = occurrences, rows per run =
     turns, (href, conv) sub-runs = distinct convs — every occurrence of
     an href shares its bucket, so in-bucket runs are global)."""
+    num_buckets = resolve_num_buckets(num_buckets, transcript_paths)
     ensure_serializable()
     # turn_idx never leaves this op: a turn is one input row, so the
     # per-turn identity is the row itself — don't decode the column

@@ -1267,25 +1267,277 @@ def _doc_ngrams(text: str, n: int = DECON_NGRAM) -> set:
     return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
 
 
-def decontaminate_documents(sf_dir: str) -> ray.data.Dataset:
+def _decon_gram_hash(grams: List[str]) -> np.ndarray:
+    """Vectorized int64 siphash of gram strings (fixed 16-byte key, same
+    C loop as text_hash128) — the Bloom/bucket key for decontamination."""
+    from pandas.util import hash_array
+
+    if not grams:
+        return np.empty(0, dtype=np.int64)
+    return hash_array(
+        np.asarray(grams, dtype=object), hash_key="engine-deconkey1"
+    ).view(np.int64)
+
+
+def decontaminate_documents(sf_dir: str, mode: str = "bloom") -> ray.data.Dataset:
     """Benchmark DECONTAMINATION: flag every training document sharing
     any word 5-gram with a held-out benchmark set — the contamination
     filter run before any LLM training corpus ships (the n-gram-overlap
-    rule popularized by public LM training reports).
+    rule popularized by public LM training reports). The benchmark here
+    is doc_id % 50 == 0, standing in for a real eval suite.
 
-    The benchmark set (doc_id % 50 == 0 here, standing in for a real
-    eval suite) is SMALL by definition, so its distinct grams are a
-    driver materialize + ONE ``ray.put`` broadcast; the training stream
-    then runs a stateless membership filter per batch — no shuffle
-    touches the big side. At 100 TB the broadcast set would hash grams
-    to int64 and front a Bloom filter (``relational._bloom_positions``)
-    exactly like ``anti_join_customers_bloom``; exact strings are kept
-    here for oracle parity."""
+    ``mode="bloom"`` (default — the 100 TB plan, bit-identical output):
+      Pass 1 (bench side, fully distributed): each batch hashes its
+      benchmark docs' distinct grams to int64 (vectorized siphash) and
+      emits ONE 128 KB Bloom bitmap partial; the driver ORs batch-count
+      rows and re-broadcasts a single bitmap via ``ray.put``. Nothing
+      gram-count-proportional ever materializes on the driver — the
+      broadcast is O(BLOOM_BITS) however large the benchmark grows.
+      Pass 2 (training side): grams hash + Bloom-test per batch. Docs
+      with ZERO hit grams are definitely clean (a Bloom filter has no
+      false negatives) and emit (doc_id, 0) immediately, never entering
+      any shuffle. Only the Bloom-HIT grams (true matches + the ~FP%
+      sliver) ride a bucketed EXACT string join against the distributed
+      bench gram table — killing both Bloom and hash collisions, so
+      correctness never depends on the filter, only shuffle volume does.
+      Pass 3: contaminated doc_ids resolve back to the per-doc flag with
+      an int-only bucketed max over just the Bloom-hit docs.
+
+    ``mode="broadcast"`` keeps the exact-string frozenset broadcast —
+    the right plan for a REAL eval suite (fixed small size), where one
+    broadcast beats any shuffle. Both modes are oracle-exact; the bloom
+    plan is the default because this synthetic benchmark grows with the
+    corpus (2% of docs), exactly the case the broadcast cannot survive."""
     ensure_serializable()
+    if mode == "broadcast":
+        return _decontaminate_broadcast(sf_dir)
+    if mode != "bloom":
+        raise ValueError(f"unknown decontamination mode {mode!r}")
+    from ..pipeline import default_num_buckets
+    from .relational import BLOOM_BITS, _bloom_positions, _bloom_test
 
-    bench = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    num_buckets = default_num_buckets()
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    bench = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+
+    def _bench_gram_lists(batch: pa.Table):
+        """(grams, ghash) of the batch's benchmark docs, batch-distinct."""
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = doc_id % DECON_BENCH_MOD == 0
+        grams: set = set()
+        for t in batch.filter(pa.array(keep))["text"].to_pylist():
+            grams.update(_doc_ngrams(t))
+        grams = sorted(grams)
+        return grams, _decon_gram_hash(grams)
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        _, gh = _bench_gram_lists(batch)
+        bm = np.zeros(BLOOM_BITS // 64, dtype=np.uint64)
+        if gh.size:
+            p1, p2 = _bloom_positions(gh)
+            w = np.uint64(64)
+            np.bitwise_or.at(bm, p1 // 64, np.uint64(1) << (p1.astype(np.uint64) % w))
+            np.bitwise_or.at(bm, p2 // 64, np.uint64(1) << (p2.astype(np.uint64) % w))
+        return pa.table({"bitmap": pa.array([bm.tobytes()], pa.binary())})
+
+    parts = bench.map_batches(
+        bloom_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # one 128 KB row PER BATCH — bounded by batch count
+    bitmap = np.zeros(BLOOM_BITS // 64, dtype=np.uint64)
+    for row in parts:
+        bitmap |= np.frombuffer(row["bitmap"], dtype=np.uint64)
+    bitmap_ref = ray.put(bitmap)
+
+    def tag_bench(batch: pa.Table) -> pa.Table:
+        grams, gh = _bench_gram_lists(batch)
+        return pa.table(
+            {
+                "_b": pa.array((gh % num_buckets).astype(np.int32)),
+                "gram": pa.array(grams, pa.string()),
+                "doc_id": pa.array(np.full(len(grams), -1, dtype=np.int64)),
+                "is_bench": pa.array(np.ones(len(grams), dtype=np.int8)),
+            }
+        )
+
+    def _train_grams(batch: pa.Table):
+        """Per-doc DISTINCT grams of the batch's training docs, flattened
+        to (train_table, doc_idx, grams, ghash)."""
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        train = batch.filter(pa.array(doc_id % DECON_BENCH_MOD != 0))
+        grams: list = []
+        doc_idx: list = []
+        for i, t in enumerate(train["text"].to_pylist()):
+            g = _doc_ngrams(t)
+            grams.extend(g)
+            doc_idx.extend([i] * len(g))
+        return (
+            train,
+            np.asarray(doc_idx, dtype=np.int64),
+            grams,
+            _decon_gram_hash(grams),
+        )
+
+    class EmitClean:
+        """(doc_id, 0) for every training doc with NO Bloom-hit gram —
+        the overwhelming majority; they never enter a shuffle."""
+
+        def __init__(self, ref):
+            self._bm = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            train, doc_idx, _grams, gh = _train_grams(batch)
+            hit_any = np.zeros(train.num_rows, dtype=bool)
+            if gh.size:
+                hit = _bloom_test(self._bm, gh)
+                np.logical_or.at(hit_any, doc_idx[hit], True)
+            out = train.filter(pa.array(~hit_any))
+            return pa.table(
+                {
+                    "doc_id": pc.cast(out["doc_id"], pa.int64()),
+                    "contaminated": pa.array(
+                        np.zeros(out.num_rows, dtype=np.int64)
+                    ),
+                }
+            )
+
+    class TagCandidates:
+        """Bloom-HIT (doc_id, gram) rows + one (doc_id, '') marker row
+        per hit doc (so a doc whose every hit gram is a false positive
+        still resolves to flag 0 in pass 3)."""
+
+        def __init__(self, ref):
+            self._bm = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            train, doc_idx, grams, gh = _train_grams(batch)
+            if not gh.size:
+                return pa.table(
+                    {
+                        "_b": pa.array([], pa.int32()),
+                        "gram": pa.array([], pa.string()),
+                        "doc_id": pa.array([], pa.int64()),
+                        "is_bench": pa.array([], pa.int8()),
+                    }
+                )
+            hit = _bloom_test(self._bm, gh)
+            docs = train["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            hit_docs = np.unique(docs[doc_idx[hit]])
+            g_out = [grams[i] for i in np.flatnonzero(hit)]
+            gh_out = gh[hit]
+            return pa.table(
+                {
+                    "_b": pa.array(
+                        np.concatenate(
+                            [
+                                (gh_out % num_buckets).astype(np.int32),
+                                (hit_docs % num_buckets).astype(np.int32),
+                            ]
+                        )
+                    ),
+                    "gram": pa.array(g_out + [""] * len(hit_docs), pa.string()),
+                    "doc_id": pa.array(
+                        np.concatenate([docs[doc_idx[hit]], hit_docs])
+                    ),
+                    "is_bench": pa.array(
+                        np.concatenate(
+                            [
+                                np.zeros(int(hit.sum()), dtype=np.int8),
+                                np.full(len(hit_docs), 2, dtype=np.int8),
+                            ]
+                        )
+                    ),
+                }
+            )
+
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        """In-bucket EXACT match: a candidate gram contaminates its doc
+        iff the same STRING appears as a bench gram in this bucket (all
+        occurrences of a gram share hash, hence bucket). Marker rows
+        (is_bench=2) pass through so pass 3 sees every hit doc once."""
+        t = group.combine_chunks()
+        kind = t["is_bench"].to_numpy(zero_copy_only=False)
+        bench_rows = t.filter(pa.array(kind == 1))
+        cand_rows = t.filter(pa.array(kind == 0))
+        markers = t.filter(pa.array(kind == 2))
+        out_docs = [markers["doc_id"].to_numpy(zero_copy_only=False)]
+        out_flags = [np.zeros(markers.num_rows, dtype=np.int64)]
+        if cand_rows.num_rows and bench_rows.num_rows:
+            match = pc.is_in(
+                cand_rows["gram"], value_set=pc.unique(bench_rows["gram"])
+            ).to_numpy(zero_copy_only=False)
+            bad = np.unique(
+                cand_rows["doc_id"].to_numpy(zero_copy_only=False)[match]
+            )
+            out_docs.append(bad)
+            out_flags.append(np.ones(bad.size, dtype=np.int64))
+        return pa.table(
+            {
+                "_b2": pa.array(
+                    (np.concatenate(out_docs) % num_buckets).astype(np.int32)
+                ),
+                "doc_id": pa.array(np.concatenate(out_docs)),
+                "contaminated": pa.array(np.concatenate(out_flags)),
+            }
+        )
+
+    def resolve_bucket(group: pa.Table) -> pa.Table:
+        """Per hit doc: max(flag) across its marker + match rows."""
+        t = group.combine_chunks()
+        docs = t["doc_id"].to_numpy(zero_copy_only=False)
+        flags = t["contaminated"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((flags, docs))
+        docs, flags = docs[order], flags[order]
+        starts = np.flatnonzero(_run_starts(docs))
+        ends = np.r_[starts[1:], docs.size] - 1
+        return pa.table(
+            {
+                "doc_id": pa.array(docs[starts]),
+                "contaminated": pa.array(flags[ends]),
+            }
+        )
+
+    docs = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+    clean = docs.map_batches(
+        EmitClean,
+        fn_constructor_args=(bitmap_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        num_cpus=1,
     )
+    flagged = (
+        docs.map_batches(
+            TagCandidates,
+            fn_constructor_args=(bitmap_ref,),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=pool_size(),
+            num_cpus=1,
+        )
+        .union(
+            bench.map_batches(
+                tag_bench, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        .groupby("_b")
+        .map_groups(
+            lambda g: verify_bucket(g.drop_columns(["_b"])),
+            batch_format="pyarrow",
+        )
+        .groupby("_b2")
+        .map_groups(
+            lambda g: resolve_bucket(g.drop_columns(["_b2"])),
+            batch_format="pyarrow",
+        )
+    )
+    return clean.union(flagged)
+
+
+def _decontaminate_broadcast(sf_dir: str) -> ray.data.Dataset:
+    """The exact-string broadcast plan (see decontaminate_documents)."""
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    bench = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
 
     def bench_grams(batch: pa.Table) -> pa.Table:
         doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -1318,9 +1570,7 @@ def decontaminate_documents(sf_dir: str) -> ray.data.Dataset:
                 }
             )
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
+    ds = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
     return ds.map_batches(
         FlagContaminated,
         fn_constructor_args=(bench_ref,),

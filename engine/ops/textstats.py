@@ -447,7 +447,7 @@ TFIDF_SCALE = 1_000_000_000
 
 
 def tfidf_top_terms(
-    sf_dir: str, k: int = 3, num_buckets: int = 64
+    sf_dir: str, k: int = 3, num_buckets: int | None = None
 ) -> ray.data.Dataset:
     """Per-document top-k terms by tf·idf with a LINEAR idf (score =
     tf/df, fixed-point e9) — the keyword-extraction primitive, scored in
@@ -466,7 +466,11 @@ def tfidf_top_terms(
        asc) via one lexsort per bucket.
     Both shuffles carry int32 bucket keys (~|buckets| distinct values —
     the sort-shuffle scales with distinct keys, not bytes)."""
-    from ..pipeline import _hash_conv_ids
+    from ..pipeline import _hash_conv_ids, resolve_num_buckets
+
+    num_buckets = resolve_num_buckets(
+        num_buckets, os.path.join(sf_dir, "documents.parquet")
+    )
 
     def tf_partial(batch: pa.Table) -> pa.Table:
         words = pc.split_pattern(batch["text"], " ")

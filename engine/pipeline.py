@@ -224,9 +224,41 @@ class GlobalViewTurns:
         self._build = build_global_view
         self._build("warmup", "user")
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    @staticmethod
+    def _md5_hex(arr) -> list:
+        """md5 hexdigest per row, hashing the UTF-8 bytes IN PLACE via
+        memoryview slices of the Arrow data buffer — no to_pylist()
+        decode + re-encode round trip (measured ~1.6x on 100k mixed-len
+        strings; output byte-identical, so the golden-parquet oracle is
+        unchanged). Handles string/large_string, chunk offsets, and
+        validity (null hashes as empty — callers fill_null first)."""
         import hashlib
 
+        if isinstance(arr, pa.ChunkedArray):
+            chunks = arr.chunks
+        else:
+            chunks = [arr]
+        md5 = hashlib.md5
+        out: list = []
+        for chunk in chunks:
+            n = len(chunk)
+            if not n:
+                continue
+            bufs = chunk.buffers()
+            width = 8 if pa.types.is_large_string(chunk.type) else 4
+            dt = np.int64 if width == 8 else np.int32
+            off = chunk.offset
+            offsets = np.frombuffer(
+                bufs[1], dtype=dt, count=n + 1 + off
+            )[off:]
+            data = memoryview(bufs[2])
+            out.extend(
+                md5(data[offsets[i]:offsets[i + 1]]).hexdigest()
+                for i in range(n)
+            )
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         text = pc.fill_null(batch.column("text"), "")
         role = pc.fill_null(batch.column("role"), "")
         needs = _sniff_payload(text, role)
@@ -241,9 +273,7 @@ class GlobalViewTurns:
             for k, i in enumerate(payload_idx):
                 py_views[i] = self._build(sub_texts[k], sub_roles[k])
             views = pc.if_else(needs, pa.array(py_views, pa.string()), views)
-        fps = [
-            hashlib.md5(v.encode()).hexdigest() for v in views.to_pylist()
-        ]
+        fps = self._md5_hex(views)
         return pa.table(
             {
                 "conv_id": batch.column("conv_id"),
@@ -279,18 +309,92 @@ def global_view_plan(
 
 DEFAULT_NUM_BUCKETS = 64  # floor; default_num_buckets() scales with cluster
 
+# On-disk snappy parquet of transcript text expands ~3-5x when decoded to
+# in-memory Arrow; 5 is the conservative end so the per-block bound errs
+# toward MORE blocks, never an OOM-sized one.
+PARQUET_INMEM_EXPANSION = 5
 
-def default_num_buckets() -> int:
+
+def _estimate_input_bytes(paths) -> int:
+    """Total on-disk bytes of the parquet inputs (files, dirs, globs).
+    Best-effort: non-local / unresolvable paths contribute 0 — callers
+    fall back to the cluster-derived bucket floor."""
+    import glob as _glob
+    import os
+
+    total = 0
+    items = [paths] if isinstance(paths, (str, os.PathLike)) else list(paths)
+    for p in items:
+        p = os.fspath(p)
+        try:
+            if os.path.isdir(p):
+                for root, _dirs, names in os.walk(p):
+                    for name in names:
+                        if name.endswith(".parquet"):
+                            total += os.path.getsize(os.path.join(root, name))
+            elif os.path.isfile(p):
+                total += os.path.getsize(p)
+            else:  # glob pattern
+                for m in _glob.glob(p):
+                    if os.path.isfile(m):
+                        total += os.path.getsize(m)
+        except OSError:  # pragma: no cover — races with concurrent writers
+            continue
+    return total
+
+
+def default_num_buckets(paths=None) -> int:
     """Ordering-shuffle partitions: O(2x cluster cores), floored at 64.
     A constant would under-partition a 256-node cluster (one reducer per
-    bucket bounds the shuffle's parallelism)."""
+    bucket bounds the shuffle's parallelism).
+
+    With ``paths``, the count ALSO scales with the input so per-block
+    bytes stay bounded by the DataContext block-size target: plans pin
+    the read block count to the bucket count (see extraction_plan), and
+    pinning to a cluster-only constant would make per-block bytes grow
+    linearly with corpus size — at extreme corpus-to-cluster ratios
+    that's per-block OOM / object-store thrash. buckets = max(cluster
+    floor, est_in_memory_bytes / target_max_block_size), so both the
+    64/64 range-matching property AND the block-size bound hold at any
+    scale."""
     try:
         import ray
 
         ncpu = int(ray.cluster_resources().get("CPU", 0) or 0)
     except Exception:  # pragma: no cover
         ncpu = 0
-    return max(DEFAULT_NUM_BUCKETS, 2 * ncpu)
+    base = max(DEFAULT_NUM_BUCKETS, 2 * ncpu)
+    if paths is not None:
+        est = _estimate_input_bytes(paths) * PARQUET_INMEM_EXPANSION
+        if est:
+            try:
+                import ray.data
+
+                target = int(
+                    ray.data.DataContext.get_current().target_max_block_size
+                    or (128 << 20)
+                )
+            except Exception:  # pragma: no cover
+                target = 128 << 20
+            base = max(base, -(-est // target))  # ceil div
+    return int(base)
+
+
+def resolve_num_buckets(num_buckets, paths=None) -> int:
+    """Shared bucket-count resolution for every conv-bucketed pipeline:
+    an explicit value wins; ``None`` scales with the cluster AND (for
+    path inputs) the input size via default_num_buckets. A Dataset
+    input (no priceable paths) uses the cluster floor."""
+    if num_buckets is not None:
+        return int(num_buckets)
+    try:
+        import ray.data
+
+        if isinstance(paths, ray.data.Dataset):
+            paths = None
+    except Exception:  # pragma: no cover
+        pass
+    return default_num_buckets(paths)
 
 
 def _hash_conv_ids(conv_ids: np.ndarray) -> np.ndarray:
@@ -510,15 +614,16 @@ def extraction_plan(
     (duplicate boundaries ⇒ empty ranges; off-quantile boundaries ⇒
     merged-bucket straggler blocks that serialize the tail — Ray's
     default 224 blocks over 64 buckets measured 2-5x slower than 64/64
-    on the bench tier). Both scale together via default_num_buckets()
-    (2x cluster cores); jobs at extreme corpus-to-cluster ratios should
-    raise both so blocks stay near the target block size."""
+    on the bench tier). Both scale together via default_num_buckets(),
+    which takes max(2x cluster cores, est_input_bytes / target block
+    size) — so per-block bytes stay bounded at extreme
+    corpus-to-cluster ratios instead of growing with the corpus."""
     from ._rayutil import ensure_serializable
     from ._rayutil import pool_size as _pool_size
 
     ensure_serializable()
     if num_buckets is None:
-        num_buckets = default_num_buckets()
+        num_buckets = default_num_buckets(paths)
     read_kwargs = {"override_num_blocks": num_blocks if num_blocks is not None
                    else num_buckets}
 

@@ -10,7 +10,7 @@ same bucketed shuffle as the flagship ordering stage.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -381,7 +381,16 @@ def _read_for_buckets(
     )
 
 
-def _bucketed(ds: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset:
+def _resolve_buckets(num_buckets, transcript_paths) -> int:
+    """None -> cluster- and input-scaled default (pipeline
+    resolve_num_buckets); a hard-coded constant here would cap every
+    template/SFT shuffle at 64 reducers on a 256-node cluster."""
+    from .pipeline import resolve_num_buckets
+
+    return resolve_num_buckets(num_buckets, transcript_paths)
+
+
+def _bucketed(ds: ray.data.Dataset, num_buckets: int) -> ray.data.Dataset:
     from .pipeline import _hash_conv_ids
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -393,7 +402,8 @@ def _bucketed(ds: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset:
 
 
 def render_conversations(
-    transcript_paths, template: str = "plain", num_buckets: int = 64
+    transcript_paths, template: str = "plain",
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """One rendered prompt string per conversation.
 
@@ -403,6 +413,7 @@ def render_conversations(
     from ._rayutil import ensure_serializable
 
     ensure_serializable()
+    num_buckets = _resolve_buckets(num_buckets, transcript_paths)
     render = TEMPLATES[template]
     # kernel fast path only while the name still maps to the builtin —
     # a register_template(..., override=True) re-binding falls back to
@@ -453,12 +464,15 @@ def render_conversations(
     )
 
 
-def compact_history(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
+def compact_history(
+    transcript_paths, num_buckets: Optional[int] = None
+) -> ray.data.Dataset:
     """M3 as a standalone operator: per conversation emit only the system
     turns preceding the latest user turn, plus that user turn."""
     from ._rayutil import ensure_serializable
 
     ensure_serializable()
+    num_buckets = _resolve_buckets(num_buckets, transcript_paths)
     ds = _read_for_buckets(
         transcript_paths, ["conv_id", "turn_idx", "role", "text"], num_buckets
     )
@@ -627,7 +641,9 @@ def _render_aligned(t: pa.Table, k_uniq: np.ndarray, who: str):
     return rendered, r_conv, rpos
 
 
-def sft_masks(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
+def sft_masks(
+    transcript_paths, num_buckets: Optional[int] = None
+) -> ray.data.Dataset:
     """Loss-mask spans for SFT training -> one row per ASSISTANT turn:
     (conv_id, turn_idx, span_start, span_end), the char offsets of that
     turn's text inside the conversation's 'plain' render. An SFT
@@ -645,6 +661,7 @@ def sft_masks(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
     from ._rayutil import ensure_serializable
 
     ensure_serializable()
+    num_buckets = _resolve_buckets(num_buckets, transcript_paths)
     ds = _read_for_buckets(
         transcript_paths, ["conv_id", "turn_idx", "role", "text"], num_buckets
     )
@@ -680,7 +697,9 @@ def sft_masks(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
     )
 
 
-def sft_token_spans(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
+def sft_token_spans(
+    transcript_paths, num_buckets: Optional[int] = None
+) -> ray.data.Dataset:
     """sft_masks' char spans projected into whitespace-TOKEN space ->
     (conv_id, turn_idx, tok_start, tok_end): tok_start / tok_end are
     the number of maximal nonspace runs intersecting
@@ -699,6 +718,7 @@ def sft_token_spans(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset
     from ._rayutil import ensure_serializable
 
     ensure_serializable()
+    num_buckets = _resolve_buckets(num_buckets, transcript_paths)
     ds = _read_for_buckets(
         transcript_paths, ["conv_id", "turn_idx", "role", "text"], num_buckets
     )
@@ -759,7 +779,8 @@ def _conv_int(conv_ids: np.ndarray) -> np.ndarray:
 
 
 def sft_pack(
-    transcript_paths, seq_len: int = SFT_SEQ_LEN, num_buckets: int = 64
+    transcript_paths, seq_len: int = SFT_SEQ_LEN,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Pack every conversation's plain-render token stream (conv-int
     order, concatenated) into fixed ``seq_len`` windows and emit each
@@ -782,6 +803,7 @@ def sft_pack(
     from .ops.textstats import _prefix_scan
 
     ensure_serializable()
+    num_buckets = _resolve_buckets(num_buckets, transcript_paths)
     ds = _read_for_buckets(
         transcript_paths, ["conv_id", "turn_idx", "role", "text"], num_buckets
     )
@@ -957,7 +979,9 @@ def sft_pack(
     )
 
 
-def dedup_convs(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
+def dedup_convs(
+    transcript_paths, num_buckets: Optional[int] = None
+) -> ray.data.Dataset:
     """Conversation-level exact dedup: one representative per distinct
     PLAIN RENDER (the whole-conversation content key — the dedup an SFT
     pipeline runs before sft_pack so repeated conversations don't bias
@@ -969,6 +993,7 @@ def dedup_convs(transcript_paths, num_buckets: int = 64) -> ray.data.Dataset:
 
     from .ops.dedup import text_hash128
 
+    num_buckets = _resolve_buckets(num_buckets, transcript_paths)
     rendered = render_conversations(transcript_paths, num_buckets=num_buckets)
 
     def add_hash(batch: pa.Table) -> pa.Table:

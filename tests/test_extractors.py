@@ -341,3 +341,27 @@ def test_bad_payload_policy_passthrough(monkeypatch):
     assert segs == [("literal", bad)]
     extracted, spans, n = extract_turn(bad, "user")
     assert n == 0 and "AB=C=" in extracted
+
+
+def test_md5_hex_buffer_kernel_matches_hashlib():
+    """GlobalViewTurns._md5_hex hashes Arrow buffer slices in place; the
+    hexdigests must be byte-identical to the decode+encode hashlib path
+    for sliced chunks, large_string, unicode, and empty arrays (the
+    golden-parquet global_fp oracle depends on exact md5 parity)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from engine.pipeline import GlobalViewTurns
+
+    f = GlobalViewTurns._md5_hex
+    a = pa.array(["héllo", "", "naïve ünïcode ✓", "x" * 1000], pa.string())
+    for arr in (
+        a,
+        a.slice(1, 3),
+        pa.chunked_array([a, a.slice(2)]),
+        pa.array(["a", "ß∂ƒ", ""], pa.large_string()).slice(1),
+        pa.chunked_array([], pa.string()),
+    ):
+        want = [hashlib.md5(v.encode()).hexdigest() for v in arr.to_pylist()]
+        assert f(arr) == want

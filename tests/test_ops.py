@@ -1027,6 +1027,70 @@ def test_decontaminate_flags_verbatim_overlap(tmp_path):
     assert out["contaminated"].tolist() == [1, 0]
 
 
+def test_decontaminate_bloom_matches_broadcast(tmp_path):
+    """The Bloom-pruned exact plan must be BIT-IDENTICAL to the
+    exact-string broadcast plan on a contamination-heavy fixture (many
+    hit docs exercise the candidate join + per-doc resolve), and on the
+    driver testdata."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops import dedup as dd
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = []
+    bench_text = " ".join(vocab[:12])  # doc 0 -> benchmark
+    for i in range(240):
+        words = list(rng.choice(vocab, size=rng.integers(3, 25)))
+        if i % 3 == 0:  # inject a verbatim bench 5-gram in 1/3 of docs
+            k = int(rng.integers(0, 8))
+            words[:0] = vocab[k : k + 5]
+        texts.append(" ".join(words))
+    texts[0] = bench_text
+    pq.write_table(
+        pa.table({"doc_id": list(range(240)), "text": texts}),
+        tmp_path / "documents.parquet",
+    )
+    a = (
+        dd.decontaminate_documents(str(tmp_path), mode="bloom")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        dd.decontaminate_documents(str(tmp_path), mode="broadcast")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert a["contaminated"].sum() > 50  # the join path did real work
+    assert (a["contaminated"] == 0).sum() > 50
+
+
+def test_decontaminate_bloom_false_positives_resolve_to_zero(tmp_path):
+    """Exactness must never depend on the Bloom filter: with bench and
+    train vocabularies fully disjoint, every Bloom hit is a false
+    positive and the exact in-bucket string join must kill it — all
+    flags 0 at any FP rate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops import dedup as dd
+
+    bench_text = " ".join(f"bench{i}" for i in range(400))
+    train = [  # doc_ids 1..49: none is % 50 == 0
+        " ".join(f"train{j}_{i}" for i in range(30)) for j in range(49)
+    ]
+    pq.write_table(
+        pa.table(
+            {"doc_id": list(range(50)), "text": [bench_text] + train}
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = dd.decontaminate_documents(str(tmp_path), mode="bloom").to_pandas()
+    assert len(out) == 49
+    assert (out["contaminated"] == 0).all()
+
+
 def test_valid_role_alternation_rules(tmp_path):
     """Crafted convs exercise each rule: tool chains legal, repeated
     user/assistant illegal, bad first role illegal, late system illegal."""

@@ -283,3 +283,103 @@ def test_read_blocks_match_ordering_buckets(t1_files):
     )
     ds2 = extraction_plan(t2_files, batch_size=256, ordered=False)
     assert ds2.materialize().num_blocks() == default_num_buckets()
+
+def test_input_scaled_buckets(tmp_path):
+    """default_num_buckets(paths) scales with INPUT SIZE too: plans pin
+    read blocks to the bucket count, so a cluster-only constant would
+    grow per-block bytes linearly with corpus size (per-block OOM at
+    extreme corpus-to-cluster ratios). buckets >= est_in_memory_bytes /
+    target_max_block_size."""
+    import ray.data
+
+    from engine.pipeline import (
+        PARQUET_INMEM_EXPANSION,
+        default_num_buckets,
+        resolve_num_buckets,
+    )
+
+    floor = default_num_buckets()
+
+    # A sparse 10 GiB "parquet" file: on-disk bytes drive the estimate.
+    big = tmp_path / "big.parquet"
+    with open(big, "wb") as f:
+        f.truncate(10 << 30)
+    target = int(
+        ray.data.DataContext.get_current().target_max_block_size or (128 << 20)
+    )
+    expected = max(floor, -(-(10 << 30) * PARQUET_INMEM_EXPANSION // target))
+    assert default_num_buckets(str(big)) == expected
+    assert expected > floor  # 10 GiB * 5 / 128 MiB = 400 >> 64
+
+    # Directory + glob forms resolve the same file.
+    assert default_num_buckets(str(tmp_path)) == expected
+    assert default_num_buckets(str(tmp_path / "*.parquet")) == expected
+
+    # Tiny inputs stay at the cluster floor (bench parity unchanged).
+    small = tmp_path / "small.parquet"
+    small.write_bytes(b"x" * 1024)
+    assert default_num_buckets(str(small)) == floor
+
+    # Explicit values always win; Dataset inputs use the cluster floor.
+    assert resolve_num_buckets(17, str(big)) == 17
+    ds = ray.data.range(4)
+    assert resolve_num_buckets(None, ds) == floor
+
+
+def test_template_family_buckets_scale_with_cluster(t1_files, monkeypatch):
+    """The render/SFT/convstats family defaults num_buckets=None ->
+    resolve_num_buckets, NOT a hard-coded 64: on a 256-core cluster the
+    resolved count must follow 2x cores (the round-3 fixed-64 scale
+    bug). Verified by monkeypatching the cluster size and capturing the
+    count each pipeline passes to its bucketing stage."""
+    import inspect
+
+    import ray
+
+    import engine.ops.convstats as convstats
+    import engine.pipeline as pipeline
+    import engine.templates as templates
+
+    monkeypatch.setattr(
+        ray, "cluster_resources", lambda: {"CPU": 256.0}
+    )
+    assert pipeline.default_num_buckets() == 512
+
+    seen = {}
+    real_bucketed = templates._bucketed
+
+    def spy_bucketed(ds, num_buckets):
+        seen["templates"] = num_buckets
+        return real_bucketed(ds, num_buckets)
+
+    monkeypatch.setattr(templates, "_bucketed", spy_bucketed)
+    templates.render_conversations(t1_files)  # lazy: plan build suffices
+    assert seen["templates"] == 512
+
+    real_resolve = convstats.resolve_num_buckets
+
+    def spy_resolve(num_buckets, paths):
+        out = real_resolve(num_buckets, paths)
+        seen["convstats"] = out
+        return out
+
+    monkeypatch.setattr(convstats, "resolve_num_buckets", spy_resolve)
+    convstats.conv_stats(t1_files)
+    assert seen["convstats"] == 512
+
+    # Every public pipeline in the family advertises the scaled default.
+    for fn in (
+        templates.render_conversations,
+        templates.compact_history,
+        templates.sft_masks,
+        templates.sft_token_spans,
+        templates.sft_pack,
+        templates.dedup_convs,
+        convstats.conv_stats,
+        convstats.chunk_conversations,
+        convstats.valid_role_alternation,
+        convstats.sft_pairs,
+        convstats.link_stats,
+    ):
+        default = inspect.signature(fn).parameters["num_buckets"].default
+        assert default is None, fn.__name__

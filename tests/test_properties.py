@@ -225,18 +225,12 @@ def test_repetition_signals_kernel_matches_bruteforce():
     texts[3] = ""
     texts[5] = texts[4]
 
-    # drive the map_batches kernel directly (no Ray session needed)
-    import inspect
-
     batch = pa.table(
         {"doc_id": pa.array(range(len(texts)), pa.int64()),
          "text": pa.array(texts)}
     )
-    ds = repetition_signals.__wrapped__ if hasattr(
-        repetition_signals, "__wrapped__") else None
-    # reach the inner kernel via a tiny local reimplementation of the
-    # brute oracle and the PUBLIC pipeline at sf-dir granularity is
-    # covered elsewhere; here: write a one-file fixture and run via Ray
+    # write a one-file fixture and run the public pipeline via Ray,
+    # comparing against the dict-based brute oracle below
     import pyarrow.parquet as pq
     import tempfile, os
 
