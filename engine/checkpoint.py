@@ -79,17 +79,62 @@ def load_job_config(path: str) -> Dict:
     return cfg
 
 
+def parse_set_overrides(items) -> Dict:
+    """Parse ``--set key=value`` items into an override dict — the
+    reference's per-request override layer (its HTTP handlers merge
+    request fields above the TOML/CLI config,
+    /root/reference/crates/server/src/routes.rs:164-176) re-expressed
+    for a batch engine as per-RUN overrides above the CLI. Values are
+    JSON-parsed when possible (``--set num_partitions=128`` is an int,
+    ``--set keep_going=true`` a bool) and fall back to strings; dotted
+    keys address the nested extractor section
+    (``--set extractor.ruleset=v3``)."""
+    out: Dict = {}
+    for item in items or ():
+        key, sep, raw = item.partition("=")
+        if not sep or not key:
+            raise ValueError(f"--set expects key=value, got {item!r}")
+        try:
+            val = json.loads(raw)
+        except ValueError:
+            val = raw
+        if "." in key:
+            head, _, rest = key.partition(".")
+            if head != "extractor" or not rest or "." in rest:
+                raise ValueError(
+                    f"only extractor.<key> dotted overrides are supported, "
+                    f"got {key!r}"
+                )
+            out.setdefault("extractor", {})[rest] = val
+        else:
+            out[key] = val
+    return out
+
+
 def resolve_job_config(
-    file_cfg: Optional[Dict] = None, cli: Optional[Dict] = None
+    file_cfg: Optional[Dict] = None,
+    cli: Optional[Dict] = None,
+    overrides: Optional[Dict] = None,
 ) -> Dict:
-    """defaults <- file <- CLI. Only CLI entries that were explicitly
-    set (value is not None) override; ``file_cfg`` keys must be known."""
+    """defaults <- file <- CLI <- per-run overrides (``--set k=v``).
+    Only entries explicitly set (value is not None) override; keys in
+    every layer must be known. The extractor section DICT-MERGES across
+    layers (an override of one extractor key keeps the file's others),
+    and — like any extractor change — flows into partition fingerprints
+    via ``config_extra``, so an overridden run can never silently mix
+    with outputs produced under different extraction semantics."""
     resolved = dict(JOB_DEFAULTS)
-    for layer in (file_cfg or {}), (cli or {}):
+    for layer in (file_cfg or {}), (cli or {}), (overrides or {}):
         for k, v in layer.items():
             if k not in JOB_DEFAULTS:
                 raise ValueError(f"unknown job-config key {k!r}")
-            if v is not None:
+            if v is None:
+                continue
+            if k == "extractor":
+                merged = dict(resolved["extractor"])
+                merged.update(v)
+                resolved[k] = merged
+            else:
                 resolved[k] = v
     return resolved
 

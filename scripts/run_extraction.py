@@ -61,10 +61,16 @@ def main() -> int:
                     default=None,
                     help="record failed partitions in the manifest and "
                          "continue (rerun retries only the failed set)")
+    ap.add_argument("--set", dest="overrides", action="append", default=None,
+                    metavar="KEY=VALUE",
+                    help="per-run override above config file and flags; "
+                         "repeatable; values JSON-parsed (--set "
+                         "num_partitions=128, --set extractor.ruleset=v3)")
     args = ap.parse_args()
 
     from engine.checkpoint import (
         load_job_config,
+        parse_set_overrides,
         resolve_job_config,
         run_partitioned,
     )
@@ -81,6 +87,7 @@ def main() -> int:
             "concurrency": args.concurrency,
             "keep_going": args.keep_going,
         },
+        parse_set_overrides(args.overrides),
     )
     if not cfg["input"] or not cfg["output"]:
         print("input and output are required (flag or config file)",

@@ -422,3 +422,71 @@ def test_finalize_refuses_partial_run(t1_files, out_dir, tmp_path):
                     keep_going=True)
     finalize_partitioned(out_dir, str(tmp_path / "final"))
     assert os.path.isdir(str(tmp_path / "final"))
+
+
+def test_set_override_layer(tmp_path):
+    """Fourth config layer: per-run --set overrides merge ABOVE the CLI
+    (the reference's per-request override layer, routes.rs:164-176),
+    with JSON-parsed values, extractor dict-merge, and loud errors."""
+    from engine.checkpoint import (
+        load_job_config, parse_set_overrides, resolve_job_config,
+    )
+
+    toml = tmp_path / "job.toml"
+    toml.write_text(
+        'input = "/data/in"\noutput = "/data/out"\nnum_partitions = 8\n'
+        '[extractor]\nruleset = "v2"\nlang = "en"\n'
+    )
+    ov = parse_set_overrides(
+        ["num_partitions=128", "keep_going=true", "extractor.ruleset=v3"]
+    )
+    assert ov == {
+        "num_partitions": 128,
+        "keep_going": True,
+        "extractor": {"ruleset": "v3"},
+    }
+    r = resolve_job_config(
+        load_job_config(str(toml)), {"num_partitions": 16}, ov
+    )
+    assert r["num_partitions"] == 128          # override beats CLI
+    assert r["keep_going"] is True
+    # extractor DICT-merges: the file's other keys survive the override
+    assert r["extractor"] == {"ruleset": "v3", "lang": "en"}
+
+    with pytest.raises(ValueError, match="key=value"):
+        parse_set_overrides(["num_partitions"])
+    with pytest.raises(ValueError, match="extractor"):
+        parse_set_overrides(["foo.bar=1"])
+    with pytest.raises(ValueError, match="unknown job-config key"):
+        resolve_job_config(None, None, parse_set_overrides(["typo=1"]))
+
+
+def test_set_override_reprocesses_only_semantic_changes(t1_files, out_dir):
+    """An extractor --set override flows into partition fingerprints
+    (everything it governs reprocesses); a non-semantic override
+    (batch_size) leaves fingerprints — and the finished partitions —
+    untouched on rerun."""
+    from engine.checkpoint import parse_set_overrides, resolve_job_config
+
+    def run_with(sets, batch_size=256):
+        cfg = resolve_job_config(None, None, parse_set_overrides(sets))
+        return run_partitioned(
+            t1_files, out_dir, num_partitions=2, batch_size=batch_size,
+            config_extra=(
+                {"extractor": cfg["extractor"]} if cfg["extractor"] else None
+            ),
+        )
+
+    run_with(["extractor.ruleset=v1"])
+    mtimes = {
+        n: os.path.getmtime(os.path.join(out_dir, n))
+        for n in os.listdir(out_dir) if n.startswith("part=")
+    }
+    # non-semantic override: physical knob only — no reprocessing
+    run_with(["extractor.ruleset=v1"], batch_size=512)
+    for n, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(out_dir, n)) == m
+    # semantic override: new fingerprint — all governed partitions redo
+    run_with(["extractor.ruleset=v2"])
+    for n, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(out_dir, n)) > m
