@@ -1,15 +1,18 @@
-"""Dependency-free raster codecs: 24-bit BMP and 8-bit PNG (stdlib zlib).
+"""Dependency-free raster codecs: 24-bit BMP, 8-bit PNG (stdlib zlib),
+and baseline JPEG (jpegcodec.py).
 
 The reference's decode responsibility is real rasters
 (/root/reference/crates/server/src/generation.rs:276-305 decodes base64
 payloads into ``image::DynamicImage``); this container ships no PIL /
-ffmpeg, so these two formats — one trivially uncompressed (BMP), one
-DEFLATE-compressed with the full scanline-filter set (PNG) — give the
-multimodal operators genuine pixel decode without any dependency.
+ffmpeg, so these formats — one trivially uncompressed (BMP), one
+DEFLATE-compressed with the full scanline-filter set (PNG), one
+DCT+Huffman entropy-coded (JPEG) — give the multimodal operators
+genuine pixel decode without any dependency.
 
 Scope (deliberate): BMP = BITMAPINFOHEADER, 24 bpp, BI_RGB, bottom-up or
 top-down; PNG = bit depth 8, color type 0 (gray) or 2 (RGB), no
-interlace, filters 0-4 on decode (encode writes filter 0). Anything
+interlace, filters 0-4 on decode (encode writes filter 0); JPEG =
+baseline/extended sequential Huffman (see jpegcodec.py). Anything
 else raises ValueError — loud, never a wrong image.
 """
 
@@ -20,16 +23,24 @@ import zlib
 
 import numpy as np
 
+# module-level import, never lazy: decode_image runs inside worker UDFs,
+# where a runtime relative import fails under serialize-by-value.
+# encode_jpeg is re-exported for fixture generators (multimodal.py).
+from .jpegcodec import decode_jpeg, encode_jpeg  # noqa: F401
+
 BMP_MAGIC = b"BM"
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+JPEG_MAGIC = b"\xff\xd8\xff"
 
 
 def sniff_format(data: bytes):
-    """'bmp' | 'png' | None by magic bytes."""
+    """'bmp' | 'png' | 'jpeg' | None by magic bytes."""
     if data[:2] == BMP_MAGIC:
         return "bmp"
     if data[:8] == PNG_MAGIC:
         return "png"
+    if data[:3] == JPEG_MAGIC:
+        return "jpeg"
     return None
 
 
@@ -199,13 +210,15 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Sniff + decode either supported format -> (h, w, 3) uint8 RGB."""
+    """Sniff + decode any supported format -> (h, w, 3) uint8 RGB."""
     fmt = sniff_format(data)
     if fmt == "bmp":
         return decode_bmp(data)
     if fmt == "png":
         return decode_png(data)
-    raise ValueError("unknown image format (not BMP/PNG)")
+    if fmt == "jpeg":
+        return decode_jpeg(data)
+    raise ValueError("unknown image format (not BMP/PNG/JPEG)")
 
 
 def resize_nearest(rgb: np.ndarray, nw: int, nh: int) -> np.ndarray:

@@ -1,0 +1,609 @@
+"""Dependency-free baseline JPEG codec (ITU-T T.81 sequential DCT).
+
+Closes the raster-decode breadth gap vs the reference server, which
+accepts arbitrary uploaded rasters
+(/root/reference/crates/server/src/generation.rs:276-305): JPEG is the
+dominant real-world photo format, and this container ships no PIL, so
+the decoder is implemented from the public standard.
+
+Decoder scope: baseline + extended-sequential Huffman (SOF0/SOF1),
+8-bit samples, 1- or 3-component (grayscale / JFIF YCbCr), any integer
+sampling factors up to 4 (4:4:4, 4:2:2, 4:2:0, ...), restart intervals
+(DRI/RSTn), 8- or 16-bit-precision DQT, multiple DHT/DQT segments.
+Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical modes
+raise ValueError — loud, never a wrong image (same policy as
+imagecodec.py).
+
+Encoder scope (fixture generator for tests, not a production encoder):
+grayscale or YCbCr with 4:4:4 or 4:2:0 subsampling, Annex-K quantization
+tables with a libjpeg-style linear quality scale, optional restart
+intervals, and deliberately simple FIXED-length Huffman tables (all 12
+DC categories at 4 bits, all 162 AC symbols at 8 bits — a valid prefix
+code any conformant decoder accepts; compression ratio is not a goal).
+
+Entropy (de)coding walks bits in Python — fine for the small payloads
+the multimodal fixtures carry; the DCT/IDCT, color transform, padding
+and upsampling are vectorized numpy over all blocks at once.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+# Zigzag scan: index k in scan order -> flat index row*8+col.
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K quantization tables (natural row-major order).
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Orthonormal 8x8 DCT-II matrix: F = C @ f @ C.T, f = C.T @ F @ C.
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = 0.5 * (
+            (1.0 / np.sqrt(2.0)) if _k == 0 else 1.0
+        ) * np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+
+
+def _idct_blocks(coef: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) dequantized coefficients -> (n, 8, 8) spatial samples."""
+    return np.einsum("km,nkl,lj->nmj", _C, coef.astype(np.float64), _C)
+
+
+def _fdct_blocks(px: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) level-shifted samples -> (n, 8, 8) DCT coefficients."""
+    return np.einsum("mk,nkl,jl->nmj", _C, px.astype(np.float64), _C)
+
+
+# ---------------------------------------------------------------------------
+# Huffman machinery (canonical code construction, T.81 Annex C)
+# ---------------------------------------------------------------------------
+
+def _build_codes(bits, vals):
+    """(bits[1..16] counts, symbol list) -> {symbol: (code, length)}."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decode_lut(bits, vals):
+    """(counts, symbols) -> (sym, len) flat 16-bit-peek LUTs.
+
+    Decoding peeks 16 bits and indexes two 65536-entry arrays — one
+    lookup per Huffman symbol instead of one dict probe per BIT (the
+    classic flat-LUT decoder; ~50x over a bitwise walk in Python)."""
+    lut_sym = np.full(1 << 16, -1, dtype=np.int16)
+    lut_len = np.zeros(1 << 16, dtype=np.uint8)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            lut_sym[base : base + span] = vals[k]
+            lut_len[base : base + span] = length
+            code += 1
+            k += 1
+        code <<= 1
+    return lut_sym, lut_len
+
+
+# Encoder's fixed-length tables: valid prefix codes covering every
+# symbol (no all-ones codes: 12 < 2^4 and 162 < 2^8).
+_ENC_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_ENC_DC_VALS = list(range(12))
+_ENC_AC_BITS = [0] * 7 + [162] + [0] * 8
+_ENC_AC_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.put(0x7F, 8 - self.nbits)  # pad with 1s per T.81
+
+
+def _split_scan(data: bytes, pos: int):
+    """Entropy-coded data -> list of UNSTUFFED restart-segment byte
+    strings (0xFF00 -> 0xFF; RSTn markers delimit segments; any other
+    marker ends the scan)."""
+    segs = []
+    cur = bytearray()
+    n = len(data)
+    i = pos
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = data[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # EOI or next segment header
+            break
+    segs.append(bytes(cur))
+    return segs
+
+
+def _bit_windows(seg: bytes) -> np.ndarray:
+    """Unstuffed segment bytes -> uint32 array where win[i] is the
+    16-bit big-endian window starting at BIT i (3 zero pad bytes give
+    the final real bits a full window; valid streams never decode into
+    the pad)."""
+    bits = np.unpackbits(
+        np.frombuffer(seg + b"\x00\x00\x00", dtype=np.uint8)
+    ).astype(np.uint32)
+    win = np.zeros(bits.size, dtype=np.uint32)
+    for k in range(16):
+        win[: bits.size - k] |= bits[k:] << (15 - k)
+    return win
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> (h, w, 3) uint8 RGB (gray promotes)."""
+    if data[:3] != JPEG_MAGIC:
+        raise ValueError("not a JPEG (missing ffd8ff magic)")
+    qt = {}
+    dc_tables = {}
+    ac_tables = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    scan = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8:
+                raise ValueError(f"unsupported JPEG precision {precision}")
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported component count {ncomp}")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG mode (SOF marker ff{marker:02x}; "
+                "only baseline/extended sequential Huffman is decoded)"
+            )
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            off = 0
+            while off < len(body):
+                tc_th = body[off]
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17 : off + 17 + n])
+                table = _build_decode_lut(bits, vals)
+                if tc_th >> 4 == 0:
+                    dc_tables[tc_th & 0xF] = table
+                else:
+                    ac_tables[tc_th & 0xF] = table
+                off += 17 + n
+        elif marker == 0xDB:  # DQT
+            off = 0
+            while off < len(body):
+                pq_tq = body[off]
+                tq = pq_tq & 0xF
+                if pq_tq >> 4:  # 16-bit entries
+                    vals = np.frombuffer(
+                        body[off + 1 : off + 129], dtype=">u2"
+                    ).astype(np.int64)
+                    off += 129
+                else:
+                    vals = np.frombuffer(
+                        body[off + 1 : off + 65], dtype=np.uint8
+                    ).astype(np.int64)
+                    off += 65
+                nat = np.empty(64, dtype=np.int64)
+                nat[ZIGZAG] = vals  # DQT stores zigzag order
+                qt[tq] = nat
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cs, td_ta = struct.unpack_from(">BB", body, 1 + 2 * c)
+                scan_comps.append(
+                    {"id": cs, "td": td_ta >> 4, "ta": td_ta & 0xF}
+                )
+            scan = (scan_comps, pos + 2 + seglen)
+            break  # entropy-coded data follows
+        # APPn / COM / others: skip
+        pos += 2 + seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    scan_comps, data_pos = scan
+    comps = frame["comps"]
+    if len(scan_comps) != len(comps):
+        raise ValueError("multi-scan JPEG not supported (baseline only)")
+    by_id = {c["id"]: c for c in comps}
+    order = [by_id[s["id"]] for s in scan_comps]
+    for s, c in zip(scan_comps, order):
+        c["td"], c["ta"] = s["td"], s["ta"]
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    w, h = frame["w"], frame["h"]
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["h"]  # block columns
+        c["bh"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+        c["pred"] = 0
+
+    n_mcu = mcux * mcuy
+    segs = _split_scan(data, data_pos)
+    expected_segs = (
+        -(-n_mcu // restart_interval) if restart_interval else 1
+    )
+    if len(segs) != expected_segs:
+        raise ValueError(
+            f"restart-segment count {len(segs)} != expected {expected_segs}"
+        )
+    # flat per-block work list: (comp, block row, block col) per MCU
+    plan = []
+    for c in order:
+        dc_t = dc_tables.get(c["td"])
+        ac_t = ac_tables.get(c["ta"])
+        if dc_t is None or ac_t is None:
+            raise ValueError("missing Huffman table for scan")
+        plan.append((c, dc_t, ac_t))
+
+    for si, seg in enumerate(segs):
+        win = _bit_windows(seg)
+        nbits = len(seg) * 8
+        pos = 0
+        for c in comps:
+            c["pred"] = 0
+        first = si * restart_interval if restart_interval else 0
+        last = (
+            min(first + restart_interval, n_mcu)
+            if restart_interval else n_mcu
+        )
+        for m in range(first, last):
+            my, mx = divmod(m, mcux)
+            for c, (dc_sym, dc_len), (ac_sym, ac_len) in plan:
+                ch, cv, bw = c["h"], c["v"], c["bw"]
+                coef = c["coef"]
+                pred = c["pred"]
+                for v in range(cv):
+                    for hh in range(ch):
+                        if pos > nbits:
+                            raise ValueError("entropy stream truncated")
+                        w16 = int(win[pos])
+                        size = int(dc_sym[w16])
+                        if size < 0:
+                            raise ValueError("invalid DC Huffman code")
+                        pos += int(dc_len[w16])
+                        if size:
+                            mag = int(win[pos]) >> (16 - size)
+                            pos += size
+                            if mag < (1 << (size - 1)):  # EXTEND
+                                mag += 1 - (1 << size)
+                            pred += mag
+                        blk = coef[(my * cv + v) * bw + (mx * ch + hh)]
+                        blk[0] = pred
+                        k = 1
+                        while k < 64:
+                            w16 = int(win[pos])
+                            rs = int(ac_sym[w16])
+                            if rs < 0:
+                                raise ValueError("invalid AC Huffman code")
+                            pos += int(ac_len[w16])
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            size = rs & 0xF
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            mag = int(win[pos]) >> (16 - size)
+                            pos += size
+                            if mag < (1 << (size - 1)):
+                                mag += 1 - (1 << size)
+                            blk[k] = mag
+                            k += 1
+                c["pred"] = pred
+        if pos > nbits + 7:
+            raise ValueError("entropy stream overran restart segment")
+
+    planes = []
+    for c in comps:
+        q = qt.get(c["tq"])
+        if q is None:
+            raise ValueError(f"missing quantization table {c['tq']}")
+        deq = np.zeros((len(c["coef"]), 64), dtype=np.int64)
+        deq[:, ZIGZAG] = c["coef"] * q[ZIGZAG]  # zigzag -> natural
+        px = _idct_blocks(deq.reshape(-1, 8, 8)) + 128.0
+        px = np.clip(np.round(px), 0, 255).astype(np.uint8)
+        # block grid -> plane
+        plane = (
+            px.reshape(c["bh"], c["bw"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["bh"] * 8, c["bw"] * 8)
+        )
+        # crop to the component's sample dimensions, then upsample
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        plane = plane[:ch, :cw]
+        ys = (np.arange(h) * c["v"]) // vmax
+        xs = (np.arange(w) * c["h"]) // hmax
+        planes.append(plane[ys][:, xs].astype(np.float64))
+
+    if len(planes) == 1:
+        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(np.repeat(g[:, :, None], 3, axis=2))
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# encoder (test-fixture generator)
+# ---------------------------------------------------------------------------
+
+def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-style linear quality scaling of an Annex-K table."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality in [1, 100]")
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((q * s + 50) // 100, 1, 255)
+
+
+def _encode_block(
+    writer: _BitWriter, zz: np.ndarray, pred: int, dc_codes, ac_codes
+) -> int:
+    diff = int(zz[0]) - pred
+    size = int(diff != 0 and int(abs(diff)).bit_length())
+    code, length = dc_codes[size]
+    writer.put(code, length)
+    if size:
+        writer.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]
+            writer.put(c, ln)
+            run -= 16
+        size = int(abs(v)).bit_length()
+        c, ln = ac_codes[(run << 4) | size]
+        writer.put(c, ln)
+        writer.put(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        c, ln = ac_codes[0x00]
+        writer.put(c, ln)
+    return int(zz[0])
+
+
+def _component_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Padded plane -> (nblocks, 64) quantized zigzag coefficients."""
+    h, w = plane.shape
+    blocks = (
+        plane.reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    coef = _fdct_blocks(blocks).reshape(-1, 64)
+    qz = np.round(coef / q[None, :]).astype(np.int64)
+    # baseline AC categories stop at size 10 (|v| <= 1023); at quality
+    # 100 (q=1) an extreme block can quantize to +-1024 — clamp (DC's
+    # size-11 diff range covers its +-1024 span unclamped)
+    qz[:, 1:] = np.clip(qz[:, 1:], -1023, 1023)
+    return qz[:, ZIGZAG]  # natural -> zigzag scan order
+
+
+def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = -(-h // mh) * mh
+    pw = -(-w // mw) * mw
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: int = 1,
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) RGB or (h, w) gray uint8 -> baseline JPEG bytes.
+
+    ``subsample=1`` is 4:4:4; ``subsample=2`` is 4:2:0 (chroma averaged
+    2x2). Fixed-length Huffman tables (see module docstring)."""
+    if img.dtype != np.uint8:
+        raise ValueError("encode_jpeg wants uint8")
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError("encode_jpeg wants (h, w) or (h, w, 3)")
+    if subsample not in (1, 2):
+        raise ValueError("subsample must be 1 (4:4:4) or 2 (4:2:0)")
+    h, w = img.shape[:2]
+    ql = _quality_scale(QUANT_LUMA, quality)
+    qc = _quality_scale(QUANT_CHROMA, quality)
+
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+        qids = [0]
+        qtables = [ql]
+    else:
+        rgb = img.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] \
+            + 0.5 * rgb[..., 2]
+        cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] \
+            - 0.081312 * rgb[..., 2]
+        if subsample == 2:
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+            crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qids = [0, 1, 1]
+        qtables = [ql, qc]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    comp_zz = []
+    for plane, (sh, sv), qid in zip(planes, samp, qids):
+        padded = _pad_to(
+            np.clip(np.round(plane), 0, 255),
+            mcuy * sv * 8, mcux * sh * 8,
+        )
+        comp_zz.append((_component_blocks(padded, qtables[qid]), sh, sv))
+
+    dc_codes = _build_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _build_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(  # APP0 JFIF 1.1, no thumbnail
+        ">H5sBBBHHBB", 16, b"JFIF\x00", 1, 1, 0, 1, 1, 0, 0
+    )
+    for tq, q in enumerate(qtables):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) \
+            + bytes(int(v) for v in q[ZIGZAG])
+    ncomp = len(planes)
+    sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for i, (sh, sv) in enumerate(samp):
+        sof += struct.pack(">BBB", i + 1, (sh << 4) | sv, qids[i])
+    out += b"\xff\xc0" + sof
+    for tc, (bits, vals) in (
+        (0, (_ENC_DC_BITS, _ENC_DC_VALS)),
+        (1, (_ENC_AC_BITS, _ENC_AC_VALS)),
+    ):
+        body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for i in range(ncomp):
+        sos += struct.pack(">BB", i + 1, 0x00)  # DC table 0, AC table 0
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + sos
+
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    n_mcu = mcux * mcuy
+    rst = 0
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            writer.flush()
+            out += writer.out
+            writer = _BitWriter()
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            preds = [0] * ncomp
+        my, mx = divmod(m, mcux)
+        for ci, (zz, sh, sv) in enumerate(comp_zz):
+            bw = mcux * sh
+            for v in range(sv):
+                for hh in range(sh):
+                    row = my * sv + v
+                    col = mx * sh + hh
+                    preds[ci] = _encode_block(
+                        writer, zz[row * bw + col], preds[ci],
+                        dc_codes, ac_codes,
+                    )
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

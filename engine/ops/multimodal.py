@@ -36,6 +36,7 @@ from .._rayutil import ensure_serializable, pool_size
 from .avcodec import decode_wav, decode_y4m, encode_wav, encode_y4m
 from .imagecodec import (
     decode_image,
+    encode_jpeg,
     encode_bmp,
     encode_png,
     resize_nearest,
@@ -70,9 +71,10 @@ def _text_pixels(text: str):
 
 def encode_real_images(sf_dir: str) -> ray.data.Dataset:
     """documents -> (doc_id, image: binary, mime, width, height) with
-    REAL raster payloads: even text-crc docs encode as 24-bit BMP, odd
-    as 8-bit RGB PNG — both formats exercise a genuine decode
-    downstream."""
+    REAL raster payloads: text-crc mod 3 picks 24-bit BMP, 8-bit RGB
+    PNG, or baseline JPEG (quality 90, 4:2:0) — all three formats
+    exercise a genuine decode downstream (JPEG matches the reference
+    server's dominant upload format, generation.rs:276-305)."""
     ensure_serializable()
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
@@ -83,12 +85,16 @@ def encode_real_images(sf_dir: str) -> ray.data.Dataset:
         for text in batch["text"].to_pylist():
             rgb = _text_pixels(text or "")
             h, w = rgb.shape[:2]
-            if zlib.crc32((text or "").encode()) % 2 == 0:
+            pick = zlib.crc32((text or "").encode()) % 3
+            if pick == 0:
                 payloads.append(encode_bmp(rgb))
                 mimes.append("image/bmp")
-            else:
+            elif pick == 1:
                 payloads.append(encode_png(rgb))
                 mimes.append("image/png")
+            else:
+                payloads.append(encode_jpeg(rgb, quality=90, subsample=2))
+                mimes.append("image/jpeg")
             widths.append(w)
             heights.append(h)
         return pa.table(
@@ -177,11 +183,11 @@ def _decode_real(payload: bytes):
 
 
 class DecodeImageMeta:
-    """Actor-pool decode stage: REAL raster decode (BMP/PNG via
-    imagecodec — header parse, inflate, unfilter) emitting dimensions
-    and the gray-pixel mean.
+    """Actor-pool decode stage: REAL raster decode (BMP/PNG/JPEG via
+    imagecodec — header parse, inflate/Huffman, unfilter/IDCT) emitting
+    dimensions and the gray-pixel mean.
 
-    Dispatch per payload: BMP/PNG -> own codec; legacy ``IMG1``
+    Dispatch per payload: BMP/PNG/JPEG -> own codecs; legacy ``IMG1``
     container -> header parse (byte mean); anything else -> PIL when
     importable, else decode_ok=False. The Ray-side signature and output
     schema do not change across paths — contract-tested in
@@ -274,46 +280,53 @@ class ResizeImage:
         self._max_side = max_side
         self._magic = MAGIC
 
-    def _resize_one(self, payload: bytes):
-        """-> (payload, w, h, scaled)."""
+    def _resize_one(self, payload: bytes, mime: str):
+        """-> (payload, mime, w, h, scaled)."""
         fmt = sniff_format(payload)
         if fmt is not None:
             rgb = decode_image(payload)
             h, w = rgb.shape[:2]
             s = max(w, h) / self._max_side
             if s <= 1.0:
-                return payload, w, h, False
+                return payload, mime, w, h, False
             # round-half-to-even like the reference's geometry math
             # (model/mod.rs:1921-1932)
             nw, nh = max(1, round(w / s)), max(1, round(h / s))
             out = resize_nearest(rgb, nw, nh)
-            enc = encode_bmp(out) if fmt == "bmp" else encode_png(out)
-            return enc, nw, nh, True
+            if fmt == "bmp":
+                return encode_bmp(out), mime, nw, nh, True
+            # PNG stays PNG; JPEG transcodes to PNG — a training-data
+            # resize must not stack a second lossy generation on top of
+            # the source's, and the resized asset is small anyway
+            return encode_png(out), "image/png", nw, nh, True
         w = int.from_bytes(payload[4:6], "big")
         h = int.from_bytes(payload[6:8], "big")
         s = max(w, h) / self._max_side
         if s <= 1.0:
-            return payload, w, h, False
+            return payload, mime, w, h, False
         nw, nh = max(1, round(w / s)), max(1, round(h / s))
         body = payload[8:]
         keep = max(1, int(len(body) * (nw * nh) / (w * h)))
         return (
             self._magic + nw.to_bytes(2, "big") + nh.to_bytes(2, "big")
             + body[:keep],
-            nw, nh, True,
+            mime, nw, nh, True,
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_payloads, out_w, out_h, scaled = [], [], [], []
-        for payload in batch["image"].to_pylist():
-            p, w, h, sc = self._resize_one(payload)
+        out_payloads, out_mime, out_w, out_h, scaled = [], [], [], [], []
+        for payload, mime in zip(
+            batch["image"].to_pylist(), batch["mime"].to_pylist()
+        ):
+            p, m, w, h, sc = self._resize_one(payload, mime)
             out_payloads.append(p)
+            out_mime.append(m)
             out_w.append(w); out_h.append(h); scaled.append(sc)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "image": pa.array(out_payloads, pa.binary()),
-                "mime": batch["mime"],
+                "mime": pa.array(out_mime, pa.string()),
                 "width": pa.array(out_w, pa.int32()),
                 "height": pa.array(out_h, pa.int32()),
                 "scaled": pa.array(scaled, pa.bool_()),

@@ -118,8 +118,7 @@ def test_image_metadata_decodes_real_pixels():
         assert meta.loc[doc_id, "byte_mean"] == round(
             float(to_gray(rgb).mean()), 6
         )
-    assert imgs["mime"].isin(["image/bmp", "image/png"]).all()
-    assert set(imgs["mime"]) == {"image/bmp", "image/png"}
+    assert set(imgs["mime"]) == {"image/bmp", "image/png", "image/jpeg"}
 
 
 def test_image_resize_resamples_real_pixels():
@@ -130,7 +129,9 @@ def test_image_resize_resamples_real_pixels():
     big = imgs[imgs[["width", "height"]].max(axis=1) > 64].head(5)
     stage = ResizeImage(max_side=64)
     for _, row in big.iterrows():
-        payload, nw, nh, scaled = stage._resize_one(row["image"])
+        payload, _mime, nw, nh, scaled = stage._resize_one(
+            row["image"], row["mime"]
+        )
         assert scaled and max(nw, nh) <= 64
         rgb = decode_image(payload)  # output re-encodes losslessly
         assert rgb.shape[:2] == (nh, nw)
@@ -162,3 +163,78 @@ def test_phash_identical_rasters_collide_distinct_differ():
     joined = out.set_index("doc_id").join(texts)
     per_text = joined.groupby("text")["phash"].nunique()
     assert (per_text == 1).all()
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (jpegcodec.py)
+# ---------------------------------------------------------------------------
+
+def test_jpeg_roundtrip_solid_and_gradient():
+    """Solid color decodes near-exactly (DC-only blocks); a smooth
+    gradient at q90 stays within a few LSB — both at 4:4:4 and 4:2:0,
+    including odd (non-MCU-multiple) dimensions."""
+    from engine.ops.jpegcodec import decode_jpeg, encode_jpeg
+
+    solid = np.full((24, 40, 3), [90, 160, 210], dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(solid, quality=95))
+    assert np.abs(out.astype(int) - solid.astype(int)).max() <= 1
+
+    h, w = 37, 53
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = np.stack(
+        [(yy * 3) % 256, (xx * 2) % 256, ((yy + xx) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    for subsample in (1, 2):
+        out = decode_jpeg(encode_jpeg(grad, quality=90, subsample=subsample))
+        assert out.shape == (h, w, 3)
+        err = np.abs(out.astype(int) - grad.astype(int))
+        assert err.max() <= 8 and err.mean() < 2
+
+
+def test_jpeg_grayscale_and_restart_intervals():
+    from engine.ops.jpegcodec import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:37, 0:53]
+    g = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=90))
+    assert (out[:, :, 0] == out[:, :, 1]).all()
+    assert (out[:, :, 0] == out[:, :, 2]).all()
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (33, 49, 3), dtype=np.uint8)
+    # RSTn markers + DC-predictor resets must not change the pixels
+    a = decode_jpeg(encode_jpeg(img, 85, 2, restart_interval=3))
+    b = decode_jpeg(encode_jpeg(img, 85, 2))
+    assert (a == b).all()
+
+
+def test_jpeg_rejects_unsupported_modes():
+    from engine.ops.jpegcodec import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    # flip SOF0 -> SOF2 (progressive): must refuse loudly
+    data = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF"):
+        decode_jpeg(bytes(data))
+    # quality 100 (all-1 quant) on a worst-case block must still encode
+    checker = (np.indices((16, 16)).sum(0) % 2 * 255).astype(np.uint8)
+    decode_jpeg(encode_jpeg(checker, quality=100))
+
+
+def test_jpeg_in_image_pipeline_dispatch():
+    """sniff + decode_image dispatch JPEG, and the fixture generator
+    emits all three mimes with decode_ok everywhere."""
+    from engine.ops.imagecodec import sniff_format
+    from engine.ops.jpegcodec import encode_jpeg
+    from engine.ops.multimodal import image_metadata
+
+    assert sniff_format(encode_jpeg(np.zeros((8, 8), np.uint8))) == "jpeg"
+    rgb = np.full((16, 16, 3), 77, np.uint8)
+    out = decode_image(encode_jpeg(rgb, quality=95))
+    assert np.abs(out.astype(int) - 77).max() <= 1
+
+    meta = image_metadata(SF).to_pandas()
+    assert meta["decode_ok"].all()
