@@ -1589,19 +1589,50 @@ _ING_BLOOM_BITS = 1 << 16
 _ING_BLOOM_K = 4
 
 
-def _md5_prefix64(texts) -> np.ndarray:
-    """First 8 md5 bytes as int64 — the content key for ingest dedup
-    (md5 itself is the fingerprint; 64 bits keeps the key numpy-native,
-    collision odds ~n^2/2^64)."""
+def _md5_prefix64(col) -> np.ndarray:
+    """First 8 md5 bytes as big-endian int64 — the content key for
+    ingest dedup (md5 itself is the fingerprint; 64 bits keeps the key
+    numpy-native, collision odds ~n^2/2^64).
+
+    Accepts an Arrow string array/column or a list of str. Arrow input
+    hashes the UTF-8 bytes IN PLACE via memoryview slices of the data
+    buffer — no to_pylist decode + re-encode round trip (the
+    GlobalViewTurns._md5_hex pattern; dedup_incremental calls this per
+    batch over the whole corpus)."""
     import hashlib
 
-    return np.array(
-        [
-            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big", signed=True)
-            for t in texts
-        ],
-        dtype=np.int64,
-    )
+    md5 = hashlib.md5
+    if isinstance(col, list):
+        return np.array(
+            [
+                int.from_bytes(md5(t.encode()).digest()[:8], "big",
+                               signed=True)
+                for t in col
+            ],
+            dtype=np.int64,
+        )
+    if isinstance(col, pa.ChunkedArray):
+        chunks = col.chunks
+    else:
+        chunks = [col]
+    out: list = []
+    for chunk in chunks:
+        n = len(chunk)
+        if not n:
+            continue
+        bufs = chunk.buffers()
+        dt = np.int64 if pa.types.is_large_string(chunk.type) else np.int32
+        off = chunk.offset
+        offsets = np.frombuffer(bufs[1], dtype=dt, count=n + 1 + off)[off:]
+        data = memoryview(bufs[2])
+        out.extend(
+            int.from_bytes(
+                md5(data[offsets[i]:offsets[i + 1]]).digest()[:8],
+                "big", signed=True,
+            )
+            for i in range(n)
+        )
+    return np.array(out, dtype=np.int64)
 
 
 def _ing_bloom_positions(keys: np.ndarray) -> np.ndarray:
@@ -1637,7 +1668,7 @@ def dedup_incremental(sf_dir: str) -> ray.data.Dataset:
     )
 
     def bloom_partial(batch: pa.Table) -> pa.Table:
-        keys = _md5_prefix64(batch["text"].to_pylist())
+        keys = _md5_prefix64(batch["text"])
         bitmap = np.zeros(_ING_BLOOM_BITS // 64, dtype=np.uint64)
         pos = _ing_bloom_positions(keys).ravel()
         np.bitwise_or.at(
@@ -1657,7 +1688,7 @@ def dedup_incremental(sf_dir: str) -> ray.data.Dataset:
     base_keys = np.unique(
         np.concatenate(
             [
-                _md5_prefix64(b["text"].to_pylist())
+                _md5_prefix64(b["text"])
                 for b in base.iter_batches(batch_format="pyarrow")
             ]
         )
@@ -1674,7 +1705,7 @@ def dedup_incremental(sf_dir: str) -> ray.data.Dataset:
             )
             if inc.num_rows == 0:
                 return pa.table({"doc_id": pa.array([], pa.int64())})
-            keys = _md5_prefix64(inc["text"].to_pylist())
+            keys = _md5_prefix64(inc["text"])
             pos = _ing_bloom_positions(keys)
             hit = np.ones(len(keys), dtype=bool)
             for row in pos:
