@@ -93,8 +93,10 @@ def run_bench() -> dict:
     from engine import synth
     from engine.pipeline import extraction_plan
 
-    # Fixture synthesis + page-cache warm are untimed setup.
-    tier = synth.tier_for_sf_dir(sf_dir)
+    # Fixture synthesis + page-cache warm are untimed setup. GRAFT_TIER
+    # overrides the sf-derived fixture tier (e.g. GRAFT_TIER=stress runs
+    # the 4x-bench 2.49M-turn corpus for the scale-tier scaling pair).
+    tier = os.environ.get("GRAFT_TIER") or synth.tier_for_sf_dir(sf_dir)
     fdir = synth.fixture_dir(tier)
     files = sorted(
         os.path.join(fdir, p) for p in os.listdir(fdir) if p.endswith(".parquet")
@@ -335,8 +337,11 @@ def run_scaling() -> dict:
     (the busy-loop calibration swings with it), so a single-shot ratio is
     a lottery. Alternation puts both levels under the same drift."""
     lo, hi = SCALING_PAIR
+    if os.environ.get("GRAFT_SCALING_PAIR"):
+        lo, hi = (int(x) for x in os.environ["GRAFT_SCALING_PAIR"].split(","))
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", SCALING_REPS))
     runs = {lo: [], hi: []}
-    for _rep in range(SCALING_REPS):
+    for _rep in range(reps):
         for ncpu in (lo, hi):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_REP="1")
             out = subprocess.run(
@@ -393,7 +398,13 @@ def run_scaling() -> dict:
         "extract_calibration_tps_hi": xcal_hi,
         "extract_hw_ceiling": round((xcal_hi / xcal_lo) / (hi / lo), 3),
     }
-    _write_baseline_md(report)
+    if os.environ.get("GRAFT_TIER"):
+        # tier-override runs (stress pair) must not clobber the
+        # bench-tier headline block of BENCH/BASELINE.md — their result
+        # is appended to that file's history sections by hand
+        report["tier"] = os.environ["GRAFT_TIER"]
+    else:
+        _write_baseline_md(report)
     return report
 
 
