@@ -396,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_entities": graph.pagerank_entities,
         "source_overlap": dedup.source_overlap,
         "cluster_topics": similarity.cluster_topics,
+        "knn_lsh": similarity.knn_lsh,
         "embedding_centroids": similarity.embedding_centroids,
         "unnest_embeddings": similarity.unnest_embeddings,
         "diverse_sample": similarity.diverse_sample,
@@ -1684,6 +1685,58 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings q, embeddings e
               WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
                 AND e.label IN {similarity.FILTER_LABELS!r})
+            SELECT query_id, neighbor_id, round(raw_score, 6) AS score
+            FROM scored
+            QUALIFY row_number() OVER (
+              PARTITION BY query_id ORDER BY raw_score DESC, neighbor_id) <= 10
+        """,
+        "knn_lsh": f"""
+            -- random-hyperplane LSH replayed exactly: plane signs from
+            -- the same (j*A + d*B) mod 2^32 bit-16 mix, bucket codes on
+            -- the same micro-grid BIGINT dots (order-free sums), probes
+            -- = own bucket + Hamming-1, exact cosine within candidates
+            WITH comp AS (
+              SELECT vec_id,
+                     CAST(unnest(range(len(embedding))) AS BIGINT) AS d,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings
+            ), micro AS (
+              SELECT vec_id, d,
+                     CAST(CASE WHEN x >= 0 THEN floor(x*1000000.0 + 0.5)
+                          ELSE -floor(-x*1000000.0 + 0.5) END AS BIGINT) AS m
+              FROM comp
+            ), dots AS (
+              SELECT m.vec_id, t.j,
+                     sum(m.m * CASE WHEN
+                           ((t.j*{similarity.LSH_A} + m.d*{similarity.LSH_B})
+                            % 4294967296 // {1 << similarity.LSH_SIGN_BIT})
+                           % 2 = 0 THEN 1 ELSE -1 END) AS dot
+              FROM micro m, range({similarity.LSH_PLANES}) t(j)
+              GROUP BY m.vec_id, t.j
+            ), codes AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN dot > 0 THEN 1 << j ELSE 0 END)
+                          AS BIGINT) AS code
+              FROM dots GROUP BY vec_id
+            ), probes AS (
+              SELECT vec_id AS query_id, code AS pcode FROM codes
+              WHERE vec_id < 5
+              UNION ALL
+              SELECT c.vec_id, CAST(xor(c.code, 1 << t.j) AS BIGINT)
+              FROM codes c, range({similarity.LSH_PLANES}) t(j)
+              WHERE c.vec_id < 5
+            ), cands AS (
+              SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+              FROM probes p JOIN codes c ON c.code = p.pcode
+              WHERE c.vec_id <> p.query_id
+            ), scored AS (
+              SELECT query_id, neighbor_id,
+                     list_cosine_similarity(
+                       CAST(q.embedding AS DOUBLE[]),
+                       CAST(e.embedding AS DOUBLE[])) AS raw_score
+              FROM cands
+              JOIN embeddings q ON q.vec_id = query_id
+              JOIN embeddings e ON e.vec_id = neighbor_id)
             SELECT query_id, neighbor_id, round(raw_score, 6) AS score
             FROM scored
             QUALIFY row_number() OVER (

@@ -341,6 +341,43 @@ def test_knn_ivf_shape_and_recall():
     assert len(e & a) / len(e) > 0.6
 
 
+def test_knn_lsh_shape_recall_and_probe_discipline():
+    """Random-hyperplane LSH variant: bucket codes are integer-exact
+    (micro-grid dots — parity with the SQL oracle is structural), every
+    returned neighbor shares a probe bucket with its query, and recall
+    vs brute force clears the documented floor for 6 planes +
+    Hamming-1 multiprobe."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from engine.ops.similarity import (
+        LSH_PLANES, _lsh_codes, _lsh_signs, emb_matrix,
+        knn_bruteforce, knn_lsh,
+    )
+
+    exact = knn_bruteforce(SF).to_pandas()
+    approx = knn_lsh(SF).to_pandas()
+    assert set(approx.columns) == {"query_id", "neighbor_id", "score"}
+    assert approx.groupby("query_id").size().max() <= 10
+
+    tab = pq.read_table(
+        SF + "/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    mat = emb_matrix(tab["embedding"])
+    codes = dict(
+        zip(tab["vec_id"].to_numpy().tolist(),
+            _lsh_codes(mat, _lsh_signs(mat.shape[1])).tolist())
+    )
+    flips = [1 << j for j in range(LSH_PLANES)]
+    for q, n in zip(approx["query_id"], approx["neighbor_id"]):
+        probe = {codes[q]} | {codes[q] ^ f for f in flips}
+        assert codes[n] in probe  # candidate discipline, never scanned all
+
+    e = {(q, n) for q, n in zip(exact["query_id"], exact["neighbor_id"])}
+    a = {(q, n) for q, n in zip(approx["query_id"], approx["neighbor_id"])}
+    assert len(e & a) / len(e) >= 0.3  # measured 0.38 at sf0.001
+
+
 def test_rolling_fingerprint_deterministic_and_append_robust():
     from engine.ops.textstats import rolling_fingerprint
 
