@@ -1064,6 +1064,77 @@ def test_decontaminate_flags_verbatim_overlap(tmp_path):
     assert out["contaminated"].tolist() == [1, 0]
 
 
+def test_dedup_incremental_join_matches_broadcast(tmp_path):
+    """The bucketed positives-only join plan (the corpus-scale default)
+    must produce the SAME new-doc set as the exact key-set broadcast
+    plan on a fixture with exact dups, near-dups, and cross-doc
+    identical texts (shared keys exercise the in-bucket anti-join)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops import dedup as dd
+
+    texts = [f"doc body {i} alpha beta gamma" for i in range(120)]
+    for i in range(0, 120, 7):  # identical texts across doc_ids
+        texts[i] = "shared body alpha beta gamma delta"
+    pq.write_table(
+        pa.table({"doc_id": list(range(120)), "text": texts}),
+        tmp_path / "documents.parquet",
+    )
+    a = sorted(
+        dd.dedup_incremental(str(tmp_path), mode="join")
+        .to_pandas()["doc_id"].tolist()
+    )
+    b = sorted(
+        dd.dedup_incremental(str(tmp_path), mode="broadcast")
+        .to_pandas()["doc_id"].tolist()
+    )
+    assert a == b
+    assert len(a) > 0  # near-dup variants survive
+    assert all(d >= dd.EXACT_DUP_OFFSET for d in a)
+
+
+def test_dedup_incremental_driver_memory_bound(tmp_path, monkeypatch):
+    """Pin VERDICT r4 #3: in join mode NOTHING corpus-proportional ever
+    reaches the driver — every ``ray.put`` is a fixed-size Bloom bitmap
+    (8 KB), regardless of base-corpus size. The former plan put an
+    (bitmap, all-distinct-base-keys) tuple, which this test rejects."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray as ray_mod
+
+    from engine.ops import dedup as dd
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(300)),
+                "text": [f"unique body {i}" + " x" * (i % 11) for i in range(300)],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    puts = []
+    real_put = ray_mod.put
+
+    def spy_put(obj, *a, **k):
+        puts.append(obj)
+        return real_put(obj, *a, **k)
+
+    monkeypatch.setattr(dd.ray, "put", spy_put)
+    out = dd.dedup_incremental(str(tmp_path), mode="join").to_pandas()
+    assert len(out) > 0
+    # Ray Data internals also route through ray.put; the op's own
+    # broadcasts are the ndarray/tuple payloads. The former plan put a
+    # (bitmap, all-distinct-base-keys) tuple — corpus-proportional.
+    assert not any(isinstance(obj, tuple) for obj in puts)
+    bitmaps = [obj for obj in puts if isinstance(obj, np.ndarray)]
+    assert len(bitmaps) == 2  # base bitmap + positives bitmap, nothing else
+    for obj in bitmaps:
+        assert obj.nbytes == dd._ING_BLOOM_BITS // 8  # fixed 8 KB
+
+
 def test_decontaminate_bloom_matches_broadcast(tmp_path):
     """The Bloom-pruned exact plan must be BIT-IDENTICAL to the
     exact-string broadcast plan on a contamination-heavy fixture (many
