@@ -124,6 +124,9 @@ def resolve_job_config(
     via ``config_extra``, so an overridden run can never silently mix
     with outputs produced under different extraction semantics."""
     resolved = dict(JOB_DEFAULTS)
+    # copy the nested dict so callers mutating the resolved config can
+    # never corrupt JOB_DEFAULTS process-wide (ADVICE r4)
+    resolved["extractor"] = dict(JOB_DEFAULTS["extractor"])
     for layer in (file_cfg or {}), (cli or {}), (overrides or {}):
         for k, v in layer.items():
             if k not in JOB_DEFAULTS:
@@ -131,6 +134,11 @@ def resolve_job_config(
             if v is None:
                 continue
             if k == "extractor":
+                if not isinstance(v, dict):
+                    raise ValueError(
+                        f"extractor must be a mapping of extractor keys, "
+                        f"got {type(v).__name__}: {v!r}"
+                    )
                 merged = dict(resolved["extractor"])
                 merged.update(v)
                 resolved[k] = merged

@@ -206,7 +206,24 @@ def _bit_windows(seg: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (h, w, 3) uint8 RGB (gray promotes)."""
+    """Baseline JPEG bytes -> (h, w, 3) uint8 RGB (gray promotes).
+
+    Contract: EVERY failure — unsupported mode, corrupt stream, or a
+    truncated segment that would otherwise surface as struct.error /
+    IndexError deep in the parser — raises ValueError, so callers
+    (DecodeImageMeta) can map it to decode_ok=False instead of crashing
+    the Ray task (ADVICE r4 medium)."""
+    try:
+        return _decode_jpeg_impl(data)
+    except ValueError:
+        raise
+    except Exception as e:  # malformed input, not a refusal
+        raise ValueError(
+            f"malformed JPEG ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     if data[:3] != JPEG_MAGIC:
         raise ValueError("not a JPEG (missing ffd8ff magic)")
     qt = {}
@@ -299,6 +316,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     for s, c in zip(scan_comps, order):
         c["td"], c["ta"] = s["td"], s["ta"]
 
+    if len(comps) == 1 and (comps[0]["h"], comps[0]["v"]) != (1, 1):
+        # legal per T.81, but its single-component scan is NON-interleaved
+        # (MCU = one data unit in raster order); decoding it as h*v-block
+        # MCUs would silently scramble pixels — refuse instead (ADVICE r4)
+        raise ValueError(
+            "single-component JPEG with sampling factors >1 uses a "
+            "non-interleaved scan (not decoded)"
+        )
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     w, h = frame["w"], frame["h"]

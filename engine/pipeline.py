@@ -366,7 +366,19 @@ def default_num_buckets(paths=None) -> int:
     base = max(DEFAULT_NUM_BUCKETS, 2 * ncpu)
     if paths is not None:
         est = _estimate_input_bytes(paths) * PARQUET_INMEM_EXPANSION
-        if est:
+        if not est:
+            # remote (s3://, gcs://) or unresolvable paths stat to 0 —
+            # the per-block byte bound below does NOT hold then; make
+            # the cluster-floor fallback visible (ADVICE r4)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "default_num_buckets: could not size input %r locally; "
+                "falling back to the cluster-derived bucket floor (%d) — "
+                "per-block byte bound not enforced",
+                paths, base,
+            )
+        else:
             try:
                 import ray.data
 

@@ -337,6 +337,14 @@ def test_job_config_layering(tmp_path):
         load_job_config(str(bad))
     with pytest.raises(ValueError, match="unknown job-config key"):
         resolve_job_config(None, {"typo": 1})
+    # ADVICE r4: a non-dict extractor override must be a loud
+    # ValueError, not a TypeError from dict.update
+    with pytest.raises(ValueError, match="extractor must be a mapping"):
+        resolve_job_config(None, None, {"extractor": 5})
+    # ... and the resolved extractor dict must never alias JOB_DEFAULTS
+    r = resolve_job_config()
+    r["extractor"]["mutated"] = True
+    assert "mutated" not in JOB_DEFAULTS["extractor"]
 
 
 def test_extractor_config_change_reprocesses(t1_files, out_dir):

@@ -224,6 +224,48 @@ def test_jpeg_rejects_unsupported_modes():
     decode_jpeg(encode_jpeg(checker, quality=100))
 
 
+def test_jpeg_malformed_input_raises_valueerror():
+    """ADVICE r4 (medium): corrupt-but-magic-matching bytes must raise
+    ValueError — never struct.error / IndexError — so DecodeImageMeta
+    maps them to decode_ok=False instead of crashing the Ray task."""
+    from engine.ops.jpegcodec import decode_jpeg, encode_jpeg
+
+    good = encode_jpeg(np.arange(256, dtype=np.uint8).reshape(16, 16))
+    # truncated mid-SOF body (formerly struct.error)
+    sof = good.find(b"\xff\xc0")
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: sof + 6])
+    # truncated mid-DHT body (formerly IndexError in _build_decode_lut)
+    dht = good.find(b"\xff\xc4")
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: dht + 9])
+    # byte-level fuzz: every truncation point must refuse, not crash
+    for cut in range(3, len(good), 7):
+        try:
+            decode_jpeg(good[:cut])
+        except ValueError:
+            pass
+    # garbage tail after magic
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff" + bytes(range(256)))
+
+
+def test_jpeg_single_component_subsampled_refuses():
+    """A 1-component frame declaring sampling factors >1 is legal T.81
+    but uses a NON-interleaved scan; decoding it interleaved would
+    scramble pixels silently — the codec must refuse (ADVICE r4)."""
+    from engine.ops.jpegcodec import decode_jpeg, encode_jpeg
+
+    data = bytearray(encode_jpeg(np.zeros((16, 16), np.uint8)))
+    sof = data.find(b"\xff\xc0")
+    # component spec starts at sof+4(marker,len)+6(prec,h,w,ncomp)... id,hv,tq
+    hv_off = sof + 2 + 2 + 6 + 1
+    assert data[hv_off] == 0x11
+    data[hv_off] = 0x22  # claim 2x2 sampling on the only component
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg(bytes(data))
+
+
 def test_jpeg_in_image_pipeline_dispatch():
     """sniff + decode_image dispatch JPEG, and the fixture generator
     emits all three mimes with decode_ok everywhere."""
