@@ -378,6 +378,7 @@ def run_partitioned(
     batch_size: int = 2048,
     concurrency=None,
     keep_going: bool = False,
+    max_partitions: Optional[int] = None,
 ) -> List[Dict]:
     """Run extraction per input partition with resume-on-restart.
 
@@ -385,6 +386,14 @@ def run_partitioned(
     Partitions whose manifest entry matches (id, fingerprint, complete)
     are skipped at plan time; a fingerprint mismatch (input or extractor
     config changed) forces reprocessing of that partition only.
+
+    ``max_partitions=N`` caps the number of partitions PROCESSED (not
+    skipped) this invocation, then returns — the budgeted-window
+    posture for 100 TB runs (process what fits the maintenance window,
+    resume tomorrow), and the deterministic stand-in for a mid-run kill
+    in tests: a capped run's manifest is byte-for-byte what a job killed
+    after N partitions leaves behind (partitions past the cap have no
+    record and no part dir; the next run resumes exactly there).
 
     ``keep_going=True`` is the 100 TB operational posture: a partition
     that raises (corrupt shard, invariant abort) gets a
@@ -416,6 +425,7 @@ def run_partitioned(
     )
     done = read_manifest(out_dir)
     records: List[Dict] = []
+    processed = 0
 
     for pid, files in enumerate(parts):
         fp = input_fingerprint(files, cfg)
@@ -429,6 +439,9 @@ def run_partitioned(
         ):
             records.append(prior)
             continue
+        if max_partitions is not None and processed >= max_partitions:
+            break  # budget exhausted; next invocation resumes here
+        processed += 1
 
         tmp = os.path.join(out_dir, f".tmp-part={pid}")
         if os.path.isdir(tmp):

@@ -6,13 +6,14 @@ accepts arbitrary uploaded rasters
 dominant real-world photo format, and this container ships no PIL, so
 the decoder is implemented from the public standard.
 
-Decoder scope: baseline + extended-sequential Huffman (SOF0/SOF1),
+Decoder scope: baseline + extended-sequential Huffman (SOF0/SOF1) AND
+progressive Huffman (SOF2: spectral selection, successive approximation,
+multi-scan with interleaved DC / non-interleaved AC scans, EOB runs),
 8-bit samples, 1- or 3-component (grayscale / JFIF YCbCr), any integer
 sampling factors up to 4 (4:4:4, 4:2:2, 4:2:0, ...), restart intervals
 (DRI/RSTn), 8- or 16-bit-precision DQT, multiple DHT/DQT segments.
-Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical modes
-raise ValueError — loud, never a wrong image (same policy as
-imagecodec.py).
+Arithmetic coding, 12-bit, lossless, and hierarchical modes raise
+ValueError — loud, never a wrong image (same policy as imagecodec.py).
 
 Encoder scope (fixture generator for tests, not a production encoder):
 grayscale or YCbCr with 4:4:4 or 4:2:0 subsampling, Annex-K quantization
@@ -20,6 +21,9 @@ tables with a libjpeg-style linear quality scale, optional restart
 intervals, and deliberately simple FIXED-length Huffman tables (all 12
 DC categories at 4 bits, all 162 AC symbols at 8 bits — a valid prefix
 code any conformant decoder accepts; compression ratio is not a goal).
+``encode_jpeg_progressive`` emits a 4-phase SOF2 progression (DC first /
+DC refine / AC first / AC refine) that transmits every coefficient bit,
+so its decode is bit-identical to the baseline encoding's.
 
 Entropy (de)coding walks bits in Python — fine for the small payloads
 the multimodal fixtures carry; the DCT/IDCT, color transform, padding
@@ -160,9 +164,10 @@ class _BitWriter:
 
 
 def _split_scan(data: bytes, pos: int):
-    """Entropy-coded data -> list of UNSTUFFED restart-segment byte
-    strings (0xFF00 -> 0xFF; RSTn markers delimit segments; any other
-    marker ends the scan)."""
+    """Entropy-coded data -> (list of UNSTUFFED restart-segment byte
+    strings, index of the marker that ended the scan). 0xFF00 -> 0xFF;
+    RSTn markers delimit segments; any other marker ends the scan —
+    progressive files continue with further DHT/SOS segments there."""
     segs = []
     cur = bytearray()
     n = len(data)
@@ -184,7 +189,7 @@ def _split_scan(data: bytes, pos: int):
         else:  # EOI or next segment header
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, i
 
 
 def _bit_windows(seg: bytes) -> np.ndarray:
@@ -223,99 +228,57 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         ) from e
 
 
-def _decode_jpeg_impl(data: bytes) -> np.ndarray:
-    if data[:3] != JPEG_MAGIC:
-        raise ValueError("not a JPEG (missing ffd8ff magic)")
-    qt = {}
-    dc_tables = {}
-    ac_tables = {}
-    frame = None
-    restart_interval = 0
-    pos = 2
-    scan = None
-    while pos + 4 <= len(data):
-        if data[pos] != 0xFF:
-            raise ValueError(f"expected marker at byte {pos}")
-        marker = data[pos + 1]
-        if marker == 0xD9:  # EOI
-            break
-        (seglen,) = struct.unpack_from(">H", data, pos + 2)
-        body = data[pos + 4 : pos + 2 + seglen]
-        if marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
-            precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if precision != 8:
-                raise ValueError(f"unsupported JPEG precision {precision}")
-            if ncomp not in (1, 3):
-                raise ValueError(f"unsupported component count {ncomp}")
-            comps = []
-            for c in range(ncomp):
-                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
-                )
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(
-                f"unsupported JPEG mode (SOF marker ff{marker:02x}; "
-                "only baseline/extended sequential Huffman is decoded)"
-            )
-        elif marker == 0xC4:  # DHT (may hold several tables)
-            off = 0
-            while off < len(body):
-                tc_th = body[off]
-                bits = list(body[off + 1 : off + 17])
-                n = sum(bits)
-                vals = list(body[off + 17 : off + 17 + n])
-                table = _build_decode_lut(bits, vals)
-                if tc_th >> 4 == 0:
-                    dc_tables[tc_th & 0xF] = table
-                else:
-                    ac_tables[tc_th & 0xF] = table
-                off += 17 + n
-        elif marker == 0xDB:  # DQT
-            off = 0
-            while off < len(body):
-                pq_tq = body[off]
-                tq = pq_tq & 0xF
-                if pq_tq >> 4:  # 16-bit entries
-                    vals = np.frombuffer(
-                        body[off + 1 : off + 129], dtype=">u2"
-                    ).astype(np.int64)
-                    off += 129
-                else:
-                    vals = np.frombuffer(
-                        body[off + 1 : off + 65], dtype=np.uint8
-                    ).astype(np.int64)
-                    off += 65
-                nat = np.empty(64, dtype=np.int64)
-                nat[ZIGZAG] = vals  # DQT stores zigzag order
-                qt[tq] = nat
-        elif marker == 0xDD:  # DRI
-            (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:  # SOS
-            ns = body[0]
-            scan_comps = []
-            for c in range(ns):
-                cs, td_ta = struct.unpack_from(">BB", body, 1 + 2 * c)
-                scan_comps.append(
-                    {"id": cs, "td": td_ta >> 4, "ta": td_ta & 0xF}
-                )
-            scan = (scan_comps, pos + 2 + seglen)
-            break  # entropy-coded data follows
-        # APPn / COM / others: skip
-        pos += 2 + seglen
-    if frame is None or scan is None:
-        raise ValueError("JPEG missing SOF/SOS")
-    scan_comps, data_pos = scan
+def _init_block_grids(frame) -> None:
+    """Per-component coefficient grids, MCU geometry, and the
+    NON-interleaved block dims (ceil over the component's own sample
+    dimensions — single-component scans traverse these in raster order,
+    T.81 A.2.2, while interleaved scans traverse the MCU-padded grid)."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    w, h = frame["w"], frame["h"]
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcux"], frame["mcuy"] = mcux, mcuy
+    for c in comps:
+        c["bw"] = mcux * c["h"]  # block columns (MCU-padded grid)
+        c["bh"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+        c["pred"] = 0
+        cw = -(-w * c["h"] // hmax)  # component sample width
+        chh = -(-h * c["v"] // vmax)
+        c["bw_ni"] = -(-cw // 8)
+        c["bh_ni"] = -(-chh // 8)
+
+
+def _check_segs(segs, n_units, ri) -> None:
+    expected = -(-n_units // ri) if ri else 1
+    if len(segs) != expected:
+        raise ValueError(
+            f"restart-segment count {len(segs)} != expected {expected}"
+        )
+
+
+def _seg_bounds(si, n_units, ri):
+    first = si * ri if ri else 0
+    last = min(first + ri, n_units) if ri else n_units
+    return first, last
+
+
+def _decode_sequential_scan(
+    frame, scan_comps, segs, dc_tables, ac_tables, restart_interval
+) -> None:
+    """Baseline/extended-sequential scan: interleaved MCUs, DC+AC per
+    data unit (the original single-scan decoder, unchanged semantics)."""
     comps = frame["comps"]
     if len(scan_comps) != len(comps):
-        raise ValueError("multi-scan JPEG not supported (baseline only)")
+        raise ValueError(
+            "partial-component sequential scan not supported (baseline "
+            "decodes one interleaved scan)"
+        )
     by_id = {c["id"]: c for c in comps}
     order = [by_id[s["id"]] for s in scan_comps]
-    for s, c in zip(scan_comps, order):
-        c["td"], c["ta"] = s["td"], s["ta"]
-
     if len(comps) == 1 and (comps[0]["h"], comps[0]["v"]) != (1, 1):
         # legal per T.81, but its single-component scan is NON-interleaved
         # (MCU = one data unit in raster order); decoding it as h*v-block
@@ -324,31 +287,13 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
             "single-component JPEG with sampling factors >1 uses a "
             "non-interleaved scan (not decoded)"
         )
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    w, h = frame["w"], frame["h"]
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    for c in comps:
-        c["bw"] = mcux * c["h"]  # block columns
-        c["bh"] = mcuy * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
-        c["pred"] = 0
-
+    mcux, mcuy = frame["mcux"], frame["mcuy"]
     n_mcu = mcux * mcuy
-    segs = _split_scan(data, data_pos)
-    expected_segs = (
-        -(-n_mcu // restart_interval) if restart_interval else 1
-    )
-    if len(segs) != expected_segs:
-        raise ValueError(
-            f"restart-segment count {len(segs)} != expected {expected_segs}"
-        )
-    # flat per-block work list: (comp, block row, block col) per MCU
+    _check_segs(segs, n_mcu, restart_interval)
     plan = []
-    for c in order:
-        dc_t = dc_tables.get(c["td"])
-        ac_t = ac_tables.get(c["ta"])
+    for s, c in zip(scan_comps, order):
+        dc_t = dc_tables.get(s["td"])
+        ac_t = ac_tables.get(s["ta"])
         if dc_t is None or ac_t is None:
             raise ValueError("missing Huffman table for scan")
         plan.append((c, dc_t, ac_t))
@@ -359,11 +304,7 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
         pos = 0
         for c in comps:
             c["pred"] = 0
-        first = si * restart_interval if restart_interval else 0
-        last = (
-            min(first + restart_interval, n_mcu)
-            if restart_interval else n_mcu
-        )
+        first, last = _seg_bounds(si, n_mcu, restart_interval)
         for m in range(first, last):
             my, mx = divmod(m, mcux)
             for c, (dc_sym, dc_len), (ac_sym, ac_len) in plan:
@@ -412,6 +353,343 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                 c["pred"] = pred
         if pos > nbits + 7:
             raise ValueError("entropy stream overran restart segment")
+
+
+def _ac_first(blk, win, pos, ss, se, al, sym, ln, eobrun):
+    """Progressive AC first scan (Ah=0), one data unit — T.81 G.1.2.2:
+    EOBn codes carry a run of all-further-zero blocks."""
+    if eobrun > 0:
+        return pos, eobrun - 1
+    k = ss
+    while k <= se:
+        w16 = int(win[pos])
+        rs = int(sym[w16])
+        if rs < 0:
+            raise ValueError("invalid AC Huffman code")
+        pos += int(ln[w16])
+        r, s = rs >> 4, rs & 0xF
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("AC run past spectral end")
+            mag = int(win[pos]) >> (16 - s)
+            pos += s
+            if mag < (1 << (s - 1)):  # EXTEND
+                mag += 1 - (1 << s)
+            blk[k] = mag << al
+            k += 1
+        else:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += int(win[pos]) >> (16 - r)
+                pos += r
+            eobrun -= 1  # this block is part of the run
+            break
+    return pos, eobrun
+
+
+def _ac_refine(blk, win, pos, ss, se, al, sym, ln, eobrun):
+    """Progressive AC refinement scan (Ah=Al+1), one data unit — T.81
+    G.1.2.3 figure G.7: already-nonzero coefficients take correction
+    bits; (r, 1) symbols place newly-nonzero +-1<<Al after r zero-history
+    coefficients; EOBn corrects the rest of the block."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            w16 = int(win[pos])
+            rs = int(sym[w16])
+            if rs < 0:
+                raise ValueError("invalid AC Huffman code")
+            pos += int(ln[w16])
+            r, s = rs >> 4, rs & 0xF
+            sval = 0
+            if s == 0:
+                if r != 15:  # EOBn
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += int(win[pos]) >> (16 - r)
+                        pos += r
+                    break
+                # r == 15 (ZRL): skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid AC refinement symbol")
+                sval = p1 if int(win[pos]) >> 15 else m1
+                pos += 1
+            while k <= se:
+                coef = int(blk[k])
+                if coef:
+                    bit = int(win[pos]) >> 15
+                    pos += 1
+                    if bit and not (coef & p1):
+                        blk[k] = coef + (p1 if coef > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if sval and k <= se:
+                blk[k] = sval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            coef = int(blk[k])
+            if coef:
+                bit = int(win[pos]) >> 15
+                pos += 1
+                if bit and not (coef & p1):
+                    blk[k] = coef + (p1 if coef > 0 else m1)
+            k += 1
+        eobrun -= 1
+    return pos, eobrun
+
+
+def _decode_progressive_scan(
+    frame, scan_comps, ss, se, ah, al, segs, dc_tables, ac_tables,
+    restart_interval,
+) -> None:
+    """One progressive (SOF2) scan into the per-component coefficient
+    grids. DC scans (Ss=0) may be interleaved; AC scans are
+    single-component and traverse the component's NON-interleaved block
+    raster (T.81 G.1/A.2.2). Restart intervals count MCUs (interleaved)
+    or data units (non-interleaved), resetting DC predictors + EOB run."""
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    try:
+        order = [by_id[s["id"]] for s in scan_comps]
+    except KeyError:
+        raise ValueError("scan references unknown component id")
+    if ss == 0:
+        if se != 0:
+            raise ValueError(
+                "progressive DC scan must have Se=0 (a baseline stream "
+                "mislabeled SOF2?)"
+            )
+        interleaved = len(order) > 1
+        tabs = {}
+        if ah == 0:
+            for s, c in zip(scan_comps, order):
+                t = dc_tables.get(s["td"])
+                if t is None:
+                    raise ValueError("missing DC Huffman table for scan")
+                tabs[c["id"]] = t
+        if interleaved:
+            mcux = frame["mcux"]
+            n_units = mcux * frame["mcuy"]
+        else:
+            c0 = order[0]
+            n_units = c0["bw_ni"] * c0["bh_ni"]
+        _check_segs(segs, n_units, restart_interval)
+        for si, seg in enumerate(segs):
+            win = _bit_windows(seg)
+            nbits = len(seg) * 8
+            pos = 0
+            for c in order:
+                c["pred"] = 0
+            first, last = _seg_bounds(si, n_units, restart_interval)
+            for m in range(first, last):
+                if pos > nbits:
+                    raise ValueError("entropy stream truncated")
+                if interleaved:
+                    my, mx = divmod(m, mcux)
+                    for c in order:
+                        cv, chh, bw = c["v"], c["h"], c["bw"]
+                        for v in range(cv):
+                            for hh in range(chh):
+                                blk = c["coef"][
+                                    (my * cv + v) * bw + (mx * chh + hh)
+                                ]
+                                pos = _dc_unit(
+                                    blk, c, win, pos, ah, al,
+                                    tabs.get(c["id"]),
+                                )
+                else:
+                    c = order[0]
+                    by, bx = divmod(m, c["bw_ni"])
+                    blk = c["coef"][by * c["bw"] + bx]
+                    pos = _dc_unit(blk, c, win, pos, ah, al,
+                                   tabs.get(c["id"]))
+            if pos > nbits + 7:
+                raise ValueError("entropy stream overran restart segment")
+        return
+    # AC scan
+    if len(order) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if not 1 <= ss <= se <= 63:
+        raise ValueError("invalid spectral selection")
+    c = order[0]
+    ac_t = ac_tables.get(scan_comps[0]["ta"])
+    if ac_t is None:
+        raise ValueError("missing AC Huffman table for scan")
+    ac_sym, ac_len = ac_t
+    n_units = c["bw_ni"] * c["bh_ni"]
+    _check_segs(segs, n_units, restart_interval)
+    bw, bw_ni = c["bw"], c["bw_ni"]
+    coef = c["coef"]
+    for si, seg in enumerate(segs):
+        win = _bit_windows(seg)
+        nbits = len(seg) * 8
+        pos = 0
+        eobrun = 0
+        first, last = _seg_bounds(si, n_units, restart_interval)
+        for m in range(first, last):
+            if pos > nbits:
+                raise ValueError("entropy stream truncated")
+            by, bx = divmod(m, bw_ni)
+            blk = coef[by * bw + bx]
+            if ah == 0:
+                pos, eobrun = _ac_first(
+                    blk, win, pos, ss, se, al, ac_sym, ac_len, eobrun
+                )
+            else:
+                pos, eobrun = _ac_refine(
+                    blk, win, pos, ss, se, al, ac_sym, ac_len, eobrun
+                )
+        if pos > nbits + 7:
+            raise ValueError("entropy stream overran restart segment")
+
+
+def _dc_unit(blk, c, win, pos, ah, al, tab):
+    """DC coefficient of one data unit: first scan (Ah=0) Huffman-codes
+    the diff at Al precision; refinement appends one raw bit at Al."""
+    if ah == 0:
+        dc_sym, dc_len = tab
+        w16 = int(win[pos])
+        size = int(dc_sym[w16])
+        if size < 0:
+            raise ValueError("invalid DC Huffman code")
+        pos += int(dc_len[w16])
+        if size:
+            mag = int(win[pos]) >> (16 - size)
+            pos += size
+            if mag < (1 << (size - 1)):  # EXTEND
+                mag += 1 - (1 << size)
+            c["pred"] += mag
+        blk[0] = c["pred"] << al
+    else:
+        if int(win[pos]) >> 15:
+            blk[0] = int(blk[0]) | (1 << al)
+        pos += 1
+    return pos
+
+
+def _decode_jpeg_impl(data: bytes) -> np.ndarray:
+    if data[:3] != JPEG_MAGIC:
+        raise ValueError("not a JPEG (missing ffd8ff magic)")
+    qt = {}
+    dc_tables = {}
+    ac_tables = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    nscans = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8:
+                raise ValueError(f"unsupported JPEG precision {precision}")
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported component count {ncomp}")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+            frame = {
+                "w": w, "h": h, "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG mode (SOF marker ff{marker:02x}; "
+                "only baseline/extended-sequential/progressive Huffman "
+                "is decoded)"
+            )
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            off = 0
+            while off < len(body):
+                tc_th = body[off]
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17 : off + 17 + n])
+                table = _build_decode_lut(bits, vals)
+                if tc_th >> 4 == 0:
+                    dc_tables[tc_th & 0xF] = table
+                else:
+                    ac_tables[tc_th & 0xF] = table
+                off += 17 + n
+        elif marker == 0xDB:  # DQT
+            off = 0
+            while off < len(body):
+                pq_tq = body[off]
+                tq = pq_tq & 0xF
+                if pq_tq >> 4:  # 16-bit entries
+                    vals = np.frombuffer(
+                        body[off + 1 : off + 129], dtype=">u2"
+                    ).astype(np.int64)
+                    off += 129
+                else:
+                    vals = np.frombuffer(
+                        body[off + 1 : off + 65], dtype=np.uint8
+                    ).astype(np.int64)
+                    off += 65
+                nat = np.empty(64, dtype=np.int64)
+                nat[ZIGZAG] = vals  # DQT stores zigzag order
+                qt[tq] = nat
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            if nscans == 0:
+                _init_block_grids(frame)
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cs, td_ta = struct.unpack_from(">BB", body, 1 + 2 * c)
+                scan_comps.append(
+                    {"id": cs, "td": td_ta >> 4, "ta": td_ta & 0xF}
+                )
+            ss, se, ah_al = struct.unpack_from(">BBB", body, 1 + 2 * ns)
+            segs, end = _split_scan(data, pos + 2 + seglen)
+            if frame["progressive"]:
+                _decode_progressive_scan(
+                    frame, scan_comps, ss, se, ah_al >> 4, ah_al & 0xF,
+                    segs, dc_tables, ac_tables, restart_interval,
+                )
+            else:
+                if nscans:
+                    raise ValueError(
+                        "multi-scan sequential JPEG not supported"
+                    )
+                _decode_sequential_scan(
+                    frame, scan_comps, segs, dc_tables, ac_tables,
+                    restart_interval,
+                )
+            nscans += 1
+            pos = end
+            continue
+        # APPn / COM / others: skip
+        pos += 2 + seglen
+    if frame is None or nscans == 0:
+        raise ValueError("JPEG missing SOF/SOS")
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
 
     planes = []
     for c in comps:
@@ -630,5 +908,225 @@ def encode_jpeg(
                     )
     writer.flush()
     out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (fixture generator for the SOF2 decode path)
+# ---------------------------------------------------------------------------
+
+def _emit_size_val(writer: _BitWriter, codes, sym: int, v: int, size: int):
+    code, length = codes[sym]
+    writer.put(code, length)
+    if size:
+        writer.put(v if v >= 0 else v + (1 << size) - 1, size)
+
+
+def _encode_ac_first_block(writer, zz, ss, se, al, ac_codes) -> None:
+    """AC first scan (Ah=0) for one block: baseline-style RLE over the
+    coefficients at reduced precision sign*(|v|>>Al); per-block EOB
+    (EOBn run length 1 — decoders must accept any split)."""
+    vals = [
+        (1 if int(zz[k]) >= 0 else -1) * (abs(int(zz[k])) >> al)
+        for k in range(ss, se + 1)
+    ]
+    last_nz = -1
+    for i, v in enumerate(vals):
+        if v:
+            last_nz = i
+    run = 0
+    for i in range(last_nz + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            _emit_size_val(writer, ac_codes, 0xF0, 0, 0)
+            run -= 16
+        size = abs(v).bit_length()
+        _emit_size_val(writer, ac_codes, (run << 4) | size, v, size)
+        run = 0
+    if last_nz < se - ss:
+        _emit_size_val(writer, ac_codes, 0x00, 0, 0)  # EOB (run of 1)
+
+
+def _encode_ac_refine_block(writer, zz, ss, se, al, ac_codes) -> None:
+    """AC refinement scan (Ah=Al+1) for one block — the encoder dual of
+    _ac_refine, per-block EOB flush (T.81 G.1.2.3 / figure G.7):
+    correction bits for already-nonzero coefficients ride behind the
+    next (r,1)/ZRL/EOB symbol."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    signs = [1 if int(zz[k]) >= 0 else 0 for k in range(ss, se + 1)]
+    r = 0
+    br: list = []
+    for i, temp in enumerate(absv):
+        if temp == 0:
+            r += 1
+            continue
+        while r > 15:
+            _emit_size_val(writer, ac_codes, 0xF0, 0, 0)
+            r -= 16
+            for b in br:
+                writer.put(b, 1)
+            br = []
+        if temp > 1:  # nonzero history: correction bit only
+            br.append(temp & 1)
+            continue
+        _emit_size_val(writer, ac_codes, (r << 4) | 1, 0, 0)
+        writer.put(signs[i], 1)
+        for b in br:
+            writer.put(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        _emit_size_val(writer, ac_codes, 0x00, 0, 0)  # EOB
+        for b in br:
+            writer.put(b, 1)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 85, subsample: int = 1
+) -> bytes:
+    """(h, w, 3) RGB or (h, w) gray uint8 -> PROGRESSIVE (SOF2) JPEG.
+
+    Four-phase progression exercising every progressive decode path:
+      1. DC first, all components interleaved, Al=1
+      2. DC refinement to Al=0 (raw bits)
+      3. per component: AC first Ss=1..63 at Al=1 (EOB-run coding)
+      4. per component: AC refinement to Al=0 (correction bits)
+    Transmits every coefficient bit, so decoded pixels are BIT-IDENTICAL
+    to the baseline encoding of the same image at the same quality."""
+    if img.dtype != np.uint8:
+        raise ValueError("encode_jpeg_progressive wants uint8")
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError("encode_jpeg_progressive wants (h, w) or (h, w, 3)")
+    if subsample not in (1, 2):
+        raise ValueError("subsample must be 1 (4:4:4) or 2 (4:2:0)")
+    h, w = img.shape[:2]
+    ql = _quality_scale(QUANT_LUMA, quality)
+    qc = _quality_scale(QUANT_CHROMA, quality)
+
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+        qids = [0]
+        qtables = [ql]
+    else:
+        rgb = img.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] \
+            + 0.5 * rgb[..., 2]
+        cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] \
+            - 0.081312 * rgb[..., 2]
+        if subsample == 2:
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+            crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qids = [0, 1, 1]
+        qtables = [ql, qc]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    comp_zz = []
+    for plane, (sh, sv), qid in zip(planes, samp, qids):
+        padded = _pad_to(
+            np.clip(np.round(plane), 0, 255),
+            mcuy * sv * 8, mcux * sh * 8,
+        )
+        comp_zz.append((_component_blocks(padded, qtables[qid]), sh, sv))
+
+    dc_codes = _build_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _build_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+    ncomp = len(planes)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(
+        ">H5sBBBHHBB", 16, b"JFIF\x00", 1, 1, 0, 1, 1, 0, 0
+    )
+    for tq, q in enumerate(qtables):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) \
+            + bytes(int(v) for v in q[ZIGZAG])
+    sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for i, (sh, sv) in enumerate(samp):
+        sof += struct.pack(">BBB", i + 1, (sh << 4) | sv, qids[i])
+    out += b"\xff\xc2" + sof  # SOF2: progressive DCT, Huffman
+    for tc, (bits, vals) in (
+        (0, (_ENC_DC_BITS, _ENC_DC_VALS)),
+        (1, (_ENC_AC_BITS, _ENC_AC_VALS)),
+    ):
+        body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    def sos_header(comp_ids, ss, se, ah, al) -> bytes:
+        sos = struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
+        for cid in comp_ids:
+            sos += struct.pack(">BB", cid, 0x00)
+        sos += struct.pack(">BBB", ss, se, (ah << 4) | al)
+        return b"\xff\xda" + sos
+
+    def dc_units(fn) -> bytes:
+        """Run fn(ci, zz_block) over every data unit in interleaved MCU
+        order (== non-interleaved raster when ncomp==1 and 1x1)."""
+        writer = _BitWriter()
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci, (zz, sh, sv) in enumerate(comp_zz):
+                bw = mcux * sh
+                for v in range(sv):
+                    for hh in range(sh):
+                        fn(writer, ci, zz[(my * sv + v) * bw + (mx * sh + hh)])
+        writer.flush()
+        return bytes(writer.out)
+
+    # scan 1: DC first, Al=1
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 0, 1)
+    preds = [0] * ncomp
+
+    def dc_first(writer, ci, blk):
+        dc = int(blk[0]) >> 1  # Al=1, arithmetic shift
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        size = int(diff != 0 and abs(diff).bit_length())
+        _emit_size_val(writer, dc_codes, size, diff, size)
+
+    out += dc_units(dc_first)
+
+    # scan 2: DC refinement to Al=0 (one raw bit per unit)
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+    out += dc_units(
+        lambda writer, ci, blk: writer.put(int(blk[0]) & 1, 1)
+    )
+
+    def ac_scan(ci, encode_block, ss, se, ah, al) -> bytes:
+        zz, sh, sv = comp_zz[ci]
+        bw = mcux * sh
+        cw = -(-w * sh // hmax)
+        chh = -(-h * sv // vmax)
+        bw_ni, bh_ni = -(-cw // 8), -(-chh // 8)
+        writer = _BitWriter()
+        for m in range(bw_ni * bh_ni):
+            by, bx = divmod(m, bw_ni)
+            encode_block(writer, zz[by * bw + bx], ss, se, al, ac_codes)
+        writer.flush()
+        return bytes(writer.out)
+
+    # scans 3..: AC first at Al=1, then AC refinement to Al=0, per comp
+    for ci in range(ncomp):
+        out += sos_header([ci + 1], 1, 63, 0, 1)
+        out += ac_scan(ci, _encode_ac_first_block, 1, 63, 0, 1)
+    for ci in range(ncomp):
+        out += sos_header([ci + 1], 1, 63, 1, 0)
+        out += ac_scan(ci, _encode_ac_refine_block, 1, 63, 1, 0)
+
     out += b"\xff\xd9"  # EOI
     return bytes(out)

@@ -389,6 +389,11 @@ def default_num_buckets(paths=None) -> int:
             except Exception:  # pragma: no cover
                 target = 128 << 20
             base = max(base, -(-est // target))  # ceil div
+            # sub-floor inputs (VERDICT r4 #8): a KB-sized test corpus
+            # should not carry a 64-way exchange — cap at one bucket per
+            # MiB of estimated in-memory input. No-op from ~64 MiB up,
+            # so every bench/driver tier keeps the cluster-scaled count.
+            base = min(base, max(1, -(-est // (1 << 20))))
     return int(base)
 
 

@@ -66,6 +66,37 @@ def test_resume_skips_complete_partitions(t1_files, out_dir):
     assert done[1]["status"] == "complete"
 
 
+def test_max_partitions_kill_and_resume(t1_files, t1_expected, out_dir):
+    """max_partitions caps PROCESSED partitions (the deterministic
+    stand-in for a mid-run kill / budgeted window): pass 1 leaves the
+    manifest a killed job would; pass 2 resumes — skips the completed
+    half untouched, processes the rest — and the merged output equals an
+    uninterrupted run's."""
+    recs1 = run_partitioned(
+        t1_files, out_dir, num_partitions=2, batch_size=256,
+        max_partitions=1,
+    )
+    assert [r["partition_id"] for r in recs1] == [0]
+    assert not os.path.isdir(os.path.join(out_dir, "part=1"))
+    mtimes = {
+        name: os.path.getmtime(os.path.join(out_dir, name))
+        for name in ("part=0",)
+    }
+    recs2 = run_partitioned(
+        t1_files, out_dir, num_partitions=2, batch_size=256
+    )
+    assert [r["partition_id"] for r in recs2] == [0, 1]
+    assert all(r["status"] == "complete" for r in recs2)
+    for name, mt in mtimes.items():  # completed half untouched by resume
+        assert os.path.getmtime(os.path.join(out_dir, name)) == mt
+    got = _read_all(out_dir)
+    want = (
+        t1_expected.to_pandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    assert (got["extracted_text"] == want["extracted_text"]).all()
+
+
 def test_config_change_invalidates_fingerprint(t1_files, out_dir):
     run_partitioned(t1_files, out_dir, num_partitions=2, batch_size=256)
     before = read_manifest(out_dir)

@@ -378,6 +378,29 @@ def test_knn_lsh_shape_recall_and_probe_discipline():
     assert len(e & a) / len(e) >= 0.3  # measured 0.38 at sf0.001
 
 
+def test_ann_recall_on_clustered_embeddings(tmp_path):
+    """VERDICT r4 #5: the 0.38 LSH recall above is an artifact of the
+    driver's STRUCTURELESS uniform embeddings. On a seeded
+    mixture-of-Gaussians fixture (the manifold shape of real embedding
+    corpora, within-cluster cosine ~0.99), both scale paths must clear
+    recall >= 0.8 at their stated probe budgets — LSH: 6 planes +
+    Hamming-1 multiprobe; IVF: 4 of 16 trained buckets."""
+    from engine import synth
+    from engine.ops.similarity import knn_bruteforce, knn_ivf, knn_lsh
+
+    synth.write_clustered_embeddings(str(tmp_path))
+    exact = knn_bruteforce(str(tmp_path)).to_pandas()
+    e = {(q, n) for q, n in zip(exact["query_id"], exact["neighbor_id"])}
+    assert len(e) == 50  # 5 queries x top-10
+
+    for fn in (knn_ivf, knn_lsh):
+        approx = fn(str(tmp_path)).to_pandas()
+        a = {(q, n)
+             for q, n in zip(approx["query_id"], approx["neighbor_id"])}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.8, (fn.__name__, recall)
+
+
 def test_rolling_fingerprint_deterministic_and_append_robust():
     from engine.ops.textstats import rolling_fingerprint
 
