@@ -9,11 +9,13 @@ the decoder is implemented from the public standard.
 Decoder scope: baseline + extended-sequential Huffman (SOF0/SOF1) AND
 progressive Huffman (SOF2: spectral selection, successive approximation,
 multi-scan with interleaved DC / non-interleaved AC scans, EOB runs),
-8-bit samples, 1- or 3-component (grayscale / JFIF YCbCr), any integer
-sampling factors up to 4 (4:4:4, 4:2:2, 4:2:0, ...), restart intervals
-(DRI/RSTn), 8- or 16-bit-precision DQT, multiple DHT/DQT segments.
-Arithmetic coding, 12-bit, lossless, and hierarchical modes raise
-ValueError — loud, never a wrong image (same policy as imagecodec.py).
+8-bit samples plus 12-bit extended-sequential/progressive (scaled to
+the 8-bit RGB output contract), 1- or 3-component (grayscale / JFIF
+YCbCr), any integer sampling factors up to 4 (4:4:4, 4:2:2, 4:2:0,
+...), restart intervals (DRI/RSTn), 8- or 16-bit-precision DQT,
+multiple DHT/DQT segments. Arithmetic coding, lossless, and
+hierarchical modes raise ValueError — loud, never a wrong image (same
+policy as imagecodec.py).
 
 Encoder scope (fixture generator for tests, not a production encoder):
 grayscale or YCbCr with 4:4:4 or 4:2:0 subsampling, Annex-K quantization
@@ -138,6 +140,14 @@ _ENC_DC_VALS = list(range(12))
 _ENC_AC_BITS = [0] * 7 + [162] + [0] * 8
 _ENC_AC_VALS = [0x00, 0xF0] + [
     (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+# 12-bit variants: DC categories reach 16 (5-bit codes, 16 < 2^5 - 1),
+# AC sizes reach 14 (226 symbols at 8 bits, 226 < 2^8 - 1).
+_ENC_DC12_BITS = [0, 0, 0, 0, 16] + [0] * 11
+_ENC_DC12_VALS = list(range(16))
+_ENC_AC12_BITS = [0] * 7 + [226] + [0] * 8
+_ENC_AC12_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 15)
 ]
 
 
@@ -598,8 +608,12 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
         body = data[pos + 4 : pos + 2 + seglen]
         if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if precision != 8:
+            if precision not in (8, 12):
                 raise ValueError(f"unsupported JPEG precision {precision}")
+            if precision == 12 and marker == 0xC0:
+                # T.81: baseline DCT is 8-bit only; 12-bit requires
+                # extended sequential (SOF1) or progressive (SOF2)
+                raise ValueError("baseline JPEG (SOF0) must be 8-bit")
             if ncomp not in (1, 3):
                 raise ValueError(f"unsupported component count {ncomp}")
             comps = []
@@ -610,6 +624,7 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                 )
             frame = {
                 "w": w, "h": h, "comps": comps,
+                "precision": precision,
                 "progressive": marker == 0xC2,
             }
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
@@ -691,6 +706,9 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     w, h = frame["w"], frame["h"]
     hmax, vmax = frame["hmax"], frame["vmax"]
 
+    precision = frame.get("precision", 8)
+    shift = 1 << (precision - 1)
+    maxval = (1 << precision) - 1
     planes = []
     for c in comps:
         q = qt.get(c["tq"])
@@ -698,8 +716,12 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
             raise ValueError(f"missing quantization table {c['tq']}")
         deq = np.zeros((len(c["coef"]), 64), dtype=np.int64)
         deq[:, ZIGZAG] = c["coef"] * q[ZIGZAG]  # zigzag -> natural
-        px = _idct_blocks(deq.reshape(-1, 8, 8)) + 128.0
-        px = np.clip(np.round(px), 0, 255).astype(np.uint8)
+        px = _idct_blocks(deq.reshape(-1, 8, 8)) + float(shift)
+        px = np.clip(np.round(px), 0, maxval)
+        if precision == 12:
+            # output contract is 8-bit RGB: scale 0..4095 -> 0..255 so
+            # the shared color path (128-centered chroma) applies
+            px = px / 16.0
         # block grid -> plane
         plane = (
             px.reshape(c["bh"], c["bw"], 8, 8)
@@ -770,7 +792,9 @@ def _encode_block(
     return int(zz[0])
 
 
-def _component_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+def _component_blocks(
+    plane: np.ndarray, q: np.ndarray, precision: int = 8
+) -> np.ndarray:
     """Padded plane -> (nblocks, 64) quantized zigzag coefficients."""
     h, w = plane.shape
     blocks = (
@@ -778,14 +802,15 @@ def _component_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
         .transpose(0, 2, 1, 3)
         .reshape(-1, 8, 8)
         .astype(np.float64)
-        - 128.0
+        - float(1 << (precision - 1))
     )
     coef = _fdct_blocks(blocks).reshape(-1, 64)
     qz = np.round(coef / q[None, :]).astype(np.int64)
-    # baseline AC categories stop at size 10 (|v| <= 1023); at quality
-    # 100 (q=1) an extreme block can quantize to +-1024 — clamp (DC's
-    # size-11 diff range covers its +-1024 span unclamped)
-    qz[:, 1:] = np.clip(qz[:, 1:], -1023, 1023)
+    # AC categories stop at size 10 (8-bit) / 14 (12-bit); at quality
+    # 100 (q=1) an extreme block can quantize one past the category
+    # range — clamp (DC's one-larger diff range covers its span)
+    ac_max = 1023 if precision == 8 else 16383
+    qz[:, 1:] = np.clip(qz[:, 1:], -ac_max, ac_max)
     return qz[:, ZIGZAG]  # natural -> zigzag scan order
 
 
@@ -801,12 +826,26 @@ def encode_jpeg(
     quality: int = 85,
     subsample: int = 1,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """(h, w, 3) RGB or (h, w) gray uint8 -> baseline JPEG bytes.
 
     ``subsample=1`` is 4:4:4; ``subsample=2`` is 4:2:0 (chroma averaged
-    2x2). Fixed-length Huffman tables (see module docstring)."""
-    if img.dtype != np.uint8:
+    2x2). Fixed-length Huffman tables (see module docstring).
+
+    ``precision=12`` (fixture generator for the extended-sequential
+    decode path) takes a GRAYSCALE (h, w) uint16 image with samples in
+    [0, 4095] and emits an SOF1 12-bit stream with size-14 AC tables."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    if precision == 12:
+        if img.ndim != 2 or img.dtype != np.uint16:
+            raise ValueError(
+                "12-bit encode wants a grayscale (h, w) uint16 image"
+            )
+        if int(img.max(initial=0)) > 4095:
+            raise ValueError("12-bit samples must be in [0, 4095]")
+    elif img.dtype != np.uint8:
         raise ValueError("encode_jpeg wants uint8")
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
@@ -846,16 +885,25 @@ def encode_jpeg(
     vmax = max(s[1] for s in samp)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
+    maxval = (1 << precision) - 1
     comp_zz = []
     for plane, (sh, sv), qid in zip(planes, samp, qids):
         padded = _pad_to(
-            np.clip(np.round(plane), 0, 255),
+            np.clip(np.round(plane), 0, maxval),
             mcuy * sv * 8, mcux * sh * 8,
         )
-        comp_zz.append((_component_blocks(padded, qtables[qid]), sh, sv))
+        comp_zz.append(
+            (_component_blocks(padded, qtables[qid], precision), sh, sv)
+        )
 
-    dc_codes = _build_codes(_ENC_DC_BITS, _ENC_DC_VALS)
-    ac_codes = _build_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+    if precision == 12:
+        dc_tab = (_ENC_DC12_BITS, _ENC_DC12_VALS)
+        ac_tab = (_ENC_AC12_BITS, _ENC_AC12_VALS)
+    else:
+        dc_tab = (_ENC_DC_BITS, _ENC_DC_VALS)
+        ac_tab = (_ENC_AC_BITS, _ENC_AC_VALS)
+    dc_codes = _build_codes(*dc_tab)
+    ac_codes = _build_codes(*ac_tab)
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(  # APP0 JFIF 1.1, no thumbnail
@@ -865,14 +913,12 @@ def encode_jpeg(
         out += b"\xff\xdb" + struct.pack(">HB", 67, tq) \
             + bytes(int(v) for v in q[ZIGZAG])
     ncomp = len(planes)
-    sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    sof = struct.pack(">HBHHB", 8 + 3 * ncomp, precision, h, w, ncomp)
     for i, (sh, sv) in enumerate(samp):
         sof += struct.pack(">BBB", i + 1, (sh << 4) | sv, qids[i])
-    out += b"\xff\xc0" + sof
-    for tc, (bits, vals) in (
-        (0, (_ENC_DC_BITS, _ENC_DC_VALS)),
-        (1, (_ENC_AC_BITS, _ENC_AC_VALS)),
-    ):
+    # 12-bit is extended sequential (SOF1); 8-bit stays baseline (SOF0)
+    out += (b"\xff\xc1" if precision == 12 else b"\xff\xc0") + sof
+    for tc, (bits, vals) in ((0, dc_tab), (1, ac_tab)):
         body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
     if restart_interval:

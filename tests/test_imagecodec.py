@@ -275,6 +275,44 @@ def test_progressive_jpeg_multiscan_structure():
     assert out.shape == (24, 17, 3)
 
 
+def test_jpeg_12bit_extended_sequential_roundtrip():
+    """12-bit (SOF1 extended sequential) decode: a smooth 12-bit
+    gradient encoded at q95 must decode (scaled to the 8-bit output
+    contract) to within quantization error of source>>4; a 12-bit
+    stream mislabeled SOF0 must refuse (T.81: baseline is 8-bit only)."""
+    from engine.ops.jpegcodec import decode_jpeg, encode_jpeg
+
+    xx, yy = np.meshgrid(np.arange(48), np.arange(40))
+    img12 = ((xx * 50 + yy * 30) % 4096).astype(np.uint16)
+    img12[10:20, 10:20] = 4095  # saturated patch exercises big coefs
+    data = encode_jpeg(img12, quality=95, precision=12)
+    assert data[data.find(b"\xff\xc1") + 4] == 12  # SOF1, 12-bit
+    out = decode_jpeg(data)
+    assert out.shape == (40, 48, 3)
+    want = (img12 >> 4).astype(np.int64)
+    err = np.abs(out[:, :, 0].astype(np.int64) - want)
+    # the modulo wrap at 4096 creates one hard edge; median error must
+    # be tiny and even the edge-ringing tail bounded
+    assert np.median(err) <= 2
+    assert err.mean() <= 6
+
+    # value-range and dtype contracts
+    with pytest.raises(ValueError, match="uint16"):
+        encode_jpeg(np.zeros((8, 8), np.uint8), precision=12)
+    with pytest.raises(ValueError, match="4095"):
+        encode_jpeg(np.full((8, 8), 5000, np.uint16), precision=12)
+    # SOF0 + 12-bit is illegal per T.81 — decoder refuses
+    bad = bytearray(data)
+    bad[bad.find(b"\xff\xc1") + 1] = 0xC0
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_jpeg(bytes(bad))
+    # 16-bit precision stays refused
+    bad = bytearray(data)
+    bad[bad.find(b"\xff\xc1") + 4] = 16
+    with pytest.raises(ValueError, match="precision"):
+        decode_jpeg(bytes(bad))
+
+
 def test_jpeg_malformed_input_raises_valueerror():
     """ADVICE r4 (medium): corrupt-but-magic-matching bytes must raise
     ValueError — never struct.error / IndexError — so DecodeImageMeta
