@@ -56,6 +56,7 @@ JOB_DEFAULTS: Dict = {
     "batch_size": 2048,
     "concurrency": None,
     "keep_going": False,
+    "max_partitions": None,
     "extractor": {},
 }
 

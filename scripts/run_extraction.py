@@ -61,6 +61,10 @@ def main() -> int:
                     default=None,
                     help="record failed partitions in the manifest and "
                          "continue (rerun retries only the failed set)")
+    ap.add_argument("--max-partitions", type=int, default=None,
+                    help="process at most N partitions this invocation "
+                         "(budgeted window; rerun resumes where it left "
+                         "off)")
     ap.add_argument("--set", dest="overrides", action="append", default=None,
                     metavar="KEY=VALUE",
                     help="per-run override above config file and flags; "
@@ -86,6 +90,7 @@ def main() -> int:
             "batch_size": args.batch_size,
             "concurrency": args.concurrency,
             "keep_going": args.keep_going,
+            "max_partitions": args.max_partitions,
         },
         parse_set_overrides(args.overrides),
     )
@@ -130,6 +135,7 @@ def main() -> int:
         batch_size=cfg["batch_size"],
         concurrency=concurrency,
         keep_going=cfg["keep_going"],
+        max_partitions=cfg["max_partitions"],
     )
     done = sum(1 for r in records if r["status"] == "complete")
     failed = sum(1 for r in records if r["status"] == "failed")
