@@ -1032,7 +1032,8 @@ def _encode_ac_refine_block(writer, zz, ss, se, al, ac_codes) -> None:
 
 
 def encode_jpeg_progressive(
-    img: np.ndarray, quality: int = 85, subsample: int = 1
+    img: np.ndarray, quality: int = 85, subsample: int = 1,
+    precision: int = 8,
 ) -> bytes:
     """(h, w, 3) RGB or (h, w) gray uint8 -> PROGRESSIVE (SOF2) JPEG.
 
@@ -1042,8 +1043,20 @@ def encode_jpeg_progressive(
       3. per component: AC first Ss=1..63 at Al=1 (EOB-run coding)
       4. per component: AC refinement to Al=0 (correction bits)
     Transmits every coefficient bit, so decoded pixels are BIT-IDENTICAL
-    to the baseline encoding of the same image at the same quality."""
-    if img.dtype != np.uint8:
+    to the baseline encoding of the same image at the same quality.
+
+    ``precision=12`` (like encode_jpeg's) takes grayscale (h, w) uint16
+    in [0, 4095] — the 12-bit progressive fixture."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    if precision == 12:
+        if img.ndim != 2 or img.dtype != np.uint16:
+            raise ValueError(
+                "12-bit encode wants a grayscale (h, w) uint16 image"
+            )
+        if int(img.max(initial=0)) > 4095:
+            raise ValueError("12-bit samples must be in [0, 4095]")
+    elif img.dtype != np.uint8:
         raise ValueError("encode_jpeg_progressive wants uint8")
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
@@ -1086,13 +1099,21 @@ def encode_jpeg_progressive(
     comp_zz = []
     for plane, (sh, sv), qid in zip(planes, samp, qids):
         padded = _pad_to(
-            np.clip(np.round(plane), 0, 255),
+            np.clip(np.round(plane), 0, (1 << precision) - 1),
             mcuy * sv * 8, mcux * sh * 8,
         )
-        comp_zz.append((_component_blocks(padded, qtables[qid]), sh, sv))
+        comp_zz.append(
+            (_component_blocks(padded, qtables[qid], precision), sh, sv)
+        )
 
-    dc_codes = _build_codes(_ENC_DC_BITS, _ENC_DC_VALS)
-    ac_codes = _build_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+    if precision == 12:
+        dc_tab = (_ENC_DC12_BITS, _ENC_DC12_VALS)
+        ac_tab = (_ENC_AC12_BITS, _ENC_AC12_VALS)
+    else:
+        dc_tab = (_ENC_DC_BITS, _ENC_DC_VALS)
+        ac_tab = (_ENC_AC_BITS, _ENC_AC_VALS)
+    dc_codes = _build_codes(*dc_tab)
+    ac_codes = _build_codes(*ac_tab)
     ncomp = len(planes)
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -1102,14 +1123,11 @@ def encode_jpeg_progressive(
     for tq, q in enumerate(qtables):
         out += b"\xff\xdb" + struct.pack(">HB", 67, tq) \
             + bytes(int(v) for v in q[ZIGZAG])
-    sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    sof = struct.pack(">HBHHB", 8 + 3 * ncomp, precision, h, w, ncomp)
     for i, (sh, sv) in enumerate(samp):
         sof += struct.pack(">BBB", i + 1, (sh << 4) | sv, qids[i])
     out += b"\xff\xc2" + sof  # SOF2: progressive DCT, Huffman
-    for tc, (bits, vals) in (
-        (0, (_ENC_DC_BITS, _ENC_DC_VALS)),
-        (1, (_ENC_AC_BITS, _ENC_AC_VALS)),
-    ):
+    for tc, (bits, vals) in ((0, dc_tab), (1, ac_tab)):
         body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
 

@@ -262,6 +262,45 @@ def test_progressive_jpeg_matches_baseline_bit_identical():
             assert (prog == base).all(), (img.shape, subsample, quality)
 
 
+def test_progressive_jpeg_edge_dimensions():
+    """Non-interleaved AC-scan block math (bw_ni/bh_ni ceil over the
+    component's own sample dims) is the riskiest progressive path —
+    differential-check progressive == baseline on awkward shapes: tiny,
+    sub-block, odd, and exactly-one-off-MCU sizes, 4:4:4 and 4:2:0."""
+    from engine.ops.jpegcodec import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(5)
+    for hh, ww in [(1, 1), (5, 7), (8, 9), (16, 17), (31, 24), (33, 32)]:
+        gray = rng.integers(0, 256, (hh, ww), dtype=np.uint8)
+        a = decode_jpeg(encode_jpeg(gray, 80))
+        b = decode_jpeg(encode_jpeg_progressive(gray, 80))
+        assert (a == b).all(), ("gray", hh, ww)
+        rgb = rng.integers(0, 256, (hh, ww, 3), dtype=np.uint8)
+        for sub in (1, 2):
+            a = decode_jpeg(encode_jpeg(rgb, 80, sub))
+            b = decode_jpeg(encode_jpeg_progressive(rgb, 80, sub))
+            assert (a == b).all(), ("rgb", hh, ww, sub)
+
+
+def test_progressive_12bit_matches_sequential():
+    """12-bit PROGRESSIVE (SOF2 + precision 12): both encoders transmit
+    every coefficient bit, so progressive decode must be bit-identical
+    to the 12-bit extended-sequential decode of the same image."""
+    from engine.ops.jpegcodec import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(9)
+    img12 = rng.integers(0, 4096, (25, 34), dtype=np.uint16)
+    seq = decode_jpeg(encode_jpeg(img12, quality=92, precision=12))
+    data = encode_jpeg_progressive(img12, quality=92, precision=12)
+    assert data[data.find(b"\xff\xc2") + 4] == 12
+    prog = decode_jpeg(data)
+    assert (prog == seq).all()
+
+
 def test_progressive_jpeg_multiscan_structure():
     """A progressive file carries >= 4 SOS scans; decode also survives
     the pipeline dispatch path (sniff -> decode_image)."""
