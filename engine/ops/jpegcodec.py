@@ -1033,7 +1033,7 @@ def _encode_ac_refine_block(writer, zz, ss, se, al, ac_codes) -> None:
 
 def encode_jpeg_progressive(
     img: np.ndarray, quality: int = 85, subsample: int = 1,
-    precision: int = 8,
+    precision: int = 8, restart_interval: int = 0,
 ) -> bytes:
     """(h, w, 3) RGB or (h, w) gray uint8 -> PROGRESSIVE (SOF2) JPEG.
 
@@ -1131,6 +1131,9 @@ def encode_jpeg_progressive(
         body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
 
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
     def sos_header(comp_ids, ss, se, ah, al) -> bytes:
         sos = struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
         for cid in comp_ids:
@@ -1138,11 +1141,23 @@ def encode_jpeg_progressive(
         sos += struct.pack(">BBB", ss, se, (ah << 4) | al)
         return b"\xff\xda" + sos
 
-    def dc_units(fn) -> bytes:
+    def dc_units(fn, reset=None) -> bytes:
         """Run fn(ci, zz_block) over every data unit in interleaved MCU
-        order (== non-interleaved raster when ncomp==1 and 1x1)."""
+        order (== non-interleaved raster when ncomp==1 and 1x1). With
+        ``restart_interval``, emits RSTn every N MCUs and calls
+        ``reset`` (DC predictor reset)."""
         writer = _BitWriter()
+        chunks = bytearray()
+        rst = 0
         for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                writer.flush()
+                chunks += writer.out
+                chunks += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                writer = _BitWriter()
+                if reset is not None:
+                    reset()
             my, mx = divmod(m, mcux)
             for ci, (zz, sh, sv) in enumerate(comp_zz):
                 bw = mcux * sh
@@ -1150,7 +1165,7 @@ def encode_jpeg_progressive(
                     for hh in range(sh):
                         fn(writer, ci, zz[(my * sv + v) * bw + (mx * sh + hh)])
         writer.flush()
-        return bytes(writer.out)
+        return bytes(chunks + writer.out)
 
     # scan 1: DC first, Al=1
     out += sos_header(list(range(1, ncomp + 1)), 0, 0, 0, 1)
@@ -1163,7 +1178,10 @@ def encode_jpeg_progressive(
         size = int(diff != 0 and abs(diff).bit_length())
         _emit_size_val(writer, dc_codes, size, diff, size)
 
-    out += dc_units(dc_first)
+    def _reset_preds():
+        preds[:] = [0] * ncomp
+
+    out += dc_units(dc_first, reset=_reset_preds)
 
     # scan 2: DC refinement to Al=0 (one raw bit per unit)
     out += sos_header(list(range(1, ncomp + 1)), 0, 0, 1, 0)
@@ -1178,11 +1196,19 @@ def encode_jpeg_progressive(
         chh = -(-h * sv // vmax)
         bw_ni, bh_ni = -(-cw // 8), -(-chh // 8)
         writer = _BitWriter()
+        chunks = bytearray()
+        rst = 0
         for m in range(bw_ni * bh_ni):
+            if restart_interval and m and m % restart_interval == 0:
+                writer.flush()
+                chunks += writer.out
+                chunks += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                writer = _BitWriter()
             by, bx = divmod(m, bw_ni)
             encode_block(writer, zz[by * bw + bx], ss, se, al, ac_codes)
         writer.flush()
-        return bytes(writer.out)
+        return bytes(chunks + writer.out)
 
     # scans 3..: AC first at Al=1, then AC refinement to Al=0, per comp
     for ci in range(ncomp):

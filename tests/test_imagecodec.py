@@ -284,6 +284,28 @@ def test_progressive_jpeg_edge_dimensions():
             assert (a == b).all(), ("rgb", hh, ww, sub)
 
 
+def test_progressive_jpeg_restart_intervals():
+    """Restart markers inside progressive scans (DRI + RSTn every N
+    MCUs / data units, per-segment DC-predictor and EOB-run reset) must
+    not change a single pixel vs the restart-free progressive stream
+    or the baseline stream."""
+    from engine.ops.jpegcodec import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, (33, 26, 3), dtype=np.uint8)
+    for sub in (1, 2):
+        base = decode_jpeg(encode_jpeg(rgb, 80, sub))
+        plain = encode_jpeg_progressive(rgb, 80, sub)
+        rst = encode_jpeg_progressive(rgb, 80, sub, restart_interval=3)
+        assert b"\xff\xdd" in rst and rst.count(b"\xff\xd0") >= 1
+        assert len(rst) > len(plain)  # markers actually present
+        a = decode_jpeg(rst)
+        assert (a == decode_jpeg(plain)).all()
+        assert (a == base).all()
+
+
 def test_progressive_12bit_matches_sequential():
     """12-bit PROGRESSIVE (SOF2 + precision 12): both encoders transmit
     every coefficient bit, so progressive decode must be bit-identical
