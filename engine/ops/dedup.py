@@ -1842,6 +1842,11 @@ def dedup_incremental(sf_dir: str, mode: str = "join") -> ray.data.Dataset:
         ),
         _ING_BLOOM_BITS // 64,
     )
+    if not pos_bitmap.any():
+        # clean crawl: zero bloom-positive incoming docs — every doc is
+        # definitely new; skip the second base pass and the join
+        # entirely (saves a full corpus scan in the common no-dup case)
+        return new_negative
     pos_ref = ray.put(pos_bitmap)
 
     def inc_join_rows(batch: pa.Table) -> pa.Table:

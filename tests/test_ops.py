@@ -1158,6 +1158,54 @@ def test_dedup_incremental_driver_memory_bound(tmp_path, monkeypatch):
         assert obj.nbytes == dd._ING_BLOOM_BITS // 8  # fixed 8 KB
 
 
+def test_dedup_incremental_clean_crawl_skips_base_pass(tmp_path, monkeypatch):
+    """When NO incoming doc is bloom-positive (a clean crawl), join mode
+    must short-circuit: every incoming doc returned as new, the second
+    base-corpus pass and its broadcast never happen (exactly ONE
+    ray.put — the base bitmap; the positives bitmap is never shipped)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray as ray_mod
+    import ray.data as rd
+
+    from engine.ops import dedup as dd
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(50)),
+                "text": [f"base doc {i} lorem ipsum" for i in range(50)],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    novel = pa.table(
+        {
+            "doc_id": pa.array(
+                [dd.EXACT_DUP_OFFSET + i for i in range(20)], pa.int64()
+            ),
+            "text": [f"completely novel crawl page {i}" for i in range(20)],
+        }
+    )
+    monkeypatch.setattr(dd, "dup_corpus", lambda sf: rd.from_arrow(novel))
+    puts = []
+    real_put = ray_mod.put
+
+    def spy_put(obj, *a, **k):
+        puts.append(obj)
+        return real_put(obj, *a, **k)
+
+    monkeypatch.setattr(dd.ray, "put", spy_put)
+    out = sorted(
+        dd.dedup_incremental(str(tmp_path), mode="join")
+        .to_pandas()["doc_id"].tolist()
+    )
+    assert out == [dd.EXACT_DUP_OFFSET + i for i in range(20)]
+    bitmaps = [o for o in puts if isinstance(o, np.ndarray)]
+    assert len(bitmaps) == 1  # base bitmap only; no positives broadcast
+
+
 def test_decontaminate_bloom_matches_broadcast(tmp_path):
     """The Bloom-pruned exact plan must be BIT-IDENTICAL to the
     exact-string broadcast plan on a contamination-heavy fixture (many
