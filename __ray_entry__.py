@@ -513,6 +513,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_metadata": multimodal.image_metadata,
         "image_resize": multimodal.image_resize,
         "video_frame_sample": multimodal.video_frame_sample,
+        # --- round-5 second-session additions (tail: the CORRECTNESS
+        # prefix above stays the staged never-driver-checked block).
+        "vocab_growth": textstats.vocab_growth,
+        "ttr_docs": textstats.ttr_docs,
+        "snapshot_diff": relational.snapshot_diff,
+        "dedup_events_windowed": relational.dedup_events_windowed,
     }
 
 
@@ -3107,5 +3113,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, word, n FROM counts
             QUALIFY row_number() OVER (
               PARTITION BY source ORDER BY n DESC, word) <= 10
+        """,
+        "vocab_growth": f"""
+            -- Heaps-law bigram vocabulary growth: first-occurrence per
+            -- bigram (bigram_counts' adjacency: empties KEPT), bucketed
+            -- by doc_id // step, cumulative over the bucket histogram
+            WITH t AS (
+              SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+              FROM documents),
+            grams AS (
+              SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS gram
+              FROM t, unnest(generate_series(1, len(ws) - 1)) AS u(i)),
+            firsts AS (
+              SELECT gram, min(doc_id) AS fd FROM grams GROUP BY gram),
+            hist AS (
+              SELECT fd // {textstats_mod.VOCAB_GROWTH_STEP} AS bucket,
+                     count(*) AS new_grams
+              FROM firsts GROUP BY bucket)
+            SELECT CAST((bucket + 1) * {textstats_mod.VOCAB_GROWTH_STEP}
+                        AS BIGINT) AS n_docs_ub,
+                   CAST(new_grams AS BIGINT) AS new_grams,
+                   CAST(sum(new_grams) OVER (ORDER BY bucket)
+                        AS BIGINT) AS vocab
+            FROM hist
+        """,
+        "ttr_docs": f"""
+            -- per-doc type-token ratio; integer cross-multiplied gate
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split(coalesce(text, ''), ' ')) AS word
+              FROM documents)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(count(DISTINCT word) AS BIGINT) AS n_distinct,
+                   CAST(CASE WHEN count(DISTINCT word) * {textstats_mod.TTR_DEN}
+                             < count(*) * {textstats_mod.TTR_NUM}
+                        THEN 1 ELSE 0 END AS BIGINT) AS low_diversity
+            FROM w WHERE word <> '' GROUP BY doc_id
+        """,
+        "snapshot_diff": f"""
+            -- CDC diff vs merge_upsert's synthetic delta; status is a
+            -- content compare so a no-op rewrite reads 'unchanged'
+            WITH base AS (
+              SELECT doc_id, coalesce(text, '') AS text FROM documents
+            ), delta AS (
+              SELECT doc_id, upper(text) AS text
+              FROM base WHERE doc_id % 4 = 0
+              UNION ALL
+              SELECT doc_id + {relational.UPSERT_NEW_OFFSET}, upper(text)
+              FROM base WHERE doc_id % 10 = 0
+            )
+            SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
+                   CASE WHEN b.doc_id IS NULL THEN 'added'
+                        WHEN d.doc_id IS NULL THEN 'unchanged'
+                        WHEN d.text = b.text THEN 'unchanged'
+                        ELSE 'updated' END AS status
+            FROM base b FULL OUTER JOIN delta d ON b.doc_id = d.doc_id
+        """,
+        "dedup_events_windowed": """
+            -- tumbling-hour stream dedup: keep min event_id per window
+            SELECT user_id, event_type,
+                   epoch_us(ts) // 3600000000 AS hour,
+                   CAST(min(event_id) AS BIGINT) AS kept_event_id,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id, event_type, hour
         """,
     }

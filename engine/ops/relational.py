@@ -4034,3 +4034,158 @@ def join_size_estimate_events_orders(sf_dir: str) -> ray.data.Dataset:
             Sum("matched_keys", alias_name="matched_keys"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff (the read side of merge_upsert's MERGE) and
+# windowed stream dedup
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff(sf_dir: str) -> ray.data.Dataset:
+    """Change-data-capture diff between the base documents snapshot and
+    ``merge_upsert``'s deterministic synthetic delta (doc_id % 4 == 0
+    rows re-written upper-case, brand-new rows at id+UPSERT_NEW_OFFSET
+    for doc_id % 10 == 0): per doc_id emit status in
+    {'added','updated','unchanged'} — the audit/report companion of the
+    MERGE itself (what changed, not just who wins).
+
+    Change detection is CONTENT-based, not provenance-based: both sides
+    carry a 64-bit md5 content fingerprint (dedup's zero-copy
+    ``_md5_prefix64``), so a delta row whose rewrite is a no-op (text
+    with no letters) correctly reads 'unchanged', exactly like the
+    oracle's string compare. Scale shape: tagged union of the two
+    snapshots (no join, no global sort), ONE hash(doc_id) int-only
+    bucket shuffle — text never leaves the fingerprint pass — and a
+    vectorized two-run compare per bucket."""
+    from ..pipeline import default_num_buckets
+    from .dedup import _bucket_of, _md5_prefix64, _run_starts
+
+    num_buckets = default_num_buckets()
+    ensure_serializable()
+    base = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def tag_base(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fp = _md5_prefix64(pc.fill_null(batch["text"], ""))
+        return pa.table(
+            {
+                "_db": pa.array(_bucket_of(ids, num_buckets=num_buckets)),
+                "doc_id": pa.array(ids),
+                "side": pa.array(np.zeros(ids.size, dtype=np.int64)),
+                "fp": pa.array(fp),
+            }
+        )
+
+    def tag_delta(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        text = pc.fill_null(batch["text"], "")
+        # merge_upsert's delta exactly: BOTH row classes carry the
+        # upper-cased rewrite (status is content-decided, so the new
+        # rows' casing only matters for definitional parity).
+        fp_upper = _md5_prefix64(pc.utf8_upper(text))
+        upd = ids % 4 == 0
+        new = ids % 10 == 0
+        out_ids = np.concatenate([ids[upd], ids[new] + UPSERT_NEW_OFFSET])
+        out_fp = np.concatenate([fp_upper[upd], fp_upper[new]])
+        return pa.table(
+            {
+                "_db": pa.array(_bucket_of(out_ids, num_buckets=num_buckets)),
+                "doc_id": pa.array(out_ids),
+                "side": pa.array(np.ones(out_ids.size, dtype=np.int64)),
+                "fp": pa.array(out_fp),
+            }
+        )
+
+    both = base.map_batches(
+        tag_base, batch_format="pyarrow", zero_copy_batch=True
+    ).union(base.map_batches(tag_delta, batch_format="pyarrow", zero_copy_batch=True))
+
+    def diff_bucket(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [("doc_id", "ascending"), ("side", "ascending")]
+        ).combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "status": pa.array([], pa.string())}
+            )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        fp = t["fp"].to_numpy(zero_copy_only=False)
+        heads = np.flatnonzero(_run_starts(ids))
+        run_len = np.diff(np.append(heads, ids.size))
+        out_ids = ids[heads]
+        # run of 1: base-only -> unchanged; delta-only -> added.
+        # run of 2: rows are (base, delta) by the side sort; fp equal
+        # -> unchanged (no-op rewrite), else updated.
+        single = run_len == 1
+        status = np.where(
+            single,
+            np.where(side[heads] == 0, "unchanged", "added"),
+            np.where(
+                fp[heads] == fp[np.minimum(heads + 1, ids.size - 1)],
+                "unchanged",
+                "updated",
+            ),
+        )
+        return pa.table(
+            {"doc_id": pa.array(out_ids), "status": pa.array(status)}
+        )
+
+    return both.groupby("_db").map_groups(
+        lambda g: diff_bucket(g.drop_columns(["_db"])), batch_format="pyarrow"
+    )
+
+
+def dedup_events_windowed(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling-window stream dedup: within each (user_id, event_type,
+    clock hour) keep the event with the smallest event_id and count how
+    many the window collapsed — the at-least-once-delivery dedup every
+    telemetry ingest runs before aggregation (the dedup cousin of
+    ``hourly_active_users``'s windowed COUNT DISTINCT).
+
+    Scale shape: min/count are algebraic, so per-batch group_by
+    partials bound the shuffle by distinct (user, type, hour) keys per
+    batch and the global groupby carries two int64s per key — the event
+    stream itself never shuffles and no window buffer exists (contrast
+    a streaming engine's keyed state: here the window key is just a
+    derived column)."""
+    from ray.data.aggregate import Min as _Min
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.divide(pc.cast(batch["ts"], pa.int64()), _US_PER_HOUR)
+        g = (
+            pa.table(
+                {
+                    "user_id": batch["user_id"],
+                    "event_type": batch["event_type"],
+                    "hour": hour,
+                    "event_id": batch["event_id"],
+                }
+            )
+            .group_by(["user_id", "event_type", "hour"])
+            .aggregate([("event_id", "min"), ("event_id", "count")])
+        )
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "event_type": g["event_type"],
+                "hour": g["hour"],
+                "kept_event_id": g["event_id_min"],
+                "n_events": pc.cast(g["event_id_count"], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "event_type", "hour"])
+        .aggregate(
+            _Min("kept_event_id", alias_name="kept_event_id"),
+            Sum("n_events", alias_name="n_events"),
+        )
+    )

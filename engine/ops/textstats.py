@@ -2565,3 +2565,153 @@ def dsir_select(sf_dir: str, k: int = DSIR_TOP_K) -> ray.data.Dataset:
         concurrency=pool_size(),
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth (Heaps' law) and lexical-diversity gate
+# ---------------------------------------------------------------------------
+
+VOCAB_GROWTH_STEP = 50
+
+
+def vocab_growth(sf_dir: str, step: int = VOCAB_GROWTH_STEP) -> ray.data.Dataset:
+    """Heaps'-law vocabulary growth curve over word BIGRAMS: for each
+    doc_id range ``[0, (b+1)*step)`` report how many distinct bigrams
+    first appeared in bucket ``b`` and the cumulative vocabulary — the
+    curve data engineers read to decide whether more crawl data still
+    adds novel n-grams (Heaps 1978; the n-gram novelty companion of
+    ``word_counts``/``bigram_counts``).
+
+    Bigram convention is ``bigram_counts``' exactly (single-space split,
+    empties KEPT so adjacency matches the SQL oracle). Scale shape:
+    per-batch (bigram, min doc_id) partials, ONE vocabulary-bounded
+    groupby Min — first-occurrence is an algebraic aggregate, so no
+    doc-order scan exists anywhere; the bucket histogram is
+    ``max_doc_id/step`` rows and the cumulative sum runs on that tiny
+    table in a single block. At corpus scale pass ``step ~ n_docs/1000``
+    (a 1000-point curve) so the final table stays single-block by
+    construction; the fixture default 50 gives the sf0.01 corpus a
+    10-bucket curve."""
+    from ray.data.aggregate import Min as _Min, Sum as _Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words_list = pc.split_pattern(pc.fill_null(batch["text"], ""), " ")
+        lengths = pc.list_value_length(words_list).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words_list)
+        total = len(flat)
+        empty = pa.table(
+            {"gram": pa.array([], pa.string()),
+             "first_doc": pa.array([], pa.int64())}
+        )
+        if total == 0:
+            return empty
+        is_last = np.zeros(total, dtype=bool)
+        ends = np.cumsum(lengths) - 1
+        is_last[ends[lengths > 0]] = True
+        first_idx = np.flatnonzero(~is_last)
+        if first_idx.size == 0:
+            return empty
+        w1 = flat.take(pa.array(first_idx))
+        w2 = flat.take(pa.array(first_idx + 1))
+        gram = pc.binary_join_element_wise(w1, w2, " ")
+        doc_of_word = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            lengths,
+        )
+        g = (
+            pa.table({"gram": gram, "first_doc": pa.array(doc_of_word[first_idx])})
+            .group_by(["gram"])
+            .aggregate([("first_doc", "min")])
+        )
+        return pa.table({"gram": g["gram"], "first_doc": g["first_doc_min"]})
+
+    firsts = (
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gram")
+        .aggregate(_Min("first_doc", alias_name="first_doc"))
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        fd = batch["first_doc"].to_numpy(zero_copy_only=False)
+        bu, bc = np.unique(fd // step, return_counts=True)
+        return pa.table(
+            {"bucket": pa.array(bu.astype(np.int64)),
+             "new_grams": pa.array(bc.astype(np.int64))}
+        )
+
+    hist = (
+        firsts.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(_Sum("new_grams", alias_name="new_grams"))
+    )
+
+    def cumulate(batch: pa.Table) -> pa.Table:
+        # single block by construction (<= max_doc_id/step rows)
+        t = batch.sort_by("bucket")
+        new = t["new_grams"].to_numpy(zero_copy_only=False)
+        bucket = t["bucket"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_docs_ub": pa.array((bucket + 1) * step),
+                "new_grams": pa.array(new),
+                "vocab": pa.array(np.cumsum(new)),
+            }
+        )
+
+    return hist.repartition(1).map_batches(
+        cumulate, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+TTR_NUM = 1
+TTR_DEN = 2
+
+
+def ttr_docs(sf_dir: str) -> ray.data.Dataset:
+    """Per-document type-token ratio (lexical diversity) with an exact
+    integer low-diversity gate: ``low_diversity = n_distinct * TTR_DEN
+    < n_words * TTR_NUM`` (i.e. distinct/words < 1/2) — the
+    lexical-diversity quality rule complementing ``doc_repetition``'s
+    3-gram view (repeated-word spam has low TTR even when its 3-grams
+    are distinct). Tokenization is ``word_counts``' single-space split
+    with empties dropped; docs with zero words emit nothing on both
+    engines.
+
+    Scale shape: entirely batch-local (per-doc distinct via one
+    group_by over (row, word) within the batch) — no shuffle, no
+    cross-doc state, no Python loop."""
+
+    def ttr(batch: pa.Table) -> pa.Table:
+        words_list = pc.split_pattern(pc.fill_null(batch["text"], ""), " ")
+        flat = pc.list_flatten(words_list)
+        parent = pc.list_parent_indices(words_list).to_numpy(
+            zero_copy_only=False
+        )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({"row": pa.array(parent), "word": flat})
+        t = t.filter(pc.not_equal(t["word"], ""))
+        n_words = np.zeros(len(batch), dtype=np.int64)
+        rows = t["row"].to_numpy(zero_copy_only=False)
+        np.add.at(n_words, rows, 1)
+        distinct = t.group_by(["row", "word"]).aggregate([])
+        n_distinct = np.zeros(len(batch), dtype=np.int64)
+        np.add.at(
+            n_distinct, distinct["row"].to_numpy(zero_copy_only=False), 1
+        )
+        keep = n_words > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep]),
+                "n_words": pa.array(n_words[keep]),
+                "n_distinct": pa.array(n_distinct[keep]),
+                "low_diversity": pa.array(
+                    (n_distinct[keep] * TTR_DEN < n_words[keep] * TTR_NUM)
+                    .astype(np.int64)
+                ),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        ttr, batch_format="pyarrow", zero_copy_batch=True
+    )

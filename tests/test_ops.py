@@ -3405,3 +3405,143 @@ def test_sampled_join_crafted_rates(tmp_path):
     est = _as_df(join_size_estimate_events_orders(str(tmp_path)))
     assert int(est["join_rows"].iloc[0]) == len(full) == 12
     assert int(est["matched_keys"].iloc[0]) == 1
+
+
+def test_vocab_growth_curve_and_adjacency(tmp_path):
+    """Crafted corpus: bucket boundaries at step docs; bigrams first
+    seen in a later bucket add to new_grams there; vocab is the running
+    sum; adjacency never crosses a document boundary; empties KEPT
+    (bigram_counts' convention)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops import textstats as ts
+
+    step = ts.VOCAB_GROWTH_STEP
+    n = 2 * step
+    texts = ["a b" for _ in range(n)]
+    texts[0] = "a b c"          # grams: "a b", "b c"  (bucket 0)
+    texts[step] = "c d"         # gram "c d" first appears in bucket 1
+    texts[step + 1] = "x  y"    # double space -> grams "x ", " y" (empties kept)
+    pq.write_table(
+        pa.table({"doc_id": list(range(n)), "text": texts}),
+        tmp_path / "documents.parquet",
+    )
+    out = (
+        ts.vocab_growth(str(tmp_path))
+        .to_pandas()
+        .sort_values("n_docs_ub")
+        .reset_index(drop=True)
+    )
+    assert out["n_docs_ub"].tolist() == [step, 2 * step]
+    # bucket 0: "a b", "b c"; bucket 1: "c d", "x ", " y"
+    assert out["new_grams"].tolist() == [2, 3]
+    assert out["vocab"].tolist() == [2, 5]
+
+
+def test_ttr_docs_gate_boundary_and_empty(tmp_path):
+    """low_diversity is a strict < at ratio 1/2; the boundary doc
+    (distinct/words == 1/2 exactly) is NOT flagged; a zero-word doc
+    emits nothing (matching the oracle's GROUP BY)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops import textstats as ts
+
+    rows = {
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "spam spam spam spam",   # 4 words, 1 distinct -> flagged
+            "a b a b",               # 4 words, 2 distinct == 1/2 -> NOT
+            "all words fully new",   # 4/4 -> not flagged
+            "   ",                   # only empties -> no row
+        ],
+    }
+    pq.write_table(pa.table(rows), tmp_path / "documents.parquet")
+    out = (
+        ts.ttr_docs(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [0, 1, 2]
+    assert out["n_words"].tolist() == [4, 4, 4]
+    assert out["n_distinct"].tolist() == [1, 2, 4]
+    assert out["low_diversity"].tolist() == [1, 0, 0]
+
+
+def test_snapshot_diff_statuses_and_noop_rewrite(tmp_path):
+    """added/updated/unchanged statuses; a doc_id % 4 == 0 row whose
+    upper-case rewrite is a NO-OP (no letters) must read 'unchanged'
+    because the diff is content-based, not provenance-based."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops import relational as rel
+
+    rows = {
+        "doc_id": [0, 1, 4, 10],
+        "text": [
+            "123 456 789",      # %4==0 but upper() is a no-op -> unchanged
+            "untouched row",    # not in delta -> unchanged
+            "gets upper cased", # %4==0 -> updated
+            "also copied",      # %10==0 -> new row at 10+OFFSET 'added'
+        ],
+    }
+    pq.write_table(pa.table(rows), tmp_path / "documents.parquet")
+    out = (
+        rel.snapshot_diff(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    off = rel.UPSERT_NEW_OFFSET
+    got = dict(zip(out["doc_id"], out["status"]))
+    # doc 0 is also %10==0 -> an added row at 0+off too; doc 10 is %4 != 0
+    # (10 % 4 == 2) so its base row is untouched -> unchanged
+    assert got == {
+        0: "unchanged",
+        1: "unchanged",
+        4: "updated",
+        10: "unchanged",
+        0 + off: "added",
+        10 + off: "added",
+    }
+
+
+def test_dedup_events_windowed_hour_boundary(tmp_path):
+    """Events of one (user, type) inside the same clock hour collapse to
+    the min event_id with the right count; the next hour starts a fresh
+    window; a different event_type never merges."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops import relational as rel
+
+    base = np.datetime64("2024-01-01T10:00:00", "us")
+    ts_col = [
+        base + np.timedelta64(5, "m"),    # e0  hour A
+        base + np.timedelta64(50, "m"),   # e1  hour A (dup)
+        base + np.timedelta64(61, "m"),   # e2  hour B
+        base + np.timedelta64(10, "m"),   # e3  hour A, other type
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([7, 3, 9, 5], pa.int64()),
+            "ts": pa.array(ts_col, pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+            "event_type": pa.array(["click", "click", "click", "view"]),
+            "value": pa.array([0.0] * 4),
+            "props": pa.array(["{}"] * 4),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = (
+        rel.dedup_events_windowed(str(tmp_path))
+        .to_pandas()
+        .sort_values(["event_type", "hour"])
+        .reset_index(drop=True)
+    )
+    assert out["kept_event_id"].tolist() == [3, 9, 5]
+    assert out["n_events"].tolist() == [2, 1, 1]
