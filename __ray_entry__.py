@@ -519,6 +519,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ttr_docs": textstats.ttr_docs,
         "snapshot_diff": relational.snapshot_diff,
         "dedup_events_windowed": relational.dedup_events_windowed,
+        "trade_components": graph.trade_components,
+        "cube_events": relational.cube_events,
+        "grouped_mode_events": relational.grouped_mode_events,
     }
 
 
@@ -3177,5 +3180,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(event_id) AS BIGINT) AS kept_event_id,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM events GROUP BY user_id, event_type, hour
+        """,
+        "trade_components": f"""
+            -- weakly-connected components of the strong trade graph
+            -- (>= {graph_mod.TRADE_MIN_INTERACTIONS} lineitems per pair);
+            -- node encoding 2*custkey / 2*suppkey+1 matches the engine
+            WITH RECURSIVE strong AS (
+              SELECT o.o_custkey AS c, l.l_suppkey AS s
+              FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+              GROUP BY c, s
+              HAVING count(*) >= {graph_mod.TRADE_MIN_INTERACTIONS}),
+            edges AS (
+              SELECT 2 * c AS u, 2 * s + 1 AS v FROM strong
+              UNION ALL SELECT 2 * s + 1, 2 * c FROM strong),
+            reach AS (
+              SELECT DISTINCT u AS node, u AS label FROM edges
+              UNION
+              SELECT e.v AS node, r.label
+              FROM reach r JOIN edges e ON e.u = r.node)
+            SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+                        ELSE 'supplier' END AS entity,
+                   CAST(node // 2 AS BIGINT) AS entity_key,
+                   CAST(min(label) AS BIGINT) AS component
+            FROM reach GROUP BY node
+        """,
+        "cube_events": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(epoch_us(ts) // 86400000000, -1) AS day,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_cents
+            FROM events
+            GROUP BY CUBE (event_type, (epoch_us(ts) // 86400000000))
+        """,
+        "grouped_mode_events": """
+            -- per-user mode of event_type, ties broken (n desc, type asc)
+            WITH c AS (
+              SELECT user_id, event_type, count(*) AS n
+              FROM events GROUP BY user_id, event_type)
+            SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n
+            FROM c
+            QUALIFY row_number() OVER (
+              PARTITION BY user_id ORDER BY n DESC, event_type) = 1
         """,
     }

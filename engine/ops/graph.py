@@ -311,3 +311,247 @@ def pagerank_entities(
         return pa.table({"node": batch["node"], "rank_micro": batch["r"]})
 
     return ranks.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Weakly-connected components of the thresholded trade graph
+# ---------------------------------------------------------------------------
+
+TRADE_MIN_INTERACTIONS = 4
+
+
+def trade_components(
+    sf_dir: str,
+    min_interactions: int = TRADE_MIN_INTERACTIONS,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Weakly-connected components of the STRONG trade graph: edges are
+    (customer, supplier) pairs with >= ``min_interactions`` lineitems
+    between them; each edge-incident entity gets ``component`` = min
+    node id reachable through strong edges — the trading-bloc /
+    community-detection primitive (the canonical iterative graph op
+    next to ``pagerank_entities``'s centrality; dedup_clusters is the
+    same algorithm over the near-dup doc graph).
+
+    Node encoding matches pagerank: 2*custkey / 2*suppkey+1 (the raw
+    key domains overlap). Physical shape: ONE hash(orderkey)
+    co-location (orders never joins lineitem — the q12 union idiom)
+    emitting per-bucket (pair, count) partials, one packed-pair-keyed
+    int shuffle for exact global counts + threshold, then dedup's
+    hash-to-min label propagation over edge-incident nodes only (the
+    strong subgraph — a tiny fraction of the fact tables) with the
+    monotone label-sum fixpoint test. Thresholding BEFORE propagation
+    is what keeps the iterated state small at corpus scale."""
+    from .dedup import MAX_CC_ITERS, _attach_min_labels, _pair_num_buckets
+
+    if num_buckets is None:
+        num_buckets = _pair_num_buckets()
+    ensure_serializable()
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_suppkey"]
+    )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_b": pa.array((okey % num_buckets).astype(np.int32)),
+                "okey": pa.array(okey),
+                "key": batch["o_custkey"],
+                "n": pa.array(np.zeros(okey.size, dtype=np.int64)),  # side tag
+            }
+        )
+
+    def tag_line(batch: pa.Table) -> pa.Table:
+        # keep MULTIPLICITY (unlike pagerank's distinct pairs): count
+        # lineitems per (order, supplier) batch-locally
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        agg = (
+            pa.table({"okey": pa.array(okey), "key": batch["l_suppkey"]})
+            .group_by(["okey", "key"])
+            .aggregate([([], "count_all")])
+        )
+        ok = agg["okey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array((ok % num_buckets).astype(np.int32)),
+                "okey": agg["okey"],
+                "key": agg["key"],
+                "n": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+
+    tagged = orders.map_batches(
+        tag_orders, batch_format="pyarrow", zero_copy_batch=True
+    ).union(line.map_batches(tag_line, batch_format="pyarrow", zero_copy_batch=True))
+
+    def pair_count_bucket(group: pa.Table) -> pa.Table:
+        """Within the orderkey bucket: attach custkey to each order's
+        supplier counts, emit (packed pair, n) partials."""
+        t = group.combine_chunks()
+        n = t["n"].to_numpy(zero_copy_only=False)
+        okey = t["okey"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_order = n == 0
+        o_keys, o_cust = okey[is_order], key[is_order]
+        l_okey, l_supp, l_n = okey[~is_order], key[~is_order], n[~is_order]
+        if l_okey.size == 0:
+            return pa.table(
+                {"pk": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        order_sort = np.argsort(o_keys)
+        o_sorted, c_sorted = o_keys[order_sort], o_cust[order_sort]
+        pos = np.clip(np.searchsorted(o_sorted, l_okey), 0, o_sorted.size - 1)
+        if o_sorted.size == 0 or (o_sorted[pos] != l_okey).any():
+            raise ValueError(
+                "trade_components: lineitem orderkey missing from orders"
+            )
+        pk = (c_sorted[pos] << 32) | l_supp
+        agg = (
+            pa.table({"pk": pa.array(pk), "n": pa.array(l_n)})
+            .group_by(["pk"])
+            .aggregate([("n", "sum")])
+        )
+        return pa.table({"pk": agg["pk"], "n": agg["n_sum"]})
+
+    pairs = tagged.groupby("_b").map_groups(
+        lambda g: pair_count_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
+    )
+
+    def tag_pk(batch: pa.Table) -> pa.Table:
+        pk = batch["pk"].to_numpy(zero_copy_only=False)
+        h = (pk.astype(np.uint64) * _GOLDEN) >> np.uint64(32)
+        return pa.table(
+            {
+                "_pb": pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
+                "pk": batch["pk"],
+                "n": batch["n"],
+            }
+        )
+
+    def strong_edges_bucket(group: pa.Table) -> pa.Table:
+        """Global pair counts (all partials of a pk share its bucket);
+        threshold, then emit symmetric edge rows in dedup's
+        (key, v, label) propagation schema."""
+        t = group.combine_chunks()
+        pk = t["pk"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(pk)
+        pk, n = pk[order], n[order]
+        heads = np.flatnonzero(_run_starts(pk))
+        totals = np.add.reduceat(n, heads)
+        keep = pk[heads][totals >= min_interactions]
+        cust, supp = keep >> 32, keep & 0xFFFFFFFF
+        u = np.concatenate([2 * cust, 2 * supp + 1])
+        v = np.concatenate([2 * supp + 1, 2 * cust])
+        return pa.table(
+            {
+                "key": pa.array(u),
+                "v": pa.array(v),
+                "label": pa.array(np.full(u.size, -1, dtype=np.int64)),
+            }
+        )
+
+    edges = (
+        pairs.map_batches(tag_pk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pb")
+        .map_groups(
+            lambda g: strong_edges_bucket(g.drop_columns(["_pb"])),
+            batch_format="pyarrow",
+        )
+        .materialize()  # iterated: the strong subgraph, not the fact tables
+    )
+    graph_buckets = int(max(8, min(num_buckets, edges.count() // 20_000 + 8)))
+    edges = edges.repartition(graph_buckets).materialize()
+
+    def init_incident_labels(batch: pa.Table) -> pa.Table:
+        ids = pc.unique(batch["key"])
+        return pa.table(
+            {
+                "key": ids,
+                "v": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+                "label": ids,
+            }
+        )
+
+    labels = edges.map_batches(
+        init_incident_labels, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def add_key_bucket(batch: pa.Table) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_pb", pa.array(_bucket_of(key, num_buckets=graph_buckets))
+        )
+
+    def add_node_bucket(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_nb", pa.array(_bucket_of(node, num_buckets=graph_buckets))
+        )
+
+    _i64_max = np.iinfo(np.int64).max
+
+    def min_label_per_node(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        node = t["node"].to_numpy(zero_copy_only=False)
+        label = t["label"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(node, return_inverse=True)
+        mins = np.full(len(uniq), _i64_max, dtype=np.int64)
+        np.minimum.at(mins, inv, label)
+        return pa.table(
+            {
+                "key": pa.array(uniq),
+                "v": pa.array(np.full(len(uniq), -1, dtype=np.int64)),
+                "label": pa.array(mins),
+            }
+        )
+
+    prev_sum = None
+    for _it in range(MAX_CC_ITERS):
+        candidates = (
+            labels.union(edges)
+            .map_batches(add_key_bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_pb")
+            .map_groups(
+                lambda g: _attach_min_labels(g.drop_columns(["_pb"])),
+                batch_format="pyarrow",
+            )
+        )
+        labels = (
+            candidates.map_batches(
+                add_node_bucket, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("_nb")
+            .map_groups(
+                lambda g: min_label_per_node(g.drop_columns(["_nb"])),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:  # monotone labels: equal sum == fixpoint
+            break
+        prev_sum = cur_sum
+    else:  # pragma: no cover
+        raise RuntimeError(
+            f"trade_components propagation did not converge in {MAX_CC_ITERS}"
+        )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        node = batch["key"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "entity": pa.array(
+                    np.where(node % 2 == 0, "customer", "supplier")
+                ),
+                "entity_key": pa.array(node // 2),
+                "component": batch["label"],
+            }
+        )
+
+    return labels.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)

@@ -4189,3 +4189,156 @@ def dedup_events_windowed(sf_dir: str) -> ray.data.Dataset:
             Sum("n_events", alias_name="n_events"),
         )
     )
+
+
+def cube_events(sf_dir: str) -> ray.data.Dataset:
+    """GROUP BY CUBE(event_type, day): exact counts and cent-sums at
+    all FOUR grains — (type, day), (type, ALL), (ALL, day), (ALL, ALL)
+    — in one pass; the full-cross-grain companion of ``rollup_events``
+    (ROLLUP nests, CUBE crosses: the (ALL, day) daily-total row is the
+    one ROLLUP cannot produce).
+
+    Same physical shape: the base (type, day) aggregate is the ONLY
+    shuffle over the stream; all three coarser grains re-aggregate the
+    tiny |types|x|days| base table in a single-block finalize."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    ensure_serializable()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "day": pc.divide(pc.cast(batch["ts"], pa.int64()), DAY_US),
+                "cents": _fixed_point(batch["value"], 100),
+            }
+        )
+        return t.group_by(["event_type", "day"]).aggregate(
+            [("cents", "count"), ("cents", "sum")]
+        )
+
+    base = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "day"])
+        .aggregate(
+            Sum("cents_count", alias_name="n"),
+            Sum("cents_sum", alias_name="sum_cents"),
+        )
+    )
+
+    def add_levels(batch: pa.Table) -> pa.Table:
+        def roll(keys: list[str]) -> pa.Table:
+            g = batch.group_by(keys).aggregate(
+                [("n", "sum"), ("sum_cents", "sum")]
+            )
+            cols = {}
+            for k in ("event_type", "day"):
+                if k in keys:
+                    cols[k] = g[k]
+                elif k == "event_type":
+                    cols[k] = pa.array([ROLLUP_ALL_TYPE] * g.num_rows, pa.string())
+                else:
+                    cols[k] = pa.array([ROLLUP_ALL] * g.num_rows, pa.int64())
+            cols["n"] = g["n_sum"]
+            cols["sum_cents"] = g["sum_cents_sum"]
+            return pa.table(cols)
+
+        grand = pa.table(
+            {
+                "event_type": pa.array([ROLLUP_ALL_TYPE], pa.string()),
+                "day": pa.array([ROLLUP_ALL], pa.int64()),
+                "n": pa.array([pc.sum(batch["n"]).as_py() or 0], pa.int64()),
+                "sum_cents": pa.array(
+                    [pc.sum(batch["sum_cents"]).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+        cols = ["event_type", "day", "n", "sum_cents"]
+        return pa.concat_tables(
+            [batch.select(cols), roll(["event_type"]), roll(["day"]), grand]
+        )
+
+    return base.repartition(1).map_batches(
+        add_levels, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def grouped_mode_events(sf_dir: str) -> ray.data.Dataset:
+    """Per-user MODE of event_type with a total deterministic tie-break
+    (count desc, type asc) — the statistical-mode aggregate Ray Data
+    lacks natively, and the categorical cousin of ``top_event_per_user``
+    (which argmaxes a VALUE; this one argmaxes a FREQUENCY).
+
+    Scale shape: (user, type) count partials per batch bound the
+    shuffle by users x types per batch; the per-user argmax runs
+    vectorized on sorted run heads inside one hash(user) bucketed pass
+    — no per-group Python, no global sort."""
+    from ..pipeline import default_num_buckets
+    from .dedup import _bucket_of, _run_starts
+
+    num_buckets = default_num_buckets()
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {"user_id": batch["user_id"], "event_type": batch["event_type"]}
+            )
+            .group_by(["user_id", "event_type"])
+            .aggregate([([], "count_all")])
+        )
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array(_bucket_of(u, num_buckets=num_buckets)),
+                "user_id": g["user_id"],
+                "event_type": g["event_type"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    def mode_bucket(group: pa.Table) -> pa.Table:
+        """All partials of a user share its bucket: sum per (user, type)
+        via run reduction, then take each user's first row under the
+        (n desc, type asc) total order."""
+        t = group.sort_by(
+            [("user_id", "ascending"), ("event_type", "ascending")]
+        ).combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "mode_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ty = t["event_type"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        heads = np.flatnonzero(_run_starts(u, ty))
+        totals = np.add.reduceat(n, heads)
+        gu, gty = u[heads], ty[heads]
+        # per-user argmax by (count desc, type asc): rows are already
+        # type-ascending per user, and np.lexsort is stable, so sorting
+        # by (-totals) keeps type order among equal counts
+        order = np.lexsort((-totals,))  # stable by count desc
+        # stable lexsort on a single key preserves the existing
+        # (user, type) order among equal counts; regroup per user
+        gu2, gty2, gt2 = gu[order], gty[order], totals[order]
+        order2 = np.argsort(gu2, kind="stable")
+        gu3, gty3, gt3 = gu2[order2], gty2[order2], gt2[order2]
+        first = np.flatnonzero(_run_starts(gu3))
+        return pa.table(
+            {
+                "user_id": pa.array(gu3[first]),
+                "mode_type": pa.array(gty3[first]),
+                "n": pa.array(gt3[first]),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(
+            lambda g: mode_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
+        )
+    )

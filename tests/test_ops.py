@@ -3545,3 +3545,128 @@ def test_dedup_events_windowed_hour_boundary(tmp_path):
     )
     assert out["kept_event_id"].tolist() == [3, 9, 5]
     assert out["n_events"].tolist() == [2, 1, 1]
+
+
+def test_trade_components_threshold_and_merge(tmp_path):
+    """Pairs below min_interactions contribute NO edge (their nodes are
+    absent entirely); counts sum ACROSS orders; two customers sharing a
+    strong supplier merge into one component labeled by the min node id;
+    an unrelated strong pair forms its own component."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops import graph as gr
+
+    # orders: okey -> custkey
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "o_custkey": pa.array([1, 1, 2, 3, 4], pa.int64()),
+        }
+    )
+    # lineitems: cust1-supp1 4x split across orders 1+2; cust2-supp1 4x;
+    # cust3-supp2 3x (below threshold 4); cust4-supp3 5x
+    li = []
+    li += [(1, 1)] * 2 + [(2, 1)] * 2          # cust1 x supp1 = 4
+    li += [(3, 1)] * 4                          # cust2 x supp1 = 4
+    li += [(4, 2)] * 3                          # cust3 x supp2 = 3 -> cut
+    li += [(5, 3)] * 5                          # cust4 x supp3 = 5
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array([o for o, _ in li], pa.int64()),
+            "l_suppkey": pa.array([s for _, s in li], pa.int64()),
+        }
+    )
+    pq.write_table(orders, tmp_path / "orders.parquet")
+    pq.write_table(lineitem, tmp_path / "lineitem.parquet")
+    out = (
+        gr.trade_components(str(tmp_path), num_buckets=4)
+        .to_pandas()
+        .sort_values(["entity", "entity_key"])
+        .reset_index(drop=True)
+    )
+    got = {
+        (r.entity, int(r.entity_key)): int(r.component)
+        for r in out.itertuples()
+    }
+    # nodes: cust1=2, cust2=4, supp1=3 -> component 2;
+    # cust4=8, supp3=7 -> component 7; cust3/supp2 absent
+    assert got == {
+        ("customer", 1): 2,
+        ("customer", 2): 2,
+        ("supplier", 1): 2,
+        ("customer", 4): 7,
+        ("supplier", 3): 7,
+    }
+
+
+def test_cube_events_cross_grain(tmp_path):
+    """CUBE's extra (ALL, day) grain must equal the per-day totals; the
+    grand total row equals the full count; grains agree with each other."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops import relational as rel
+
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    t = pa.table(
+        {
+            "event_id": pa.array(list(range(6)), pa.int64()),
+            "ts": pa.array(
+                [base, base, base + np.timedelta64(1, "D"),
+                 base + np.timedelta64(1, "D"), base, base],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1] * 6, pa.int64()),
+            "event_type": pa.array(["a", "b", "a", "a", "b", "a"]),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0]),
+            "props": pa.array(["{}"] * 6),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = rel.cube_events(str(tmp_path)).to_pandas()
+    day0 = int(pa.scalar(base, pa.timestamp("us")).cast(pa.int64()).as_py()
+               // rel.DAY_US)
+    all_day = out[(out.event_type == "ALL") & (out.day != -1)]
+    assert dict(zip(all_day.day, all_day.n)) == {day0: 4, day0 + 1: 2}
+    grand = out[(out.event_type == "ALL") & (out.day == -1)]
+    assert grand.n.tolist() == [6]
+    assert grand.sum_cents.tolist() == [2100]
+    # (type, ALL) grain still present (rollup subset)
+    t_all = out[(out.event_type != "ALL") & (out.day == -1)]
+    assert dict(zip(t_all.event_type, t_all.n)) == {"a": 4, "b": 2}
+
+
+def test_grouped_mode_events_tiebreak(tmp_path):
+    """Equal counts break to the lexicographically smallest type; a
+    clear majority wins regardless of type order."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops import relational as rel
+
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    types = ["b", "a", "b", "a",          # user 1: tie 2-2 -> 'a'
+             "z", "z", "z", "a"]          # user 2: z=3 > a=1 -> 'z'
+    t = pa.table(
+        {
+            "event_id": pa.array(list(range(8)), pa.int64()),
+            "ts": pa.array([base] * 8, pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1, 1, 2, 2, 2, 2], pa.int64()),
+            "event_type": pa.array(types),
+            "value": pa.array([0.0] * 8),
+            "props": pa.array(["{}"] * 8),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = (
+        rel.grouped_mode_events(str(tmp_path))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out.user_id.tolist() == [1, 2]
+    assert out.mode_type.tolist() == ["a", "z"]
+    assert out.n.tolist() == [2, 3]
