@@ -279,6 +279,36 @@ def _conv_stats_jsonl(sf_dir: str):
     return conv_stats(read_transcripts_jsonl(paths))
 
 
+def _conv_stats_jsonl_gz(sf_dir: str):
+    """conv_stats over GZIP-compressed JSONL shards (the crawl-dump
+    interchange encoding): the parquet fixture converts to .jsonl.gz
+    once (cached per tier), the SAME reader as plain JSONL ingests it
+    (Arrow infers gzip from the extension), and bit-equal output vs the
+    parquet-sourced oracle proves the compressed round-trip."""
+    import ray.data
+
+    from engine import synth
+    from engine.io import read_transcripts_jsonl, write_transcripts_jsonl_gz
+    from engine.ops.convstats import conv_stats
+
+    tier = synth.tier_for_sf_dir(sf_dir)
+    out = f"/tmp/ray_transcripts_jsonl_gz/{tier}"
+    marker = os.path.join(out, "_COMPLETE")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        write_transcripts_jsonl_gz(
+            ray.data.read_parquet(_transcript_files(sf_dir)), out
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    paths = sorted(
+        os.path.join(out, p) for p in os.listdir(out) if p.endswith(".jsonl.gz")
+    )
+    return conv_stats(read_transcripts_jsonl(paths))
+
+
 def _conv_stats_csv(sf_dir: str):
     """conv_stats over the CSV SOURCE (engine.io): the parquet fixture
     converts to CSV shards once (cached per tier), then the identical
@@ -522,6 +552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trade_components": graph.trade_components,
         "cube_events": relational.cube_events,
         "grouped_mode_events": relational.grouped_mode_events,
+        "conv_stats_jsonl_gz": _conv_stats_jsonl_gz,
     }
 
 
@@ -928,6 +959,21 @@ def oracle_sql() -> dict[str, str]:
             -- identical to conv_stats: the Ray side reads the JSONL
             -- conversion of the same fixture, so bit-equality against
             -- the parquet-sourced oracle proves source parity
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_tool_turns,
+                   CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS n_chars,
+                   min(epoch_us(ts)) AS first_ts_us,
+                   max(epoch_us(ts)) AS last_ts_us
+            FROM {transcripts}
+            GROUP BY conv_id
+        """,
+        "conv_stats_jsonl_gz": f"""
+            -- identical to conv_stats: the Ray side reads the GZIP
+            -- JSONL conversion of the same fixture, so bit-equality
+            -- against the parquet-sourced oracle proves the compressed
+            -- round-trip
             SELECT conv_id,
                    count(*) AS n_turns,
                    CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)

@@ -171,3 +171,46 @@ def partitioned_sink(sf_dir: str) -> "ray.data.Dataset":
     return back.groupby("source").aggregate(
         Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
     )
+
+
+def write_transcripts_jsonl_gz(ds: ray.data.Dataset, out_dir: str) -> None:
+    """Dataset with the transcript schema -> GZIP-compressed JSONL
+    shards (``*.jsonl.gz``) — the compressed variant of
+    ``write_transcripts_jsonl`` for the crawl-dump interchange format
+    (WET/CC dumps ship as .gz lines). ``read_transcripts_jsonl`` reads
+    them back unchanged: Arrow infers gzip from the extension, so ONE
+    reader serves both encodings.
+
+    Scale shape: identical streaming write (one shard per block);
+    compression happens inside each write task's output stream — no
+    extra pass, no driver involvement."""
+    from ray.data.datasource import FilenameProvider
+
+    ensure_serializable()
+
+    class _Names(FilenameProvider):
+        # .jsonl.gz extension so every reader infers the codec
+        def get_filename_for_block(
+            self, block, write_uuid, task_index, block_index
+        ):
+            return (
+                f"part-{write_uuid}-{task_index:05d}-{block_index:05d}.jsonl.gz"
+            )
+
+    def encode(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "role": batch["role"],
+                "text": batch["text"],
+                "tool": batch["tool"],
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+            }
+        )
+
+    ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True).write_json(
+        out_dir,
+        arrow_open_stream_args={"compression": "gzip"},
+        filename_provider=_Names(),
+    )

@@ -101,3 +101,40 @@ def test_csv_roundtrip_full_schema(csv_dir):
     # multi-line payloads must survive: at least one text has a newline
     assert want["text"].str.contains("\n").any()
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_jsonl_gz_roundtrip_full_schema(tmp_path):
+    """Compressed (gzip) JSONL round-trip: the .jsonl.gz shards must be
+    bit-equal to the parquet source through the SAME reader as plain
+    JSONL (codec inferred from the extension), and the files must
+    actually be gzip (magic bytes), not plain text with a .gz name."""
+    import gzip
+
+    import ray.data
+
+    from engine import synth
+    from engine.io import (
+        TRANSCRIPT_SCHEMA,
+        read_transcripts_jsonl,
+        write_transcripts_jsonl_gz,
+    )
+
+    d = synth.fixture_dir("t1")
+    files = sorted(
+        os.path.join(d, p) for p in os.listdir(d) if p.endswith(".parquet")
+    )
+    out = str(tmp_path / "gz")
+    write_transcripts_jsonl_gz(ray.data.read_parquet(files), out)
+    paths = sorted(
+        os.path.join(out, p) for p in os.listdir(out) if p.endswith(".jsonl.gz")
+    )
+    assert paths, "no .jsonl.gz shards written"
+    with open(paths[0], "rb") as f:
+        assert f.read(2) == b"\x1f\x8b"  # gzip magic
+    with gzip.open(paths[0], "rt") as f:  # decompresses cleanly
+        assert f.readline().startswith("{")
+    got_ds = read_transcripts_jsonl(paths)
+    assert got_ds.schema().base_schema == TRANSCRIPT_SCHEMA
+    got = _canon(got_ds.to_pandas())
+    want = _canon(ray.data.read_parquet(files).to_pandas())
+    pd.testing.assert_frame_equal(got, want)
