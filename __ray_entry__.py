@@ -553,6 +553,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_events": relational.cube_events,
         "grouped_mode_events": relational.grouped_mode_events,
         "conv_stats_jsonl_gz": _conv_stats_jsonl_gz,
+        "rrf_fuse_docs": textstats.rrf_fuse_docs,
+        "cum_distinct_types": relational.cum_distinct_types,
     }
 
 
@@ -668,6 +670,59 @@ def oracle_sql() -> dict[str, str]:
         for w in GOPHER_STOPWORDS
     )
     bm25_terms_sql = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+    # shared by "bm25_topk" and the rrf_fuse_docs composition
+    bm25_body_sql = f"""
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents),
+            ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
+            d AS (SELECT doc_id, count(*) AS dl FROM ww GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM ww) AS l),
+            tf AS (SELECT doc_id, word, count(*) AS tf FROM ww
+                   WHERE word IN ({bm25_terms_sql}) GROUP BY 1, 2),
+            df AS (SELECT word, count(DISTINCT doc_id) AS df FROM ww
+                   WHERE word IN ({bm25_terms_sql}) GROUP BY 1),
+            sc AS (
+              -- HUGEINT: 44*l*tf*1e9 exceeds BIGINT once l*tf ~ 2.1e8;
+              -- the engine computes the same formula in Python big ints
+              SELECT t.doc_id,
+                     sum((44 * CAST(l AS HUGEINT) * tf * 1000000000)
+                         // ((20 * CAST(l AS HUGEINT) * tf + 6 * l
+                              + 18 * CAST(d.dl AS HUGEINT) * n) * f.df))
+                       AS score_e9
+              FROM tf t JOIN d USING (doc_id)
+              JOIN df f ON t.word = f.word CROSS JOIN st
+              GROUP BY t.doc_id)
+            SELECT doc_id, CAST(score_e9 AS BIGINT) AS score_e9,
+                   CAST(row_number() OVER (ORDER BY score_e9 DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM sc QUALIFY rank <= {textstats_mod.BM25_K}
+    """
+
+    # shared by "lm_score" and the rrf_fuse_docs composition
+    lm_body_sql = f"""
+            -- same LM_TOP_K heavy-hitter cap as the engine (ties
+            -- (n DESC, w1, w2)); bigrams outside the top-k score 0 on
+            -- both sides, so n_bigrams counts ALL bigrams but sum(c)
+            -- only capped ones
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents
+            ), bg AS (
+              SELECT a.doc_id, a.w AS w1, b.w AS w2
+              FROM words a
+              JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            ), cnt AS (
+              SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
+              ORDER BY c DESC, w1, w2 LIMIT {textstats_mod.LM_TOP_K}
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(sum(c), 0) AS BIGINT) AS score
+            FROM bg LEFT JOIN cnt USING (w1, w2) GROUP BY doc_id
+    """
 
     def kmeans_sql(k: int, iters: int) -> str:
         """Unrolled Lloyd's in SQL — possible ONLY because the engine's
@@ -1985,33 +2040,32 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS bucket
             FROM base, q
         """,
-        "bm25_topk": f"""
-            WITH w AS (
-              SELECT doc_id, unnest(string_split(text, ' ')) AS word
-              FROM documents),
-            ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
-            d AS (SELECT doc_id, count(*) AS dl FROM ww GROUP BY doc_id),
-            st AS (SELECT (SELECT count(*) FROM documents) AS n,
-                          (SELECT count(*) FROM ww) AS l),
-            tf AS (SELECT doc_id, word, count(*) AS tf FROM ww
-                   WHERE word IN ({bm25_terms_sql}) GROUP BY 1, 2),
-            df AS (SELECT word, count(DISTINCT doc_id) AS df FROM ww
-                   WHERE word IN ({bm25_terms_sql}) GROUP BY 1),
-            sc AS (
-              -- HUGEINT: 44*l*tf*1e9 exceeds BIGINT once l*tf ~ 2.1e8;
-              -- the engine computes the same formula in Python big ints
-              SELECT t.doc_id,
-                     sum((44 * CAST(l AS HUGEINT) * tf * 1000000000)
-                         // ((20 * CAST(l AS HUGEINT) * tf + 6 * l
-                              + 18 * CAST(d.dl AS HUGEINT) * n) * f.df))
-                       AS score_e9
-              FROM tf t JOIN d USING (doc_id)
-              JOIN df f ON t.word = f.word CROSS JOIN st
-              GROUP BY t.doc_id)
-            SELECT doc_id, CAST(score_e9 AS BIGINT) AS score_e9,
-                   CAST(row_number() OVER (ORDER BY score_e9 DESC, doc_id)
-                        AS BIGINT) AS rank
-            FROM sc QUALIFY rank <= {textstats_mod.BM25_K}
+        "bm25_topk": bm25_body_sql,
+        "rrf_fuse_docs": f"""
+            -- reciprocal-rank fusion of the BM25 relevance ranking and
+            -- the LM-mass quality ranking over the BM25 candidate set;
+            -- both rankings are the exact bodies of their own oracle
+            -- entries, composed as derived tables
+            WITH fused AS (
+              SELECT b.doc_id,
+                     CAST(b.rank AS BIGINT) AS r_bm25,
+                     CAST(row_number() OVER (
+                       ORDER BY q.score DESC, b.doc_id) AS BIGINT)
+                       AS r_quality
+              FROM ({bm25_body_sql}) b
+              JOIN ({lm_body_sql}) q USING (doc_id)),
+            scored AS (
+              SELECT doc_id, r_bm25, r_quality,
+                     CAST({textstats_mod.RRF_SCALE}
+                          // ({textstats_mod.RRF_C} + r_bm25)
+                          + {textstats_mod.RRF_SCALE}
+                          // ({textstats_mod.RRF_C} + r_quality)
+                          AS BIGINT) AS rrf_e9
+              FROM fused)
+            SELECT doc_id, r_bm25, r_quality, rrf_e9,
+                   CAST(row_number() OVER (ORDER BY rrf_e9 DESC, doc_id)
+                        AS BIGINT) AS fused_rank
+            FROM scored
         """,
         "lang_id": lang_id_sql,
         "lang_id_accuracy": f"""
@@ -2948,27 +3002,7 @@ def oracle_sql() -> dict[str, str]:
              AND a.event_type < b.event_type
             GROUP BY type_a, type_b
         """,
-        "lm_score": f"""
-            -- same LM_TOP_K heavy-hitter cap as the engine (ties
-            -- (n DESC, w1, w2)); bigrams outside the top-k score 0 on
-            -- both sides, so n_bigrams counts ALL bigrams but sum(c)
-            -- only capped ones
-            WITH words AS (
-              SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-                     generate_subscripts(string_split(text, ' '), 1) AS pos
-              FROM documents
-            ), bg AS (
-              SELECT a.doc_id, a.w AS w1, b.w AS w2
-              FROM words a
-              JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-            ), cnt AS (
-              SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
-              ORDER BY c DESC, w1, w2 LIMIT {textstats_mod.LM_TOP_K}
-            )
-            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                   CAST(coalesce(sum(c), 0) AS BIGINT) AS score
-            FROM bg LEFT JOIN cnt USING (w1, w2) GROUP BY doc_id
-        """,
+        "lm_score": lm_body_sql,
         "span_corruption": """
             -- deterministic-hash masking (engine: textstats.span_corruption);
             -- SQL pos is 1-based, the engine's is 0-based, hence pos - 1
@@ -3218,6 +3252,21 @@ def oracle_sql() -> dict[str, str]:
                         WHEN d.text = b.text THEN 'unchanged'
                         ELSE 'updated' END AS status
             FROM base b FULL OUTER JOIN delta d ON b.doc_id = d.doc_id
+        """,
+        "cum_distinct_types": """
+            -- COUNT(DISTINCT) as a running window: first-occurrence
+            -- flags + running sum (the engine's decomposition exactly)
+            WITH flags AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS f
+              FROM events)
+            SELECT event_id, user_id,
+                   CAST(sum(f) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id)
+                     AS BIGINT) AS n_distinct_types
+            FROM flags
         """,
         "dedup_events_windowed": """
             -- tumbling-hour stream dedup: keep min event_id per window

@@ -4342,3 +4342,83 @@ def grouped_mode_events(sf_dir: str) -> ray.data.Dataset:
             lambda g: mode_bucket(g.drop_columns(["_b"])), batch_format="pyarrow"
         )
     )
+
+
+def cum_distinct_types(
+    sf_dir: str, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Per-user cumulative DISTINCT event-type count over time — the
+    novelty/exploration curve (how many distinct behaviors a user has
+    exhibited by each event), i.e. COUNT(DISTINCT) as a running window,
+    which no engine exposes directly: it decomposes into first-occurrence
+    flags + a running sum, and that decomposition is exactly the
+    distributed plan.
+
+    Scale shape: one hash(user_id) bucket shuffle (the per-user window
+    family's standard exchange); in-bucket, ONE lexsort by
+    (user, type, ts, id) marks first occurrences, an inverse permutation
+    restores (user, ts, id) order, and a segmented cumsum finishes —
+    all vectorized, no per-group Python."""
+    from ..pipeline import default_num_buckets
+    from .dedup import _bucket_of, _run_starts
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array(_bucket_of(u, num_buckets=num_buckets)),
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+            }
+        )
+
+    def window_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "n_distinct_types": pa.array([], pa.int64()),
+                }
+            )
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ty = t["event_type"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        # first-occurrence flags in (user, type, ts, id) order
+        occ = np.lexsort((eid, ts, ty, u))
+        first = _run_starts(u[occ], ty[occ])
+        flag = np.empty(len(u), dtype=np.int64)
+        flag[occ] = first.astype(np.int64)
+        # running sum in (user, ts, id) order
+        time_order = np.lexsort((eid, ts, u))
+        f_sorted = flag[time_order]
+        run_heads = np.flatnonzero(_run_starts(u[time_order]))
+        cum = np.cumsum(f_sorted)
+        base = np.repeat(
+            cum[run_heads] - f_sorted[run_heads],
+            np.diff(np.append(run_heads, len(u))),
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(eid[time_order]),
+                "user_id": pa.array(u[time_order]),
+                "n_distinct_types": pa.array(cum - base),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(
+            lambda g: window_bucket(g.drop_columns(["_b"])),
+            batch_format="pyarrow",
+        )
+    )

@@ -2715,3 +2715,69 @@ def ttr_docs(sf_dir: str) -> ray.data.Dataset:
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         ttr, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of relevance and quality rankings
+# ---------------------------------------------------------------------------
+
+RRF_C = 60                    # the standard RRF constant (Cormack'09)
+RRF_SCALE = 1_000_000_000     # integer-exact 1/(c+r) at e9 resolution
+
+
+def rrf_fuse_docs(sf_dir: str) -> "pd.DataFrame":
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) of
+    two independent document rankings — BM25 relevance and LM-mass
+    quality — over the BM25 candidate set: the standard hybrid-retrieval
+    step every RAG / data-selection stack runs when it has both a
+    lexical and a model score. Fused score is integer-exact:
+    ``rrf_e9 = SCALE//(C+r_bm25) + SCALE//(C+r_quality)`` (ranks are
+    small ints, so the floor divisions are bit-identical in SQL).
+
+    Scale shape: ``bm25_topk`` reduces the corpus to K candidate rows
+    on the driver; ``lm_score`` streams the corpus once against its
+    bounded heavy-hitter broadcast, and only the K candidate ids (a
+    closure-captured handful of ints, not a ray.put side) survive its
+    filter — the final fuse is K-row driver arithmetic. Quality rank
+    ties break (score desc, doc_id asc); fused ties (rrf desc, doc_id)."""
+    import pandas as pd
+
+    cand = bm25_topk(sf_dir)  # K rows: doc_id, score_e9, rank
+    ids = np.sort(cand["doc_id"].to_numpy().astype(np.int64))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(ids, d)
+        pos_c = np.clip(pos, 0, ids.size - 1)
+        return batch.filter(pa.array(ids[pos_c] == d))
+
+    lm = (
+        lm_score(sf_dir)
+        .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # bounded: <= K candidate rows
+    )
+    merged = cand.rename(columns={"rank": "r_bm25"}).merge(
+        lm[["doc_id", "score"]], on="doc_id", how="inner"
+    )
+    if len(merged) != len(cand):  # every candidate must carry a quality row
+        raise ValueError("rrf_fuse_docs: candidate missing from lm_score")
+    order = np.lexsort(
+        (merged["doc_id"].to_numpy(), -merged["score"].to_numpy())
+    )
+    r_quality = np.empty(len(merged), dtype=np.int64)
+    r_quality[order] = np.arange(1, len(merged) + 1)
+    r_bm25 = merged["r_bm25"].to_numpy().astype(np.int64)
+    rrf = RRF_SCALE // (RRF_C + r_bm25) + RRF_SCALE // (RRF_C + r_quality)
+    forder = np.lexsort((merged["doc_id"].to_numpy(), -rrf))
+    fused_rank = np.empty(len(merged), dtype=np.int64)
+    fused_rank[forder] = np.arange(1, len(merged) + 1)
+    out = pd.DataFrame(
+        {
+            "doc_id": merged["doc_id"].astype(np.int64),
+            "r_bm25": r_bm25,
+            "r_quality": r_quality,
+            "rrf_e9": rrf,
+            "fused_rank": fused_rank,
+        }
+    )
+    return out.sort_values("fused_rank").reset_index(drop=True)

@@ -3670,3 +3670,75 @@ def test_grouped_mode_events_tiebreak(tmp_path):
     assert out.user_id.tolist() == [1, 2]
     assert out.mode_type.tolist() == ["a", "z"]
     assert out.n.tolist() == [2, 3]
+
+
+def test_rrf_fuse_docs_rank_disagreement(tmp_path):
+    """Fusion must be decided by BOTH rankings: a doc that wins BM25 but
+    has the worst quality rank ties a doc with the mirrored ranks; the
+    mid-rank doc wins the fused ordering. rrf_e9 values are the exact
+    integer formula of the two ranks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops import textstats as ts
+
+    # d0: 'join' 3x (best bm25), unique bigrams only (worst quality)
+    # d1: 'join' 2x, moderate repeats
+    # d2: 'join' 1x (worst bm25), one bigram repeated heavily (best quality)
+    rows = {
+        "doc_id": [0, 1, 2],
+        "text": [
+            "join aa join bb join cc dd ee",
+            "join xx join xx yy zz qq rr",
+            "join ww ww ww ww ww ww ww ww",
+        ],
+    }
+    pq.write_table(pa.table(rows), tmp_path / "documents.parquet")
+    out = ts.rrf_fuse_docs(str(tmp_path)).set_index("doc_id")
+    assert sorted(out["r_bm25"].tolist()) == [1, 2, 3]
+    assert sorted(out["r_quality"].tolist()) == [1, 2, 3]
+    for r in out.itertuples():
+        assert r.rrf_e9 == (
+            ts.RRF_SCALE // (ts.RRF_C + r.r_bm25)
+            + ts.RRF_SCALE // (ts.RRF_C + r.r_quality)
+        )
+    # RRF is convex in rank: the mirrored extremes (1,3)/(3,1) TIE and
+    # both beat the balanced (2,2) doc; the tie breaks by doc_id
+    by_rank = out.sort_values("fused_rank")
+    assert out.loc[0, "rrf_e9"] == out.loc[2, "rrf_e9"]
+    assert by_rank.index.tolist() == [0, 2, 1]
+
+
+def test_cum_distinct_types_novelty_curve(tmp_path):
+    """First occurrence of each type bumps the running count; repeats
+    don't; ordering ties break by event_id."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops import relational as rel
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ts": pa.array(
+                [base, base + np.timedelta64(1, "s"),
+                 base + np.timedelta64(2, "s"), base + np.timedelta64(3, "s"),
+                 base],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([7, 7, 7, 7, 8], pa.int64()),
+            "event_type": pa.array(["a", "b", "a", "c", "z"]),
+            "value": pa.array([0.0] * 5),
+            "props": pa.array(["{}"] * 5),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = (
+        rel.cum_distinct_types(str(tmp_path), num_buckets=4)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_distinct_types"].tolist() == [1, 2, 2, 3, 1]
