@@ -555,6 +555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_stats_jsonl_gz": _conv_stats_jsonl_gz,
         "rrf_fuse_docs": textstats.rrf_fuse_docs,
         "cum_distinct_types": relational.cum_distinct_types,
+        "pq_codes": similarity.pq_codes,
     }
 
 
@@ -784,6 +785,80 @@ def oracle_sql() -> dict[str, str]:
     from engine.ops.sketches import _INC, _MOD, _MULT
 
     _KMEANS_SQL = kmeans_sql(KMEANS_K, KMEANS_ITERS)
+
+    def pq_sql(m: int, k: int, iters: int, sub: int) -> str:
+        """Per-subspace unrolled Lloyd's (kmeans_sql's recipe restricted
+        to a dim range per subspace), joined on vec_id into code
+        columns — exact for the same integer-state reasons."""
+        quant = ("CAST(sign(e) * floor(abs(CAST(e AS DOUBLE)) * 1000000"
+                 " + 0.5) AS BIGINT)")
+        upd = ("CAST(sign(s.s) * floor(abs(CAST(s.s AS DOUBLE) / s.cnt"
+               " / 1000000) * 1000000 + 0.5) AS BIGINT)")
+        parts = [f"""
+            v AS (
+              SELECT vec_id, CAST(i AS INT) AS dim, {quant} AS m
+              FROM (SELECT vec_id, unnest(embedding) AS e,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings))"""]
+        for s in range(m):
+            lo, hi = s * sub, (s + 1) * sub
+            parts.append(f"""
+            v{s} AS (SELECT vec_id, dim, m FROM v
+                     WHERE dim > {lo} AND dim <= {hi}),
+            c{s}x0 AS (SELECT CAST(vec_id AS INT) AS cluster, dim, m
+                       FROM v{s} WHERE vec_id < {k})""")
+            for i in range(1, iters + 1):
+                p = i - 1
+                parts.append(f"""
+            n{s}x{i} AS (SELECT cluster, sum(m * m) AS nrm
+                         FROM c{s}x{p} GROUP BY cluster),
+            d{s}x{i} AS (SELECT v.vec_id, c.cluster, sum(v.m * c.m) AS dot
+                         FROM v{s} v JOIN c{s}x{p} c USING (dim)
+                         GROUP BY 1, 2),
+            a{s}x{i} AS (SELECT vec_id, cluster FROM (
+                           SELECT d.vec_id, d.cluster,
+                                  row_number() OVER (PARTITION BY d.vec_id
+                                    ORDER BY (-2 * d.dot + n.nrm), d.cluster)
+                                    AS rn
+                           FROM d{s}x{i} d JOIN n{s}x{i} n USING (cluster))
+                         WHERE rn = 1),
+            s{s}x{i} AS (SELECT a.cluster, v.dim, sum(v.m) AS s,
+                                count(*) AS cnt
+                         FROM a{s}x{i} a JOIN v{s} v USING (vec_id)
+                         GROUP BY 1, 2),
+            c{s}x{i} AS (SELECT p.cluster, p.dim,
+                                CASE WHEN s.cnt IS NULL THEN p.m
+                                     ELSE {upd} END AS m
+                         FROM c{s}x{p} p
+                         LEFT JOIN s{s}x{i} s USING (cluster, dim))""")
+            f = iters + 1
+            parts.append(f"""
+            n{s}x{f} AS (SELECT cluster, sum(m * m) AS nrm
+                         FROM c{s}x{iters} GROUP BY cluster),
+            d{s}x{f} AS (SELECT v.vec_id, c.cluster, sum(v.m * c.m) AS dot
+                         FROM v{s} v JOIN c{s}x{iters} c USING (dim)
+                         GROUP BY 1, 2),
+            asn{s} AS (SELECT vec_id, cluster FROM (
+                         SELECT d.vec_id, d.cluster,
+                                row_number() OVER (PARTITION BY d.vec_id
+                                  ORDER BY (-2 * d.dot + n.nrm), d.cluster)
+                                  AS rn
+                         FROM d{s}x{f} d JOIN n{s}x{f} n USING (cluster))
+                       WHERE rn = 1)""")
+        code_cols = ",\n                   ".join(
+            f"CAST(a{s}.cluster AS INTEGER) AS code_{s}" for s in range(m)
+        )
+        joins = " ".join(
+            f"JOIN asn{s} a{s} USING (vec_id)" for s in range(1, m)
+        )
+        return ("WITH " + ",".join(parts) + f"""
+            SELECT a0.vec_id AS vec_id,
+                   {code_cols}
+            FROM asn0 a0 {joins}""")
+
+    from engine.ops.similarity import PQ_ITERS, PQ_K, PQ_M
+
+    _PQ_SQL = pq_sql(PQ_M, PQ_K, PQ_ITERS, 64 // PQ_M)
     from engine.ops.similarity import CLUSTER_TOPN as similarity_topn
     # bottom-k-by-hash per k-means cluster on top of the unrolled-Lloyd
     # CTE — same Knuth hash as sample_events, same (hash, vec_id) order
@@ -3253,6 +3328,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'updated' END AS status
             FROM base b FULL OUTER JOIN delta d ON b.doc_id = d.doc_id
         """,
+        "pq_codes": _PQ_SQL,
         "cum_distinct_types": """
             -- COUNT(DISTINCT) as a running window: first-occurrence
             -- flags + running sum (the engine's decomposition exactly)

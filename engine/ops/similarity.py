@@ -1136,3 +1136,123 @@ def cluster_topics(sf_dir: str, topn: int = CLUSTER_TOPN) -> ray.data.Dataset:
     return counts.repartition(1).map_batches(
         rank_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou/Douze/Schmid, TPAMI 2011)
+# ---------------------------------------------------------------------------
+
+PQ_M = 4        # subspaces (64-d fixture -> 16 dims each)
+PQ_K = 8        # codes per subspace (PQ_M * log2(PQ_K) = 12 bits/vector)
+PQ_ITERS = 3
+
+
+def pq_codes(
+    sf_dir: str, m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS
+) -> ray.data.Dataset:
+    """Product-quantization codes: split each embedding into ``m``
+    contiguous subvectors, train an exact-integer k-means codebook per
+    subspace, and emit each vector's per-subspace nearest-code ids —
+    the vector-compression step behind IVF-PQ ANN indexes (Jegou et
+    al., TPAMI 2011; ``quantize_embeddings`` is the scalar cousin, this
+    is the codebook form real indexes ship). 4x8 codes compress the
+    64-d fixture 170x (12 bits vs 256 bytes).
+
+    Exactness: subspace training reuses ``kmeans_step``'s micro-grid
+    integer state (same seeds-by-vec_id contract, same lowest-cluster
+    tie rule, same empty-cluster-keeps-centroid update), so all ``m``
+    codebook trajectories — and therefore the codes — are bit-identical
+    at any parallelism and replayable as per-subspace unrolled-Lloyd
+    CTEs joined on vec_id.
+
+    Scale shape per iteration: ONE stream pass computes partials for
+    ALL m subspaces (m*k integer rows per batch — never m passes);
+    codebooks broadcast as one ray.put array. The final labeling pass
+    emits the code columns with the codebooks frozen."""
+    ensure_serializable()
+    import pyarrow.parquet as _pq
+
+    seed = _pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    ).sort_by("vec_id")
+    if seed["vec_id"].to_pylist() != list(range(k)):
+        raise ValueError(
+            f"pq seed contract violated: need contiguous vec_ids 0..{k - 1}"
+        )
+    seed_m = quantize_micro(emb_matrix(seed["embedding"]))
+    dim = seed_m.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    # codebooks[s]: (k, sub) int64 micro centroids of subspace s
+    codebooks = np.stack([seed_m[:, s * sub:(s + 1) * sub] for s in range(m)])
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).materialize()
+
+    def make_partial(cref):
+        def partial(batch: pa.Table) -> pa.Table:
+            cb = ray.get(cref)  # (m, k, sub)
+            xm = quantize_micro(emb_matrix(batch["embedding"]))
+            subs, clusters, ns, sums = [], [], [], []
+            for s in range(cb.shape[0]):
+                _, s_sums, s_counts = kmeans_step(
+                    xm[:, s * sub:(s + 1) * sub], cb[s], k
+                )
+                subs.append(np.full(k, s, dtype=np.int32))
+                clusters.append(np.arange(k, dtype=np.int32))
+                ns.append(s_counts)
+                sums.extend(list(s_sums))
+            return pa.table(
+                {
+                    "sub": pa.array(np.concatenate(subs)),
+                    "cluster": pa.array(np.concatenate(clusters)),
+                    "n": pa.array(np.concatenate(ns)),
+                    "sum_micro": pa.array(sums),
+                }
+            )
+
+        return partial
+
+    for _ in range(iters):
+        cref = ray.put(codebooks)
+        parts = ds.map_batches(
+            make_partial(cref), batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()  # m*k rows per batch of ints — bounded
+        new_books = codebooks.copy()
+        for s in range(m):
+            sums = np.zeros((k, sub), dtype=np.int64)
+            counts = np.zeros(k, dtype=np.int64)
+            sel = parts[parts["sub"] == s]
+            for cl, n, sm in zip(sel["cluster"], sel["n"], sel["sum_micro"]):
+                sums[cl] += np.asarray(sm, dtype=np.int64)
+                counts[cl] += n
+            new_books[s] = _centroid_update(sums, counts, codebooks[s])
+        codebooks = new_books
+
+    final_ref = ray.put(codebooks)
+
+    class AssignCodes:
+        def __init__(self, ref):
+            self._cb = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            xm = quantize_micro(emb_matrix(batch["embedding"]))
+            cols = {"vec_id": pc.cast(batch["vec_id"], pa.int64())}
+            for s in range(self._cb.shape[0]):
+                labels = kmeans_assign(xm[:, s * sub:(s + 1) * sub], self._cb[s])
+                cols[f"code_{s}"] = pa.array(labels, pa.int32())
+            return pa.table(cols)
+
+    return ds.map_batches(
+        AssignCodes,
+        fn_constructor_args=(final_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        num_cpus=1,
+    )

@@ -3742,3 +3742,53 @@ def test_cum_distinct_types_novelty_curve(tmp_path):
         .reset_index(drop=True)
     )
     assert out["n_distinct_types"].tolist() == [1, 2, 2, 3, 1]
+
+
+def test_pq_codes_local_replay_parity(tmp_path):
+    """pq_codes must equal a pure-local numpy replay of the same
+    algorithm (slice -> exact-int Lloyd per subspace -> assign) on a
+    crafted corpus with obvious per-subspace structure — the
+    parity-kernel discipline for the distributed training loop."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops import similarity as sim
+
+    rng = np.random.default_rng(7)
+    n, dim, m, k, iters = 40, 8, 4, 2, 3
+    sub = dim // m
+    # two blobs per subspace around +/-1, noise small
+    base = rng.normal(0, 0.05, size=(n, dim)).astype(np.float32)
+    signs = rng.integers(0, 2, size=(n, m)) * 2 - 1
+    for s in range(m):
+        base[:, s * sub:(s + 1) * sub] += signs[:, s:s + 1]
+    emb = pa.array([list(map(float, r)) for r in base],
+                   pa.list_(pa.float32()))
+    pq.write_table(
+        pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": emb,
+                  "label": pa.array([0] * n, pa.int32())}),
+        tmp_path / "embeddings.parquet",
+    )
+    got = (
+        sim.pq_codes(str(tmp_path), m=m, k=k, iters=iters)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    # local replay with the shared kernels
+    xm = sim.quantize_micro(base.astype(np.float64))
+    for s in range(m):
+        cb = xm[:k, s * sub:(s + 1) * sub]
+        for _ in range(iters):
+            _, sums, counts = sim.kmeans_step(xm[:, s * sub:(s + 1) * sub], cb, k)
+            cb = sim._centroid_update(sums, counts, cb)
+        labels = sim.kmeans_assign(xm[:, s * sub:(s + 1) * sub], cb)
+        assert got[f"code_{s}"].tolist() == labels.tolist()
+    # with clean blobs the codes must separate the two signs per subspace
+    for s in range(m):
+        codes = got[f"code_{s}"].to_numpy()
+        assert (codes[signs[:, s] > 0] == codes[signs[:, s] > 0][0]).all()
+        assert (codes[signs[:, s] < 0] == codes[signs[:, s] < 0][0]).all()
+        assert codes[signs[:, s] > 0][0] != codes[signs[:, s] < 0][0]
