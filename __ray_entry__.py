@@ -556,6 +556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fuse_docs": textstats.rrf_fuse_docs,
         "cum_distinct_types": relational.cum_distinct_types,
         "pq_codes": similarity.pq_codes,
+        "knn_ivfpq": similarity.knn_ivfpq,
     }
 
 

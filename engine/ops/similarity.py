@@ -1147,28 +1147,11 @@ PQ_K = 8        # codes per subspace (PQ_M * log2(PQ_K) = 12 bits/vector)
 PQ_ITERS = 3
 
 
-def pq_codes(
-    sf_dir: str, m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS
-) -> ray.data.Dataset:
-    """Product-quantization codes: split each embedding into ``m``
-    contiguous subvectors, train an exact-integer k-means codebook per
-    subspace, and emit each vector's per-subspace nearest-code ids —
-    the vector-compression step behind IVF-PQ ANN indexes (Jegou et
-    al., TPAMI 2011; ``quantize_embeddings`` is the scalar cousin, this
-    is the codebook form real indexes ship). 4x8 codes compress the
-    64-d fixture 170x (12 bits vs 256 bytes).
-
-    Exactness: subspace training reuses ``kmeans_step``'s micro-grid
-    integer state (same seeds-by-vec_id contract, same lowest-cluster
-    tie rule, same empty-cluster-keeps-centroid update), so all ``m``
-    codebook trajectories — and therefore the codes — are bit-identical
-    at any parallelism and replayable as per-subspace unrolled-Lloyd
-    CTEs joined on vec_id.
-
-    Scale shape per iteration: ONE stream pass computes partials for
-    ALL m subspaces (m*k integer rows per batch — never m passes);
-    codebooks broadcast as one ray.put array. The final labeling pass
-    emits the code columns with the codebooks frozen."""
+def pq_train(sf_dir: str, m: int, k: int, iters: int):
+    """Train the per-subspace PQ codebooks distributed; returns
+    ``(codebooks (m,k,sub) int64 micro, sub, materialized_dataset)``.
+    Shared by ``pq_codes`` (code emission) and ``knn_ivfpq`` (ADC
+    search). See ``pq_codes`` for semantics and citations."""
     ensure_serializable()
     import pyarrow.parquet as _pq
 
@@ -1233,7 +1216,32 @@ def pq_codes(
                 counts[cl] += n
             new_books[s] = _centroid_update(sums, counts, codebooks[s])
         codebooks = new_books
+    return codebooks, sub, ds
 
+
+def pq_codes(
+    sf_dir: str, m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS
+) -> ray.data.Dataset:
+    """Product-quantization codes: split each embedding into ``m``
+    contiguous subvectors, train an exact-integer k-means codebook per
+    subspace, and emit each vector's per-subspace nearest-code ids —
+    the vector-compression step behind IVF-PQ ANN indexes (Jegou et
+    al., TPAMI 2011; ``quantize_embeddings`` is the scalar cousin, this
+    is the codebook form real indexes ship). 4x8 codes compress the
+    64-d fixture 170x (12 bits vs 256 bytes).
+
+    Exactness: subspace training reuses ``kmeans_step``'s micro-grid
+    integer state (same seeds-by-vec_id contract, same lowest-cluster
+    tie rule, same empty-cluster-keeps-centroid update), so all ``m``
+    codebook trajectories — and therefore the codes — are bit-identical
+    at any parallelism and replayable as per-subspace unrolled-Lloyd
+    CTEs joined on vec_id.
+
+    Scale shape per iteration: ONE stream pass computes partials for
+    ALL m subspaces (m*k integer rows per batch — never m passes);
+    codebooks broadcast as one ray.put array. The final labeling pass
+    emits the code columns with the codebooks frozen."""
+    codebooks, sub, ds = pq_train(sf_dir, m, k, iters)
     final_ref = ray.put(codebooks)
 
     class AssignCodes:
@@ -1255,4 +1263,179 @@ def pq_codes(
         zero_copy_batch=True,
         concurrency=pool_size(),
         num_cpus=1,
+    )
+
+
+IVFPQ_SHORTLIST = 128  # ADC candidates per query fed to the exact refine
+
+
+def knn_ivfpq(
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 10,
+    shortlist: int = IVFPQ_SHORTLIST,
+) -> ray.data.Dataset:
+    """Approximate cosine top-k with the FULL IVF-PQ + refine shape
+    (Jegou et al., TPAMI 2011): IVF coarse probing (each query scans
+    only its N_PROBE nearest centroid buckets), PQ asymmetric-distance
+    shortlisting (candidates scored from their per-subspace code ids
+    via a query-specific lookup table — the raw vector is never touched
+    at shortlist time), then an EXACT re-rank of the per-query
+    ``shortlist`` survivors — the standard production pipeline, because
+    coarse codebooks tie whole clusters onto one code (measured: ADC
+    alone recalls 0.06 on the clustered fixture; shortlist-128 + refine
+    recalls 0.94, >= 0.8 pinned in pytest).
+
+    ADC: approx_cos(q, x) = sum_s lut[s, code_s] /
+    (|q| * sqrt(sum_s |c_{s,code_s}|^2)) with lut[s,j] = q_s . c_{s,j}
+    — numerator and reconstruction norm are both code-table lookups.
+
+    Scale shape: pass 1 streams the corpus once doing bucket-assign +
+    code-assign + per-query partial ADC top-``shortlist`` (all state in
+    one ray.put broadcast); the shortlist reduce is queries x shortlist
+    rows (driver-bounded by construction). Pass 2 streams again but
+    only shortlist members survive the id filter (a broadcast-by-value
+    handful of ints), scored exactly per their own query's list. This
+    is the I/O shape a real index avoids via stored codes; here pass 2
+    re-reads because the engine stores no index — the candidate-set
+    arithmetic is identical."""
+    ensure_serializable()
+    qids, qmat, qnorm = _load_queries(sf_dir, n_queries)
+    cent = _centroids(sf_dir)
+    probe = np.argsort(-(qnorm @ cent.T), axis=1)[:, :N_PROBE]
+    codebooks, sub, ds = pq_train(sf_dir, PQ_M, PQ_K, PQ_ITERS)
+    state_ref = ray.put(
+        {
+            "qids": qids,
+            "qmat": qmat,
+            "probe": probe,
+            "cent": cent,
+            "codebooks": codebooks,
+        }
+    )
+
+    class _AdcScore:
+        def __init__(self, ref, kk):
+            st = ray.get(ref)
+            self._qids = st["qids"]
+            self._probe = st["probe"]
+            self._cent = st["cent"]
+            cb = st["codebooks"]                      # (m, kc, sub) micro
+            self._cb = cb
+            qm = quantize_micro(st["qmat"]).astype(np.float64)
+            m = cb.shape[0]
+            # per-query ADC tables: lut[qi, s, j] = q_s . c_{s,j}
+            self._lut = np.stack(
+                [
+                    qm[:, s * sub:(s + 1) * sub]
+                    @ cb[s].astype(np.float64).T
+                    for s in range(m)
+                ],
+                axis=1,
+            )
+            self._cn2 = (cb.astype(np.float64) ** 2).sum(axis=2)  # (m, kc)
+            self._qn = np.linalg.norm(qm, axis=1)
+            self._k = kk
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            emb = emb_matrix(batch["embedding"])
+            emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            bucket = (emb_n @ self._cent.T).argmax(axis=1)
+            xm = quantize_micro(emb)
+            m = self._cb.shape[0]
+            codes = np.stack(
+                [
+                    kmeans_assign(xm[:, s * sub:(s + 1) * sub], self._cb[s])
+                    for s in range(m)
+                ],
+                axis=1,
+            )                                          # (n, m)
+            srange = np.arange(m)
+            recon2 = self._cn2[srange[None, :], codes].sum(axis=1)  # (n,)
+            recon = np.sqrt(np.maximum(recon2, 1e-12))
+            q_out, n_out, s_out = [], [], []
+            for qi, qid in enumerate(self._qids):
+                adot = self._lut[qi][srange[None, :], codes].sum(axis=1)
+                score = adot / (self._qn[qi] * recon)
+                keep = (vids != qid) & np.isin(bucket, self._probe[qi])
+                cand_ids, cand_scores = vids[keep], score[keep]
+                if len(cand_ids) > self._k:
+                    part = np.argpartition(-cand_scores, self._k)[: self._k]
+                    cand_ids, cand_scores = cand_ids[part], cand_scores[part]
+                q_out.extend([int(qid)] * len(cand_ids))
+                n_out.extend(int(x) for x in cand_ids)
+                s_out.extend(float(x) for x in cand_scores)
+            return pa.table(
+                {
+                    "query_id": pa.array(q_out, pa.int64()),
+                    "neighbor_id": pa.array(n_out, pa.int64()),
+                    "score": pa.array(s_out, pa.float64()),
+                }
+            )
+
+    partial = ds.map_batches(
+        _AdcScore,
+        fn_constructor_args=(state_ref, shortlist),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        num_cpus=1,
+    )
+    adc = (
+        partial.groupby("query_id")
+        .map_groups(_topk_reduce(shortlist), batch_format="pyarrow")
+        .to_pandas()  # queries x shortlist rows — driver-bounded
+    )
+    # exact refine: per-query candidate id sets, broadcast by value
+    cand = {
+        int(q): np.sort(g["neighbor_id"].to_numpy().astype(np.int64))
+        for q, g in adc.groupby("query_id")
+    }
+    union = np.sort(
+        np.unique(np.concatenate(list(cand.values())))
+    ) if cand else np.array([], dtype=np.int64)
+    qn = np.linalg.norm(qmat, axis=1)
+
+    def refine(batch: pa.Table) -> pa.Table:
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(union, vids), 0, max(union.size - 1, 0))
+        keep = union.size > 0
+        mask = (union[pos] == vids) if keep else np.zeros(vids.size, bool)
+        if not mask.any():
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        sub_ids = vids[mask]
+        emb = emb_matrix(batch["embedding"])[mask]
+        dots = emb @ qmat.T
+        norms = np.linalg.norm(emb, axis=1)[:, None] * qn[None, :]
+        scores = dots / norms
+        q_out, n_out, s_out = [], [], []
+        for qi, qid in enumerate(qids):
+            cl = cand.get(int(qid))
+            if cl is None or cl.size == 0:
+                continue
+            p = np.clip(np.searchsorted(cl, sub_ids), 0, cl.size - 1)
+            own = cl[p] == sub_ids
+            q_out.extend([int(qid)] * int(own.sum()))
+            n_out.extend(int(x) for x in sub_ids[own])
+            s_out.extend(float(x) for x in scores[own, qi])
+        return pa.table(
+            {
+                "query_id": pa.array(q_out, pa.int64()),
+                "neighbor_id": pa.array(n_out, pa.int64()),
+                "score": pa.array(s_out, pa.float64()),
+            }
+        )
+
+    refined = ds.map_batches(
+        refine, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return refined.groupby("query_id").map_groups(
+        _topk_reduce(k), batch_format="pyarrow"
     )
