@@ -113,6 +113,7 @@ def test_all_queries_have_oracle_or_are_documented():
         "ewma_events_per_user", "image_phash_dedup",
         "cms_word_counts", "bpe_train", "compression_ratio",
         "tokenize_bpe",
+        "knn_ivfpq",  # approximate ADC+refine; recall pinned in pytest
     }
 
 
