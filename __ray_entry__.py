@@ -557,6 +557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cum_distinct_types": relational.cum_distinct_types,
         "pq_codes": similarity.pq_codes,
         "knn_ivfpq": similarity.knn_ivfpq,
+        "table_checksums": relational.table_checksums,
     }
 
 
@@ -3330,6 +3331,21 @@ def oracle_sql() -> dict[str, str]:
             FROM base b FULL OUTER JOIN delta d ON b.doc_id = d.doc_id
         """,
         "pq_codes": _PQ_SQL,
+        "table_checksums": f"""
+            -- anti-entropy bucket checksums: XOR of little-endian md5
+            -- prefix64 (md5_number_upper), two's-complement reinterpret
+            WITH h AS (
+              SELECT doc_id % {relational.CHECKSUM_BUCKETS} AS bucket,
+                     md5_number_upper(coalesce(text, '')) AS u
+              FROM documents)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(bit_xor(CAST(CAST(u AS HUGEINT)
+                        - CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+                               THEN CAST(18446744073709551616 AS HUGEINT)
+                               ELSE 0 END AS BIGINT)) AS BIGINT) AS checksum,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM h GROUP BY bucket
+        """,
         "cum_distinct_types": """
             -- COUNT(DISTINCT) as a running window: first-occurrence
             -- flags + running sum (the engine's decomposition exactly)

@@ -4422,3 +4422,103 @@ def cum_distinct_types(
             batch_format="pyarrow",
         )
     )
+
+
+CHECKSUM_BUCKETS = 16
+
+
+def table_checksums(sf_dir: str, num_buckets: int = CHECKSUM_BUCKETS) -> ray.data.Dataset:
+    """Per-bucket content checksums of the documents table: XOR of each
+    doc's 64-bit md5 content key within ``doc_id % num_buckets`` buckets
+    plus the bucket count — the anti-entropy primitive replicated stores
+    use to verify two copies of a table without shipping rows (compare
+    2x16 small ints; a mismatched bucket pinpoints WHERE to repair,
+    Merkle-style). XOR is commutative/associative, so the checksum is
+    order-independent by construction — exactly why it is the right
+    aggregate for a distributed engine.
+
+    The 64-bit key is md5's first 8 bytes LITTLE-endian (matching
+    DuckDB's ``md5_number_upper``), reinterpreted two's-complement;
+    the bucket rule is plain doc_id modulus so the oracle is trivially
+    the same partitioning (at corpus scale you'd bucket by the same
+    hash your placement uses). Scale shape: per-batch XOR partials via
+    one sort + reduceat, then a |buckets|-row groupby — nothing but
+    the tiny checksum table ever shuffles."""
+    import hashlib
+
+    # bound OUTSIDE the UDF: a runtime relative import inside a
+    # serialized-by-value closure fails on workers (verify-skill hazard)
+    from .dedup import _run_starts
+
+    ensure_serializable()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def _md5_le64(chunked) -> np.ndarray:
+        # dedup._md5_prefix64's zero-copy buffer walk, little-endian to
+        # match DuckDB md5_number_upper
+        md5 = hashlib.md5
+        chunks = (
+            chunked.chunks
+            if isinstance(chunked, pa.ChunkedArray)
+            else [chunked]
+        )
+        out: list = []
+        for chunk in chunks:
+            n = len(chunk)
+            if not n:
+                continue
+            bufs = chunk.buffers()
+            dt = np.int64 if pa.types.is_large_string(chunk.type) else np.int32
+            off = chunk.offset
+            offsets = np.frombuffer(bufs[1], dtype=dt, count=n + 1 + off)[off:]
+            data = memoryview(bufs[2])
+            out.extend(
+                int.from_bytes(
+                    md5(data[offsets[i]:offsets[i + 1]]).digest()[:8],
+                    "little", signed=True,
+                )
+                for i in range(n)
+            )
+        return np.array(out, dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sig = _md5_le64(pc.fill_null(batch["text"], ""))
+        b = ids % num_buckets
+        order = np.argsort(b, kind="stable")
+        b_s, sig_s = b[order], sig[order]
+        heads = np.flatnonzero(_run_starts(b_s))
+        xors = np.bitwise_xor.reduceat(sig_s, heads)
+        counts = np.diff(np.append(heads, b_s.size))
+        return pa.table(
+            {
+                "bucket": pa.array(b_s[heads]),
+                "checksum": pa.array(xors),
+                "n_docs": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        return pa.table(
+            {
+                "bucket": pa.array([t["bucket"][0].as_py()], pa.int64()),
+                "checksum": pa.array(
+                    [int(np.bitwise_xor.reduce(
+                        t["checksum"].to_numpy(zero_copy_only=False)))],
+                    pa.int64(),
+                ),
+                "n_docs": pa.array(
+                    [int(t["n_docs"].to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
+    )

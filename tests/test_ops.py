@@ -3832,3 +3832,37 @@ def test_ivfpq_recall_on_clustered_embeddings(tmp_path):
     probe = np.argsort(-(qnorm @ cent.T), axis=1)[:, :N_PROBE]
     for q, n in a:
         assert bucket[n] in probe[q], (q, n)
+
+
+def test_table_checksums_localize_corruption(tmp_path):
+    """Flipping ONE document's text must change exactly its bucket's
+    checksum and nothing else (the Merkle-style repair-localization
+    property); counts stay identical."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops import relational as rel
+
+    n = 64
+    texts = [f"doc body number {i}" for i in range(n)]
+    pq.write_table(
+        pa.table({"doc_id": list(range(n)), "text": texts}),
+        tmp_path / "documents.parquet",
+    )
+    a = (
+        rel.table_checksums(str(tmp_path))
+        .to_pandas().sort_values("bucket").reset_index(drop=True)
+    )
+    texts[37] = "corrupted replica content"
+    pq.write_table(
+        pa.table({"doc_id": list(range(n)), "text": texts}),
+        tmp_path / "documents.parquet",
+    )
+    b = (
+        rel.table_checksums(str(tmp_path))
+        .to_pandas().sort_values("bucket").reset_index(drop=True)
+    )
+    assert a["n_docs"].tolist() == b["n_docs"].tolist()
+    diff = a["checksum"] != b["checksum"]
+    assert diff.sum() == 1
+    assert int(a.loc[diff, "bucket"].iloc[0]) == 37 % rel.CHECKSUM_BUCKETS
