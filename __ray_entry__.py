@@ -558,6 +558,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_codes": similarity.pq_codes,
         "knn_ivfpq": similarity.knn_ivfpq,
         "table_checksums": relational.table_checksums,
+        "packing_efficiency": textstats.packing_efficiency,
+        "session_attribution": relational.session_attribution,
     }
 
 
@@ -3345,6 +3347,53 @@ def oracle_sql() -> dict[str, str]:
                                ELSE 0 END AS BIGINT)) AS BIGINT) AS checksum,
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM h GROUP BY bucket
+        """,
+        "packing_efficiency": f"""
+            -- padding-waste decision table per candidate seq_len:
+            -- concat-and-chunk final-window remainder vs per-doc
+            -- pad-to-multiple, in exact integers
+            WITH n AS (
+              SELECT CAST(length(regexp_extract_all(coalesce(text, ''),
+                          '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens
+              FROM documents),
+            grid AS (SELECT unnest([128, 256, 512, 1024]) AS seq_len)
+            SELECT CAST(g.seq_len AS BIGINT) AS seq_len,
+                   CAST(sum(n.n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST((g.seq_len - sum(n.n_tokens) % g.seq_len)
+                        % g.seq_len AS BIGINT) AS waste_concat,
+                   CAST(sum(((n.n_tokens + g.seq_len - 1) // g.seq_len)
+                            * g.seq_len - n.n_tokens) AS BIGINT)
+                     AS waste_pad_each
+            FROM grid g CROSS JOIN n
+            GROUP BY g.seq_len
+        """,
+        "session_attribution": f"""
+            -- first-touch attribution over 30-min-gap sessions;
+            -- (ts, event_id) tiebreak makes first-touch total
+            WITH o AS (
+              SELECT user_id, ts, event_id, event_type, value,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             > {relational.SESSION_GAP_US}
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT *, sum(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS sess
+              FROM o),
+            f AS (
+              SELECT *, first_value(event_type) OVER (
+                PARTITION BY user_id, sess ORDER BY ts, event_id)
+                AS first_type
+              FROM s)
+            SELECT first_type,
+                   CAST(count(*) AS BIGINT) AS n_purchases,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_cents
+            FROM f WHERE event_type = '{relational.ATTRIB_CONVERSION}'
+            GROUP BY first_type
         """,
         "cum_distinct_types": """
             -- COUNT(DISTINCT) as a running window: first-occurrence

@@ -4522,3 +4522,105 @@ def table_checksums(sf_dir: str, num_buckets: int = CHECKSUM_BUCKETS) -> ray.dat
         .groupby("bucket")
         .map_groups(combine, batch_format="pyarrow")
     )
+
+
+ATTRIB_CONVERSION = "purchase"
+
+
+def session_attribution(
+    sf_dir: str, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """FIRST-TOUCH attribution: every conversion (``purchase`` event) is
+    credited to the event_type that OPENED its 30-minute-gap session —
+    the marketing/product attribution roll-up that turns the
+    sessionization primitive into a report (which entry behavior leads
+    to purchases). Sessions follow ``sessionized_events``' gap rule
+    exactly; within-timestamp ties order by event_id so first-touch is
+    total and engine-independent.
+
+    Scale shape: one hash(user_id) bucket shuffle (all of a user's
+    events co-locate); per bucket ONE vectorized sort + session-start
+    repeat; conversions reduce to (first_type, count, cents) partials
+    and a |types|-keyed groupby finishes."""
+    from ..pipeline import default_num_buckets
+    from .dedup import _bucket_of
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ds = _read(
+        sf_dir, "events",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array(_bucket_of(u, num_buckets=num_buckets)),
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+                "event_type": batch["event_type"],
+                "cents": _fixed_point(batch["value"], 100),
+            }
+        )
+
+    def attribute(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        empty = pa.table(
+            {
+                "first_type": pa.array([], pa.string()),
+                "n_purchases": pa.array([], pa.int64()),
+                "sum_cents": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid = uid[order], ts[order], eid[order]
+        ty = t["event_type"].to_numpy(zero_copy_only=False)[order]
+        cents = t["cents"].to_numpy(zero_copy_only=False)[order]
+        n = uid.size
+        is_new = np.empty(n, dtype=bool)
+        is_new[0] = True
+        is_new[1:] = (uid[1:] != uid[:-1]) | (
+            ts[1:] - ts[:-1] > SESSION_GAP_US
+        )
+        starts = np.flatnonzero(is_new)
+        first_type = np.repeat(ty[starts], np.diff(np.append(starts, n)))
+        conv = ty == ATTRIB_CONVERSION
+        if not conv.any():
+            return empty
+        g = (
+            pa.table(
+                {
+                    "first_type": pa.array(first_type[conv]),
+                    "cents": pa.array(cents[conv]),
+                }
+            )
+            .group_by(["first_type"])
+            .aggregate([("cents", "count"), ("cents", "sum")])
+        )
+        return pa.table(
+            {
+                "first_type": g["first_type"],
+                "n_purchases": pc.cast(g["cents_count"], pa.int64()),
+                "sum_cents": g["cents_sum"],
+            }
+        )
+
+    partials = (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(
+            lambda g: attribute(g.drop_columns(["_b"])),
+            batch_format="pyarrow",
+        )
+    )
+    return partials.groupby("first_type").aggregate(
+        Sum("n_purchases", alias_name="n_purchases"),
+        Sum("sum_cents", alias_name="sum_cents"),
+    )

@@ -2781,3 +2781,78 @@ def rrf_fuse_docs(sf_dir: str) -> "pd.DataFrame":
         }
     )
     return out.sort_values("fused_rank").reset_index(drop=True)
+
+
+PACK_EFF_SEQ_LENS = (128, 256, 512, 1024)
+
+
+def packing_efficiency(
+    sf_dir: str, seq_lens: tuple = PACK_EFF_SEQ_LENS
+) -> ray.data.Dataset:
+    """Padding-waste report for the seq_len grid a trainer is choosing
+    from: for each candidate sequence length, the padded-token waste of
+    the two standard batching strategies — GPT-style concat-and-chunk
+    (waste = the final window's remainder, plus nothing else) vs
+    pad-each-doc-to-a-window-multiple (waste = sum over docs of
+    ceil(n/L)*L - n) — and the corpus totals backing them. Exact
+    integer aggregates, so the report is the decision table, not an
+    estimate (the companion of ``pack_sequences``, which executes the
+    concat strategy this table justifies).
+
+    Scale shape: one streaming token-count pass; per batch emits ONE
+    row per seq_len (padded-sum partials), reduced by a |grid|-keyed
+    groupby — the corpus never shuffles."""
+    from ray.data.aggregate import Sum as _Sum
+
+    lens = np.asarray(sorted(seq_lens), dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(
+                pc.fill_null(batch["text"], ""), TOKEN_PATTERN
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        # per seq_len: sum of per-doc padded sizes, plus shared totals
+        padded = (
+            ((n[None, :] + lens[:, None] - 1) // lens[:, None])
+            * lens[:, None]
+        ).sum(axis=1)
+        return pa.table(
+            {
+                "seq_len": pa.array(lens),
+                "pad_each_sum": pa.array(padded),
+                "total_tokens": pa.array(np.full(lens.size, int(n.sum()))),
+                "n_docs": pa.array(np.full(lens.size, int(n.size))),
+            }
+        )
+
+    agg = (
+        _read_documents(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("seq_len")
+        .aggregate(
+            _Sum("pad_each_sum", alias_name="pad_each_sum"),
+            _Sum("total_tokens", alias_name="total_tokens"),
+            _Sum("n_docs", alias_name="n_docs"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        L = batch["seq_len"].to_numpy(zero_copy_only=False)
+        tot = batch["total_tokens"].to_numpy(zero_copy_only=False)
+        pad = batch["pad_each_sum"].to_numpy(zero_copy_only=False)
+        concat_waste = (L - tot % L) % L
+        return pa.table(
+            {
+                "seq_len": pa.array(L),
+                "total_tokens": pa.array(tot),
+                "n_docs": batch["n_docs"],
+                "waste_concat": pa.array(concat_waste),
+                "waste_pad_each": pa.array(pad - tot),
+            }
+        )
+
+    return agg.map_batches(
+        finalize, batch_format="pyarrow", zero_copy_batch=True
+    )

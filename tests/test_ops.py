@@ -3866,3 +3866,68 @@ def test_table_checksums_localize_corruption(tmp_path):
     diff = a["checksum"] != b["checksum"]
     assert diff.sum() == 1
     assert int(a.loc[diff, "bucket"].iloc[0]) == 37 % rel.CHECKSUM_BUCKETS
+
+
+def test_packing_efficiency_waste_arithmetic(tmp_path):
+    """Known token counts -> exact waste: concat wastes only the final
+    window remainder; pad-each wastes per-doc round-up."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops import textstats as ts
+
+    pq.write_table(
+        pa.table({"doc_id": [0, 1], "text": ["a b c", "d e f g h"]}),
+        tmp_path / "documents.parquet",
+    )  # 3 + 5 = 8 tokens
+    out = (
+        ts.packing_efficiency(str(tmp_path))
+        .to_pandas().set_index("seq_len").sort_index()
+    )
+    row = out.loc[128]
+    assert row["total_tokens"] == 8 and row["n_docs"] == 2
+    assert row["waste_concat"] == 128 - 8
+    assert row["waste_pad_each"] == (128 - 3) + (128 - 5)
+    # a grid length dividing the total exactly wastes nothing in concat
+    assert out.loc[256]["waste_concat"] == 256 - 8
+
+
+def test_session_attribution_first_touch(tmp_path):
+    """A purchase inside a session opened by 'view' credits view; a
+    purchase after a >30min gap opens its own session and credits
+    itself; values roll up in cents."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops import relational as rel
+
+    base = np.datetime64("2024-05-01T09:00:00", "us")
+    rows = [
+        (1, base,                                "view",     0.0),
+        (2, base + np.timedelta64(10, "m"),      "purchase", 10.5),
+        (3, base + np.timedelta64(100, "m"),     "purchase", 2.25),  # new session
+        (4, base,                                "click",    0.0),   # user 2
+        (5, base + np.timedelta64(5, "m"),       "purchase", 1.0),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([r[3] for r in rows]),
+            "props": pa.array(["{}"] * 5),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = (
+        rel.session_attribution(str(tmp_path), num_buckets=4)
+        .to_pandas().set_index("first_type")
+    )
+    assert out.loc["view"]["n_purchases"] == 1
+    assert out.loc["view"]["sum_cents"] == 1050
+    assert out.loc["purchase"]["n_purchases"] == 1
+    assert out.loc["purchase"]["sum_cents"] == 225
+    assert out.loc["click"]["n_purchases"] == 1
+    assert out.loc["click"]["sum_cents"] == 100
