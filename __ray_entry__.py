@@ -560,6 +560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_checksums": relational.table_checksums,
         "packing_efficiency": textstats.packing_efficiency,
         "session_attribution": relational.session_attribution,
+        "bitext_candidates": dedup.bitext_candidates,
     }
 
 
@@ -3367,6 +3368,30 @@ def oracle_sql() -> dict[str, str]:
                      AS waste_pad_each
             FROM grid g CROSS JOIN n
             GROUP BY g.seq_len
+        """,
+        "bitext_candidates": f"""
+            -- cross-language pairs sharing >= {dedup.BITEXT_MIN_SHARED}
+            -- distinct RARE bigrams (df <= {dedup.BITEXT_DF_CAP});
+            -- bigram convention = bigram_counts (empties kept)
+            WITH t AS (
+              SELECT doc_id, lang,
+                     string_split(coalesce(text, ''), ' ') AS ws
+              FROM documents),
+            b AS (
+              SELECT DISTINCT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS g
+              FROM t, unnest(generate_series(1, len(ws) - 1)) AS u(i)),
+            rare AS (
+              SELECT g FROM b GROUP BY g
+              HAVING count(*) <= {dedup.BITEXT_DF_CAP}),
+            p AS (
+              SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+                     count(*) AS n_shared
+              FROM b a JOIN b c
+                ON a.g = c.g AND a.doc_id < c.doc_id AND a.lang <> c.lang
+              WHERE a.g IN (SELECT g FROM rare)
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
+            FROM p WHERE n_shared >= {dedup.BITEXT_MIN_SHARED}
         """,
         "session_attribution": f"""
             -- first-touch attribution over 30-min-gap sessions;

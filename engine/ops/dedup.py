@@ -2923,3 +2923,137 @@ def dedup_substrings(
     return tagged.groupby("_db").map_groups(
         lambda g: reassemble(g.drop_columns(["_db"])), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-language parallel-corpus candidate mining
+# ---------------------------------------------------------------------------
+
+BITEXT_DF_CAP = 16       # "rare" bigram: document frequency <= cap
+BITEXT_MIN_SHARED = 2    # candidate pair: >= this many shared rare bigrams
+
+
+def bitext_candidates(
+    sf_dir: str,
+    df_cap: int = BITEXT_DF_CAP,
+    min_shared: int = BITEXT_MIN_SHARED,
+) -> ray.data.Dataset:
+    """Parallel-corpus (bitext) candidate mining: pairs of documents in
+    DIFFERENT languages sharing >= ``min_shared`` distinct RARE word
+    bigrams (document frequency <= ``df_cap``) — the shared-rare-anchor
+    heuristic public bitext pipelines use to shortlist translation
+    pairs before alignment scoring (rare tokens — names, numbers,
+    code — survive translation; frequent ones carry no signal and
+    would make expansion quadratic).
+
+    Machinery is ``dedup_jaccard``'s inverted index with two twists:
+    the DF CAP IS the semantics (rare-only, not just a guard), and the
+    language code (crc32 of the lang string, collision odds
+    ~n_langs^2/2^32) rides each exploded row so cross-language pairs
+    filter DURING expansion — same-language pairs never materialize.
+    Bigram convention is ``bigram_counts``' exactly (single-space
+    split, empties kept, <2-word docs emit nothing) so the SQL oracle
+    replays the identical gram sets. Shuffles carry int64 rows only;
+    the pair combine is the shared bucketed reduce."""
+    num_buckets = _pair_num_buckets()
+    ensure_serializable()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        gh_out, id_out, lc_out = [], [], []
+        for doc_id, text, lang in zip(ids, texts, langs):
+            words = (text or "").split(" ")
+            if len(words) < 2:
+                continue
+            grams = [
+                words[i] + " " + words[i + 1] for i in range(len(words) - 1)
+            ]
+            gh = np.unique(
+                np.fromiter(
+                    (
+                        np.int64(
+                            np.uint64(zlib.crc32(g.encode()))
+                            | (np.uint64(zlib.crc32(g[::-1].encode()))
+                               << np.uint64(32))
+                        )
+                        for g in grams
+                    ),
+                    dtype=np.int64,
+                    count=len(grams),
+                )
+            )
+            gh_out.append(gh)
+            id_out.append(np.full(gh.size, doc_id, dtype=np.int64))
+            lc_out.append(
+                np.full(gh.size, zlib.crc32((lang or "").encode()),
+                        dtype=np.int64)
+            )
+        if not gh_out:
+            return pa.table(
+                {"_pb": pa.array([], pa.int32()),
+                 "gram_hash": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "lang_code": pa.array([], pa.int64())}
+            )
+        gh = np.concatenate(gh_out)
+        return pa.table(
+            {
+                "_pb": pa.array(_bucket_of(gh, num_buckets=num_buckets)),
+                "gram_hash": pa.array(gh),
+                "doc_id": pa.array(np.concatenate(id_out)),
+                "lang_code": pa.array(np.concatenate(lc_out)),
+            }
+        )
+
+    def cross_lang_pairs(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [("gram_hash", "ascending"), ("doc_id", "ascending")]
+        ).combine_chunks()
+        gh = t.column("gram_hash").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        lc = t.column("lang_code").to_numpy(zero_copy_only=False)
+        new_run = _run_starts(gh)
+        if len(new_run):
+            # run size IS global df (a gram hash lives in one bucket);
+            # rare-only is the SEMANTICS here, not just a bound
+            starts = np.flatnonzero(new_run)
+            sizes = np.diff(np.append(starts, len(new_run)))
+            if (sizes > df_cap).any():
+                keep = np.repeat(sizes <= df_cap, sizes)
+                gh, ids, lc = gh[keep], ids[keep], lc[keep]
+                new_run = _run_starts(gh)
+        ii, jj = _pairs_within_runs(new_run)
+        diff = lc[ii] != lc[jj]
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[ii][diff]),
+                "doc_b": pa.array(ids[jj][diff]),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pb")
+        .map_groups(
+            lambda g: cross_lang_pairs(g.drop_columns(["_pb"])),
+            batch_format="pyarrow",
+        )
+    )
+
+    def finalize(doc_a, doc_b, cnt, extras):
+        keep = cnt >= min_shared
+        return pa.table(
+            {
+                "doc_a": pa.array(doc_a[keep]),
+                "doc_b": pa.array(doc_b[keep]),
+                "n_shared": pa.array(cnt[keep].astype(np.int64)),
+            }
+        )
+
+    return _combine_pairs_bucketed(pairs, finalize)

@@ -3931,3 +3931,52 @@ def test_session_attribution_first_touch(tmp_path):
     assert out.loc["purchase"]["sum_cents"] == 225
     assert out.loc["click"]["n_purchases"] == 1
     assert out.loc["click"]["sum_cents"] == 100
+
+
+def test_bitext_candidates_rare_and_cross_lang_only(tmp_path):
+    """Only CROSS-language pairs count; only RARE bigrams (df <= cap)
+    count; the shared-count threshold gates the pair."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops import dedup as dd
+
+    common = "alpha beta"  # will appear in EVERY doc -> df > cap
+    docs = {
+        "doc_id": list(range(20)),
+        "text": (
+            # 0 (en) and 1 (fr): share rare bigrams "zebra quark" and
+            # "lumen vortex" -> candidate pair
+            [f"{common} zebra quark lumen vortex"] +
+            [f"{common} zebra quark lumen vortex"] +
+            # 2 (en): shares both rare bigrams with 0 but SAME lang
+            [f"{common} zebra quark lumen vortex"] +
+            # 3 (de): shares only ONE rare bigram with 0 -> below threshold
+            [f"{common} zebra quark solo gram"] +
+            # filler docs: only the common bigram
+            [f"{common} filler{i} text{i}" for i in range(16)]
+        ),
+        "lang": ["en", "fr", "en", "de"] + ["zh"] * 16,
+        "source": ["s"] * 20,
+        "n_chars": [10] * 20,
+    }
+    pq.write_table(pa.table(docs), tmp_path / "documents.parquet")
+    out = (
+        dd.bitext_candidates(str(tmp_path), df_cap=4, min_shared=2)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    got = {(int(r.doc_a), int(r.doc_b)): int(r.n_shared)
+           for r in out.itertuples()}
+    # "alpha beta" has df 20 > cap -> never counts. Rare shared grams:
+    # docs 0-2 share {beta zebra, zebra quark, quark lumen,
+    # lumen vortex}; doc 3 shares {beta zebra, zebra quark} with them.
+    # (0,2) is en-en -> excluded despite 4 shared rare grams.
+    assert got == {
+        (0, 1): 4,
+        (1, 2): 4,
+        (0, 3): 2,
+        (1, 3): 2,
+        (2, 3): 2,
+    }
