@@ -561,6 +561,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packing_efficiency": textstats.packing_efficiency,
         "session_attribution": relational.session_attribution,
         "bitext_candidates": dedup.bitext_candidates,
+        "ltv_deciles": relational.ltv_deciles,
+        "event_path_trigrams": relational.event_path_trigrams,
+        "approx_distinct_users_by_type": sketches.approx_distinct_users_by_type,
     }
 
 
@@ -3368,6 +3371,34 @@ def oracle_sql() -> dict[str, str]:
                      AS waste_pad_each
             FROM grid g CROSS JOIN n
             GROUP BY g.seq_len
+        """,
+        "ltv_deciles": f"""
+            -- rank() ties share; decile = ((rank-1)*10)//n + 1
+            WITH u AS (
+              SELECT user_id,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS total_cents
+              FROM events GROUP BY user_id),
+            n AS (SELECT count(*) AS n_users FROM u)
+            SELECT user_id, total_cents,
+                   CAST((rank() OVER (ORDER BY total_cents DESC) - 1)
+                        * {relational.LTV_TILES} // n_users + 1
+                        AS BIGINT) AS decile
+            FROM u CROSS JOIN n
+        """,
+        "event_path_trigrams": f"""
+            -- consecutive per-user event-type triples, corpus top-k
+            WITH o AS (
+              SELECT user_id, event_type,
+                     lead(event_type, 1) OVER w AS t2,
+                     lead(event_type, 2) OVER w AS t3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT event_type AS t1, t2, t3,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM o WHERE t3 IS NOT NULL
+            GROUP BY 1, 2, 3
+            ORDER BY n DESC, t1, t2, t3 LIMIT {relational.PATH_TOP_K}
         """,
         "bitext_candidates": f"""
             -- cross-language pairs sharing >= {dedup.BITEXT_MIN_SHARED}

@@ -4624,3 +4624,165 @@ def session_attribution(
         Sum("n_purchases", alias_name="n_purchases"),
         Sum("sum_cents", alias_name="sum_cents"),
     )
+
+
+LTV_TILES = 10
+
+
+def ltv_deciles(sf_dir: str) -> ray.data.Dataset:
+    """Customer lifetime-value deciles: per-user total event value
+    (exact cents), globally ranked by (total desc) with TIES SHARING a
+    rank (SQL ``rank()``), decile = ((rank-1)*10)//n_users + 1 — the
+    equal-frequency customer segmentation every growth team cuts.
+
+    The interesting shape is GLOBAL VALUE-RANKING WITHOUT A GLOBAL
+    SORT: rank(u) = 1 + count of users with a larger total, which the
+    cents HISTOGRAM answers — per-batch (total, count) partials, one
+    groupby bounded by DISTINCT totals (the value domain, not the user
+    count; same posture as quantile_events_value), a driver descending
+    cumsum over that histogram, and one broadcast searchsorted pass
+    assigns every user's rank. Ties sharing a rank is what makes this
+    histogram-only — row_number semantics would additionally need
+    in-tie ordering (shuffle_export's hash-rank machinery)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "user_id": batch["user_id"],
+                    "cents": _fixed_point(batch["value"], 100),
+                }
+            )
+            .group_by(["user_id"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["user_id", "cents"])
+        )
+
+    totals = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(_Sum("cents", alias_name="total_cents"))
+        .materialize()  # read twice: histogram pass + assignment pass
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        return (
+            pa.table({"total_cents": batch["total_cents"]})
+            .group_by(["total_cents"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["total_cents", "n"])
+        )
+
+    hist = (
+        totals.map_batches(
+            hist_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("total_cents")
+        .aggregate(_Sum("n", alias_name="n"))
+        .to_pandas()  # bounded by distinct totals (value domain)
+        .sort_values("total_cents", ascending=False)
+    )
+    values_desc = hist["total_cents"].to_numpy()
+    counts = hist["n"].to_numpy()
+    n_users = int(counts.sum())
+    # rank of the FIRST user at each distinct value, descending
+    rank_base = np.concatenate([[1], 1 + np.cumsum(counts[:-1])])
+    values_asc = values_desc[::-1].copy()
+    rank_asc = rank_base[::-1].copy()
+
+    def assign(batch: pa.Table) -> pa.Table:
+        tc = batch["total_cents"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(values_asc, tc)
+        if (values_asc[np.clip(pos, 0, values_asc.size - 1)] != tc).any():
+            raise ValueError("ltv_deciles: total missing from histogram")
+        rank = rank_asc[pos]
+        decile = (rank - 1) * LTV_TILES // n_users + 1
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "total_cents": batch["total_cents"],
+                "decile": pa.array(decile.astype(np.int64)),
+            }
+        )
+
+    return totals.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+PATH_TOP_K = 20
+
+
+def event_path_trigrams(sf_dir: str, k: int = PATH_TOP_K) -> ray.data.Dataset:
+    """Top-k behavioral paths: corpus-wide counts of CONSECUTIVE
+    event-type triples per user (ordered by ts, event_id) — the
+    "common 3-step journeys" product-analytics report, i.e.
+    ``bigram_counts``' adjacency machinery lifted from word streams to
+    per-user event streams.
+
+    Scale shape: one hash(user_id) bucket shuffle; per bucket one
+    vectorized sort + two shifted views count triples batch-locally
+    (adjacency never crosses a user), bounding the global groupby by
+    |types|^3; (n desc, t1..t3 asc) pins the k-boundary."""
+    from ray.data.aggregate import Sum as _Sum
+    from ..pipeline import default_num_buckets
+    from .dedup import _bucket_of
+
+    num_buckets = default_num_buckets()
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array(_bucket_of(u, num_buckets=num_buckets)),
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+            }
+        )
+
+    def triples(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        empty = pa.table(
+            {"t1": pa.array([], pa.string()), "t2": pa.array([], pa.string()),
+             "t3": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+        if t.num_rows < 3:
+            return empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid = uid[order]
+        ty = t["event_type"].to_numpy(zero_copy_only=False)[order]
+        ok = (uid[:-2] == uid[1:-1]) & (uid[1:-1] == uid[2:])
+        if not ok.any():
+            return empty
+        g = (
+            pa.table(
+                {"t1": pa.array(ty[:-2][ok]), "t2": pa.array(ty[1:-1][ok]),
+                 "t3": pa.array(ty[2:][ok])}
+            )
+            .group_by(["t1", "t2", "t3"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["t1", "t2", "t3", "n"])
+        )
+        return g.set_column(3, "n", pc.cast(g["n"], pa.int64()))
+
+    counts = (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(
+            lambda g: triples(g.drop_columns(["_b"])), batch_format="pyarrow"
+        )
+        .groupby(["t1", "t2", "t3"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+    return counts.sort(
+        ["n", "t1", "t2", "t3"], descending=[True, False, False, False]
+    ).limit(k)

@@ -812,3 +812,78 @@ def shuffle_export(sf_dir: str, n_shards: int = SHUFFLE_SHARDS) -> ray.data.Data
         .groupby("shard")
         .map_groups(order_shard, batch_format="pyarrow")
     )
+
+
+def approx_distinct_users_by_type(sf_dir: str) -> ray.data.Dataset:
+    """GROUPED HyperLogLog: distinct-user estimate PER event_type — the
+    per-key approximate COUNT DISTINCT every analytics store exposes
+    (``approx_distinct_users`` is the global form; the grouped form is
+    what dashboards actually query). Rows-only like its global cousin
+    (sketch-defined estimate); the per-group 5%-band accuracy is pinned
+    against exact distincts in pytest.
+
+    Scale shape: per-batch (event_type, register, rho) partials — at
+    most types x 2^p rows each — merge through ONE
+    groupby(type, register).max(rho) bounded by types x 2^p, and each
+    type's estimate finalizes inside groupby(type).map_groups. The raw
+    user column never shuffles, and nothing materializes on the
+    driver (contrast the global form's driver-side finalize: the
+    grouped finalize is itself distributed)."""
+    ensure_serializable()
+    ds = _read_events(sf_dir, ["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"event_type": batch["event_type"], "user_id": batch["user_id"]}
+        )
+        out_ty, out_reg, out_rho = [], [], []
+        # few distinct types per batch: one _hll_partial per type-slice
+        ty = t["event_type"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        for v in np.unique(ty):
+            part = _hll_partial(uid[ty == v])
+            k = part.num_rows
+            out_ty.append(np.full(k, v))
+            out_reg.append(part["register"].to_numpy(zero_copy_only=False))
+            out_rho.append(part["rho"].to_numpy(zero_copy_only=False))
+        if not out_ty:
+            return pa.table(
+                {"event_type": pa.array([], pa.string()),
+                 "register": pa.array([], pa.int64()),
+                 "rho": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "event_type": pa.array(np.concatenate(out_ty)),
+                "register": pa.array(np.concatenate(out_reg)),
+                "rho": pa.array(np.concatenate(out_rho)),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "register"])
+        .aggregate(Max("rho", alias_name="rho"))
+    )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        m = _HLL_M
+        regs = np.zeros(m, dtype=np.int64)
+        regs[group["register"].to_numpy(zero_copy_only=False)] = (
+            group["rho"].to_numpy(zero_copy_only=False)
+        )
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+        zeros = int(np.count_nonzero(regs == 0))
+        if est <= 2.5 * m and zeros:
+            est = m * math.log(m / zeros)
+        return pa.table(
+            {
+                "event_type": pa.array([group["event_type"][0].as_py()]),
+                "estimate": pa.array([int(round(est))], pa.int64()),
+            }
+        )
+
+    return merged.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow"
+    )

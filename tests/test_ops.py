@@ -114,6 +114,7 @@ def test_all_queries_have_oracle_or_are_documented():
         "cms_word_counts", "bpe_train", "compression_ratio",
         "tokenize_bpe",
         "knn_ivfpq",  # approximate ADC+refine; recall pinned in pytest
+        "approx_distinct_users_by_type",  # grouped HLL; 5%-band pinned
     }
 
 
@@ -3980,3 +3981,109 @@ def test_bitext_candidates_rare_and_cross_lang_only(tmp_path):
         (1, 3): 2,
         (2, 3): 2,
     }
+
+
+def test_ltv_deciles_tie_sharing(tmp_path):
+    """Users tied on total_cents share a rank() and therefore a decile;
+    with 10 distinct totals the deciles are exactly 1..10; a 3-way tie
+    at the top puts all three in decile 1 and shifts nothing else's
+    rank base."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops import relational as rel
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    # 10 users, one event each: totals 100, 90, ..., 10
+    users = list(range(1, 11))
+    vals = [float(110 - 10 * u) for u in users]
+    # 2 extra users tied with user 1 at 100.0
+    users += [11, 12]
+    vals += [100.0, 100.0]
+    t = pa.table(
+        {
+            "event_id": pa.array(list(range(len(users))), pa.int64()),
+            "ts": pa.array([base] * len(users), pa.timestamp("us")),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(["view"] * len(users)),
+            "value": pa.array(vals),
+            "props": pa.array(["{}"] * len(users)),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = (
+        rel.ltv_deciles(str(tmp_path))
+        .to_pandas().set_index("user_id").sort_index()
+    )
+    n = 12
+    # users 1, 11, 12 tie at rank 1 -> decile (0*10)//12+1 = 1
+    for u in (1, 11, 12):
+        assert out.loc[u, "decile"] == 1
+    # user 2 (total 90) has rank 4 -> (3*10)//12+1 = 3
+    assert out.loc[2, "decile"] == 3
+    # weakest user: rank 12 -> (11*10)//12+1 = 10
+    assert out.loc[10, "decile"] == 10
+
+
+def test_event_path_trigrams_user_boundary(tmp_path):
+    """Triples never cross a user boundary; counts and the
+    (n desc, types asc) ordering are exact."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops import relational as rel
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    seq = [
+        (1, "a"), (1, "b"), (1, "c"), (1, "a"), (1, "b"), (1, "c"),
+        (2, "c"),  # user 2's lone event: no cross-user (b, c, c) etc.
+        (2, "x"), (2, "y"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(list(range(len(seq))), pa.int64()),
+            "ts": pa.array(
+                [base + np.timedelta64(i, "s") for i in range(len(seq))],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([u for u, _ in seq], pa.int64()),
+            "event_type": pa.array([e for _, e in seq]),
+            "value": pa.array([0.0] * len(seq)),
+            "props": pa.array(["{}"] * len(seq)),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = rel.event_path_trigrams(str(tmp_path)).to_pandas()
+    got = {(r.t1, r.t2, r.t3): int(r.n) for r in out.itertuples()}
+    assert got == {
+        ("a", "b", "c"): 2,
+        ("b", "c", "a"): 1,
+        ("c", "a", "b"): 1,
+        ("c", "x", "y"): 1,
+    }
+    assert out.iloc[0][["t1", "t2", "t3"]].tolist() == ["a", "b", "c"]
+
+
+def test_grouped_hll_within_error_band():
+    """Each event_type's HLL estimate lands within the 5% band of the
+    exact per-type distinct user count (p=12 standard error ~1.6%)."""
+    import duckdb
+
+    from engine.ops.sketches import approx_distinct_users_by_type
+
+    got = (
+        approx_distinct_users_by_type(SF)
+        .to_pandas().set_index("event_type")
+    )
+    exact = dict(
+        duckdb.sql(
+            f"select event_type, count(distinct user_id) "
+            f"from read_parquet('{SF}/events.parquet') group by 1"
+        ).fetchall()
+    )
+    assert set(got.index) == set(exact)
+    for ty, n in exact.items():
+        est = int(got.loc[ty, "estimate"])
+        assert abs(est - n) <= max(0.05 * n, 2), (ty, est, n)
