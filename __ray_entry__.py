@@ -279,6 +279,12 @@ def _conv_stats_jsonl(sf_dir: str):
     return conv_stats(read_transcripts_jsonl(paths))
 
 
+def _tool_chain_hist(sf_dir: str):
+    from engine.ops.convstats import tool_chain_hist
+
+    return tool_chain_hist(_transcript_files(sf_dir))
+
+
 def _conv_stats_jsonl_gz(sf_dir: str):
     """conv_stats over GZIP-compressed JSONL shards (the crawl-dump
     interchange encoding): the parquet fixture converts to .jsonl.gz
@@ -564,6 +570,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ltv_deciles": relational.ltv_deciles,
         "event_path_trigrams": relational.event_path_trigrams,
         "approx_distinct_users_by_type": sketches.approx_distinct_users_by_type,
+        "tool_chain_hist": _tool_chain_hist,
+        "order_fill_latency": relational.order_fill_latency,
     }
 
 
@@ -3371,6 +3379,37 @@ def oracle_sql() -> dict[str, str]:
                      AS waste_pad_each
             FROM grid g CROSS JOIN n
             GROUP BY g.seq_len
+        """,
+        "tool_chain_hist": f"""
+            -- gaps-and-islands: max consecutive tool-turn chain per
+            -- conversation, then a chain-length histogram
+            WITH t AS (
+              SELECT conv_id, turn_idx FROM {{transcripts}}
+              WHERE role = 'tool'),
+            isl AS (
+              SELECT conv_id, count(*) AS len
+              FROM (SELECT conv_id, turn_idx,
+                           turn_idx - row_number() OVER (
+                             PARTITION BY conv_id ORDER BY turn_idx) AS grp
+                    FROM t)
+              GROUP BY conv_id, grp),
+            mx AS (SELECT conv_id, max(len) AS max_chain
+                   FROM isl GROUP BY conv_id)
+            SELECT CAST(max_chain AS BIGINT) AS chain_len,
+                   CAST(count(*) AS BIGINT) AS n_convs
+            FROM mx GROUP BY max_chain
+        """.format(transcripts=transcripts),
+        "order_fill_latency": """
+            -- whole-day gap order -> last ship; timestamps are
+            -- midnight-aligned so date_diff is the exact integer gap
+            WITH m AS (
+              SELECT l_orderkey AS okey, max(l_shipdate) AS last_ship
+              FROM lineitem GROUP BY okey)
+            SELECT CAST(date_diff('day', o.o_orderdate, m.last_ship)
+                        AS BIGINT) AS days,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders o JOIN m ON m.okey = o.o_orderkey
+            GROUP BY days
         """,
         "ltv_deciles": f"""
             -- rank() ties share; decile = ((rank-1)*10)//n + 1

@@ -585,3 +585,85 @@ def link_stats(
     return tagged.groupby("_lb").map_groups(
         lambda g: stats_bucket(g.drop_columns(["_lb"])), batch_format="pyarrow"
     )
+
+
+def tool_chain_hist(transcript_paths, num_buckets=None) -> ray.data.Dataset:
+    """Histogram of the LONGEST consecutive tool-turn chain per
+    conversation — the agent-transcript analytics report (how deep do
+    tool-call loops run before a model turn interrupts). Conversations
+    with no tool turns are absent, matching the SQL oracle's island
+    aggregation; this is the engine's gaps-and-islands shape: an island
+    is a maximal run of turn_idx values with step exactly 1.
+
+    Scale shape: the role filter is pushed INTO the scan (only tool
+    turns leave storage — usually a small fraction); ONE hash(conv_id)
+    bucket shuffle of (conv, turn_idx) int rows; per bucket a single
+    sort + island run-length + per-conv max, emitting bounded
+    (chain_len, count) partials; the final groupby is bounded by the
+    longest chain."""
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum as _Sum
+
+    ensure_serializable()
+    num_buckets = resolve_num_buckets(num_buckets, transcript_paths)
+    if isinstance(transcript_paths, ray.data.Dataset):
+        ds = transcript_paths.select_columns(["conv_id", "turn_idx", "role"])
+        def only_tool(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch["role"], "tool"))
+        ds = ds.map_batches(only_tool, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        ds = ray.data.read_parquet(
+            transcript_paths,
+            columns=["conv_id", "turn_idx"],
+            filter=pads.field("role") == "tool",
+        )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        h = _hash_conv_ids(
+            batch["conv_id"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "_b": pa.array((h % num_buckets).astype(np.int32)),
+                "conv_hash": pa.array(h.astype(np.int64)),
+                "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            }
+        )
+
+    def chains(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [("conv_hash", "ascending"), ("turn_idx", "ascending")]
+        ).combine_chunks()
+        empty = pa.table(
+            {"chain_len": pa.array([], pa.int64()),
+             "n_convs": pa.array([], pa.int64())}
+        )
+        n = t.num_rows
+        if n == 0:
+            return empty
+        ch = t["conv_hash"].to_numpy(zero_copy_only=False)
+        ti = t["turn_idx"].to_numpy(zero_copy_only=False)
+        new_island = np.empty(n, dtype=bool)
+        new_island[0] = True
+        new_island[1:] = (ch[1:] != ch[:-1]) | (ti[1:] != ti[:-1] + 1)
+        starts = np.flatnonzero(new_island)
+        lens = np.diff(np.append(starts, n))
+        # per-conversation MAX island: islands of one conv are adjacent
+        conv_of_island = ch[starts]
+        conv_start = np.flatnonzero(_run_starts(conv_of_island))
+        max_chain = np.maximum.reduceat(lens, conv_start)
+        cu, cc = np.unique(max_chain, return_counts=True)
+        return pa.table(
+            {"chain_len": pa.array(cu.astype(np.int64)),
+             "n_convs": pa.array(cc.astype(np.int64))}
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(
+            lambda g: chains(g.drop_columns(["_b"])), batch_format="pyarrow"
+        )
+        .groupby("chain_len")
+        .aggregate(_Sum("n_convs", alias_name="n_convs"))
+    )

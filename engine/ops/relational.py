@@ -4786,3 +4786,116 @@ def event_path_trigrams(sf_dir: str, k: int = PATH_TOP_K) -> ray.data.Dataset:
     return counts.sort(
         ["n", "t1", "t2", "t3"], descending=[True, False, False, False]
     ).limit(k)
+
+
+def order_fill_latency(
+    sf_dir: str, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Order-fulfillment latency histogram: days from o_orderdate to the
+    order's LAST lineitem ship date, counted per whole-day gap — the
+    operational-latency distribution (the supply-chain cousin of
+    ``time_to_conversion``'s event-funnel latency). Exact integer days:
+    both timestamps are midnight-aligned, so the gap is an exact
+    ``(ship_us - order_us) // DAY_US``.
+
+    Scale shape: the q12 co-location idiom — lineitem pre-reduces
+    (orderkey, max ship) per batch, orders ship (orderkey, orderdate)
+    rows, both hash(orderkey) into ONE bucket exchange; per bucket a
+    single sort + run-max joins the sides vectorized; day-gap counts
+    leave as bounded (days, n) partials."""
+    from ..pipeline import default_num_buckets
+    from .dedup import _run_starts  # bound outside the UDF closures
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ensure_serializable()
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"],
+    )
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_b": pa.array((okey % num_buckets).astype(np.int32)),
+                "okey": pa.array(okey),
+                "ts_us": pc.cast(batch["o_orderdate"], pa.int64()),
+                "side": pa.array(np.zeros(okey.size, dtype=np.int8)),
+            }
+        )
+
+    def tag_line(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "okey": batch["l_orderkey"],
+                    "ship_us": pc.cast(batch["l_shipdate"], pa.int64()),
+                }
+            )
+            .group_by(["okey"])
+            .aggregate([("ship_us", "max")])
+        )
+        ok = g["okey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_b": pa.array((ok % num_buckets).astype(np.int32)),
+                "okey": pa.array(ok),
+                "ts_us": g["ship_us_max"],
+                "side": pa.array(np.ones(len(g), dtype=np.int8)),
+            }
+        )
+
+    tagged = orders.map_batches(
+        tag_orders, batch_format="pyarrow", zero_copy_batch=True
+    ).union(line.map_batches(tag_line, batch_format="pyarrow", zero_copy_batch=True))
+
+    def latency_bucket(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [("okey", "ascending"), ("side", "ascending")]
+        ).combine_chunks()
+        empty = pa.table(
+            {"days": pa.array([], pa.int64()),
+             "n_orders": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        okey = t["okey"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        heads = np.flatnonzero(_run_starts(okey))
+        run_len = np.diff(np.append(heads, okey.size))
+        # runs: (order row first by side sort, then lineitem partials);
+        # orders without lineitems contribute single-row runs -> skip
+        has_line = run_len > 1
+        if not has_line.any():
+            return empty
+        if (side[heads] != 0).any():
+            raise ValueError("order_fill_latency: lineitem without order")
+        order_us = ts[heads][has_line]
+        # per-run max over the LINEITEM rows only: mask the order-date
+        # head out of the reduceat so a (pathological) ship < order gap
+        # stays negative instead of silently clamping to zero
+        ts_line = ts.copy()
+        ts_line[heads] = np.iinfo(np.int64).min
+        ship_us = np.maximum.reduceat(ts_line, heads)[has_line]
+        days = (ship_us - order_us) // DAY_US
+        du, dc = np.unique(days, return_counts=True)
+        return pa.table(
+            {"days": pa.array(du.astype(np.int64)),
+             "n_orders": pa.array(dc.astype(np.int64))}
+        )
+
+    return (
+        tagged.groupby("_b")
+        .map_groups(
+            lambda g: latency_bucket(g.drop_columns(["_b"])),
+            batch_format="pyarrow",
+        )
+        .groupby("days")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )

@@ -4087,3 +4087,81 @@ def test_grouped_hll_within_error_band():
     for ty, n in exact.items():
         est = int(got.loc[ty, "estimate"])
         assert abs(est - n) <= max(0.05 * n, 2), (ty, est, n)
+
+
+def test_tool_chain_hist_islands(tmp_path):
+    """Gaps-and-islands: consecutive tool turns chain; a model turn (or
+    a turn_idx gap) breaks the chain; tool-free conversations are
+    absent; the histogram counts each conversation's MAX chain."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops.convstats import tool_chain_hist
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = [
+        # conv A: tool islands at turns {1,2} and {4} -> max chain 2
+        ("A", 0, "user"), ("A", 1, "tool"), ("A", 2, "tool"),
+        ("A", 3, "assistant"), ("A", 4, "tool"),
+        # conv B: tool turns at 0 and 2 (gap) -> two islands of 1
+        ("B", 0, "tool"), ("B", 1, "user"), ("B", 2, "tool"),
+        # conv C: no tool turns -> absent
+        ("C", 0, "user"), ("C", 1, "assistant"),
+    ]
+    t = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows]),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows]),
+            "text": pa.array(["x"] * len(rows)),
+            "tool": pa.array([""] * len(rows)),
+            "ts": pa.array([base] * len(rows), pa.timestamp("us")),
+        }
+    )
+    path = tmp_path / "t.parquet"
+    pq.write_table(t, path)
+    out = (
+        tool_chain_hist([str(path)], num_buckets=4)
+        .to_pandas().set_index("chain_len").sort_index()
+    )
+    assert out["n_convs"].to_dict() == {1: 1, 2: 1}
+
+
+def test_order_fill_latency_gaps_and_exclusion(tmp_path):
+    """Known day gaps; the latest lineitem wins; an order with no
+    lineitems is absent."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops import relational as rel
+
+    d = lambda s: np.datetime64(s, "us")
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_orderdate": pa.array(
+                [d("2024-01-01"), d("2024-01-10"), d("2024-02-01")],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    line = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+            "l_shipdate": pa.array(
+                [d("2024-01-03"), d("2024-01-08"), d("2024-01-10")],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(orders, tmp_path / "orders.parquet")
+    pq.write_table(line, tmp_path / "lineitem.parquet")
+    out = (
+        rel.order_fill_latency(str(tmp_path), num_buckets=4)
+        .to_pandas().set_index("days").sort_index()
+    )
+    # order 1: max ship Jan 8 -> 7 days; order 2: same-day -> 0;
+    # order 3: no lineitems -> absent
+    assert out["n_orders"].to_dict() == {0: 1, 7: 1}
