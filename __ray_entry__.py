@@ -285,6 +285,12 @@ def _tool_chain_hist(sf_dir: str):
     return tool_chain_hist(_transcript_files(sf_dir))
 
 
+def _conv_first_response_latency(sf_dir: str):
+    from engine.ops.convstats import conv_first_response_latency
+
+    return conv_first_response_latency(_transcript_files(sf_dir))
+
+
 def _conv_stats_jsonl_gz(sf_dir: str):
     """conv_stats over GZIP-compressed JSONL shards (the crawl-dump
     interchange encoding): the parquet fixture converts to .jsonl.gz
@@ -572,6 +578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users_by_type": sketches.approx_distinct_users_by_type,
         "tool_chain_hist": _tool_chain_hist,
         "order_fill_latency": relational.order_fill_latency,
+        "conv_first_response_latency": _conv_first_response_latency,
     }
 
 
@@ -3398,6 +3405,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(max_chain AS BIGINT) AS chain_len,
                    CAST(count(*) AS BIGINT) AS n_convs
             FROM mx GROUP BY max_chain
+        """.format(transcripts=transcripts),
+        "conv_first_response_latency": """
+            -- first assistant turn AT OR AFTER the first user turn
+            WITH u AS (
+              SELECT conv_id, min(epoch_us(ts)) AS first_user
+              FROM {transcripts} WHERE role = 'user' GROUP BY conv_id),
+            a AS (
+              SELECT t.conv_id, min(epoch_us(t.ts)) AS first_resp
+              FROM {transcripts} t JOIN u ON u.conv_id = t.conv_id
+              WHERE t.role = 'assistant' AND epoch_us(t.ts) >= u.first_user
+              GROUP BY t.conv_id)
+            SELECT u.conv_id,
+                   CAST(a.first_resp - u.first_user AS BIGINT) AS latency_us
+            FROM u JOIN a ON a.conv_id = u.conv_id
         """.format(transcripts=transcripts),
         "order_fill_latency": """
             -- whole-day gap order -> last ship; timestamps are

@@ -667,3 +667,90 @@ def tool_chain_hist(transcript_paths, num_buckets=None) -> ray.data.Dataset:
         .groupby("chain_len")
         .aggregate(_Sum("n_convs", alias_name="n_convs"))
     )
+
+
+def conv_first_response_latency(
+    transcript_paths, num_buckets=None
+) -> ray.data.Dataset:
+    """Per-conversation first-response latency: microseconds from the
+    conversation's FIRST user turn to the first assistant turn AT OR
+    AFTER it — the agent-responsiveness metric every transcript
+    dashboard plots. Conversations without a user turn, or whose every
+    assistant turn precedes the first user turn, are absent (matching
+    the oracle's join semantics).
+
+    Scale shape: min/conditional-min are algebraic, so per-batch
+    ``group_by(conv)`` partials carry three int64s per conversation per
+    batch (first-user ts, and the two-pass trick for
+    "first assistant >= first user": per-bucket resolution against the
+    conversation's GLOBAL first-user ts — all of a conversation's rows
+    co-locate in its hash bucket, so the bucket pass sees every
+    candidate). One conv-bucket shuffle; text never moves."""
+    ensure_serializable()
+    num_buckets = resolve_num_buckets(num_buckets, transcript_paths)
+    ds = _transcript_ds(transcript_paths, ["conv_id", "role", "ts"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        role = batch["role"].to_numpy(zero_copy_only=False)
+        keep = (role == "user") | (role == "assistant")
+        t = batch.filter(pa.array(keep))
+        cid = t["conv_id"].to_numpy(zero_copy_only=False)
+        h = _hash_conv_ids(cid)
+        return pa.table(
+            {
+                "_b": pa.array((h % num_buckets).astype(np.int32)),
+                "conv_id": t["conv_id"],
+                "is_user": pc.equal(t["role"], "user"),
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+
+    def latency_bucket(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks()
+        empty = pa.table(
+            {"conv_id": pa.array([], pa.string()),
+             "latency_us": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        cid = t["conv_id"].to_numpy(zero_copy_only=False)
+        is_user = t["is_user"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        # all rows of a conversation are in this bucket: group by conv
+        # (mins are order-independent within the run)
+        order = np.argsort(cid, kind="stable")
+        cid_s = cid[order]
+        heads = np.flatnonzero(_run_starts(cid_s))
+        sizes = np.diff(np.append(heads, cid_s.size))
+        iu = is_user[order]
+        ts_s = ts[order]
+        out_c, out_l = [], []
+        big = np.iinfo(np.int64).max
+        # vectorized per-run: first user ts = min over user rows;
+        # first assistant >= that = min over assistant rows >= threshold
+        u_ts = np.where(iu, ts_s, big)
+        a_ts = np.where(~iu, ts_s, big)
+        first_user = np.minimum.reduceat(u_ts, heads)
+        # conditional min needs the threshold per row:
+        thr = np.repeat(first_user, sizes)
+        a_ok = np.where((~iu) & (ts_s >= thr), ts_s, big)
+        first_resp = np.minimum.reduceat(a_ok, heads)
+        valid = (first_user != big) & (first_resp != big)
+        conv_heads = cid_s[heads]
+        return pa.table(
+            {
+                "conv_id": pa.array(conv_heads[valid]),
+                "latency_us": pa.array(
+                    (first_resp - first_user)[valid].astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(
+            lambda g: latency_bucket(g.drop_columns(["_b"])),
+            batch_format="pyarrow",
+        )
+    )

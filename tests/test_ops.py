@@ -4165,3 +4165,48 @@ def test_order_fill_latency_gaps_and_exclusion(tmp_path):
     # order 1: max ship Jan 8 -> 7 days; order 2: same-day -> 0;
     # order 3: no lineitems -> absent
     assert out["n_orders"].to_dict() == {0: 1, 7: 1}
+
+
+def test_conv_first_response_latency_semantics(tmp_path):
+    """An assistant turn BEFORE the first user turn does not count as a
+    response; the first assistant AT OR AFTER it does; conversations
+    with no user turn, or no assistant at/after it, are absent."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops.convstats import conv_first_response_latency
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    s = lambda secs: base + np.timedelta64(secs, "s")
+    rows = [
+        # conv A: assistant@0 (ignored), user@10, assistant@25 -> 15s
+        ("A", 0, "assistant", s(0)), ("A", 1, "user", s(10)),
+        ("A", 2, "assistant", s(25)),
+        # conv B: user@0, no assistant after -> absent
+        ("B", 0, "user", s(0)), ("B", 1, "tool", s(5)),
+        # conv C: assistant only -> absent
+        ("C", 0, "assistant", s(0)),
+        # conv D: same-timestamp response -> latency 0
+        ("D", 0, "user", s(7)), ("D", 1, "assistant", s(7)),
+    ]
+    t = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows]),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows]),
+            "text": pa.array(["x"] * len(rows)),
+            "tool": pa.array([""] * len(rows)),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        }
+    )
+    path = tmp_path / "t.parquet"
+    pq.write_table(t, path)
+    out = (
+        conv_first_response_latency([str(path)], num_buckets=4)
+        .to_pandas().set_index("conv_id")
+    )
+    assert out["latency_us"].to_dict() == {
+        "A": 15_000_000,
+        "D": 0,
+    }
